@@ -1,0 +1,67 @@
+"""pgdrome_tpu — a TPU-native Proper Generalized Decomposition (PGD) framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of BAMresearch/PGDrome
+(reference: /root/reference/pgdrome). A parametric PDE solution
+``u(x, p1, ..., p_{d-1})`` is approximated as a sum of rank-1 separated modes
+
+    u ≈ Σ_k F1_k(x) · F2_k(p1) · ... · Fd_k(p_{d-1})
+
+with each factor living on its own small mesh.  The progressive enrichment +
+alternating fixed-point solver lives in :mod:`pgdrome_tpu.solver`
+(reference parity: pgdrome/solver.py), the solution container / evaluation /
+I/O layer in :mod:`pgdrome_tpu.model` (reference parity: pgdrome/model.py),
+and a fully jitted TPU fast path in :mod:`pgdrome_tpu.separated`.
+
+Unlike the reference there is no FEniCS/DOLFIN dependency: per-dimension FEM
+assembly, FD operators, linear solvers and point evaluation are implemented
+natively in JAX (see :mod:`pgdrome_tpu.fem` and :mod:`pgdrome_tpu.ops`).
+"""
+
+from pgdrome_tpu import config as config
+from pgdrome_tpu.fem.mesh import IntervalMesh, RectangleMesh, Point
+from pgdrome_tpu.fem.space import FunctionSpace, VectorFunctionSpace
+from pgdrome_tpu.fem.function import Function, Expression, Constant, interpolate
+from pgdrome_tpu.fem.bc import DirichletBC
+from pgdrome_tpu.fem import assembly
+from pgdrome_tpu.fem.assembly import (
+    mass_matrix,
+    stiffness_matrix,
+    advection_matrix,
+    load_vector,
+    gram,
+    norm,
+    assemble_vector,
+)
+from pgdrome_tpu.ops.fd import FD_matrices
+from pgdrome_tpu.solver import PGDProblem
+from pgdrome_tpu.model import PGD, PGDMesh, PGDAttribute, PGDErrorComputation
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "config",
+    "IntervalMesh",
+    "RectangleMesh",
+    "Point",
+    "FunctionSpace",
+    "VectorFunctionSpace",
+    "Function",
+    "Expression",
+    "Constant",
+    "interpolate",
+    "DirichletBC",
+    "assembly",
+    "mass_matrix",
+    "stiffness_matrix",
+    "advection_matrix",
+    "load_vector",
+    "gram",
+    "norm",
+    "assemble_vector",
+    "FD_matrices",
+    "PGDProblem",
+    "PGD",
+    "PGDMesh",
+    "PGDAttribute",
+    "PGDErrorComputation",
+]

@@ -1,0 +1,144 @@
+"""Dirichlet boundary conditions.
+
+Parity: dolfin.DirichletBC (reference test_elastic.py:64-66).  Constrained
+dofs are found by evaluating the user predicate at dof coordinates;
+``apply`` handles vectors and functions, ``apply_system`` does symmetric
+row/column elimination with lifting on dense systems.
+"""
+
+from __future__ import annotations
+
+import inspect
+
+import numpy as np
+
+from pgdrome_tpu.fem.space import FunctionSpace
+from pgdrome_tpu.fem.function import Function, Expression, Constant, _VectorView
+
+
+def _on_boundary_mask(V: FunctionSpace) -> np.ndarray:
+    mesh = V.mesh()
+    pts = V.tabulate_dof_coordinates()
+    if mesh.topology_dim() == 1:
+        x = pts[:, 0]
+        lo, hi = mesh.coordinates()[:, 0].min(), mesh.coordinates()[:, 0].max()
+        return (np.abs(x - lo) < 1e-12) | (np.abs(x - hi) < 1e-12)
+    (x0, x1), (y0, y1) = mesh.bounds
+    return (
+        (np.abs(pts[:, 0] - x0) < 1e-12)
+        | (np.abs(pts[:, 0] - x1) < 1e-12)
+        | (np.abs(pts[:, 1] - y0) < 1e-12)
+        | (np.abs(pts[:, 1] - y1) < 1e-12)
+    )
+
+
+class DirichletBC:
+    def __init__(self, V: FunctionSpace, value, where=None, component=None):
+        """
+        :param V: function space
+        :param value: scalar / tuple / Expression / Constant
+        :param where: predicate ``f(x)`` or ``f(x, on_boundary)`` on dof
+            coordinates (scalar x in 1D, (gdim,) point in 2D); None = whole
+            boundary
+        :param component: restrict a vector-space bc to one component
+        """
+        self._V = V
+        self.component = component
+        pts = V.tabulate_dof_coordinates()
+        onb = _on_boundary_mask(V)
+        gdim = V.mesh().geometry_dim()
+
+        if where is None:
+            mask = onb
+        else:
+            nargs = len(inspect.signature(where).parameters)
+            mask = np.zeros(len(pts), dtype=bool)
+            for i, p in enumerate(pts):
+                x = p[0] if gdim == 1 else p
+                mask[i] = bool(where(x, onb[i]) if nargs >= 2 else where(x))
+
+        sdofs = np.where(mask)[0]
+        vs = max(V.value_size, 1)
+
+        # expand to vector dofs (interleaved)
+        if vs == 1:
+            self.dofs = sdofs.astype(np.int64)
+        else:
+            comps = range(vs) if component is None else [component]
+            self.dofs = np.concatenate(
+                [sdofs * vs + c for c in comps]
+            ).astype(np.int64)
+            self.dofs.sort()
+
+        # values per constrained dof
+        if isinstance(value, (Expression, Constant)) or callable(value):
+            vals = np.zeros(len(self.dofs))
+            for k, d in enumerate(self.dofs):
+                s = d // vs
+                c = d % vs
+                x = pts[s, 0] if gdim == 1 else pts[s]
+                v = value(np.asarray([x]) if gdim == 1 else np.asarray([x]))
+                v = np.asarray(v).reshape(-1) if np.ndim(v) else np.asarray([v])
+                vals[k] = v[c] if (vs > 1 and v.size >= vs) else v[0]
+            self.values = vals
+        elif isinstance(value, (tuple, list, np.ndarray)):
+            vv = np.asarray(value, dtype=np.float64).ravel()
+            self.values = np.array([vv[d % vs] for d in self.dofs])
+        else:
+            self.values = np.full(len(self.dofs), float(value))
+
+    # ------------------------------------------------------------- apply
+    def apply(self, target):
+        """Set constrained entries on a vector (dolfin bc.apply parity).
+
+        Accepts a Function, a Function's vector view, or an array (in
+        place)."""
+        if isinstance(target, Function):
+            target.array[self.dofs] = self.values
+            return target
+        if isinstance(target, _VectorView):
+            target[self.dofs] = self.values
+            return target
+        target = np.asarray(target)
+        target[self.dofs] = self.values
+        return target
+
+    def zero(self, target):
+        """Zero the constrained entries (homogenized variant)."""
+        if isinstance(target, Function):
+            target.array[self.dofs] = 0.0
+            return target
+        target = np.asarray(target)
+        target[self.dofs] = 0.0
+        return target
+
+    def apply_system(self, A, b):
+        """Symmetric elimination with lifting on a dense system.
+
+        Returns (A', b') with A'[d,:]=A'[:,d]=0, A'[d,d]=1, b' = b − A[:,d]·g
+        off the constrained set and b'[d]=g.  Equivalent to the dolfin
+        linear-solver bc handling for these problems."""
+        A = np.array(A, dtype=np.float64)
+        b = np.array(b, dtype=np.float64)
+        d = self.dofs
+        g = self.values
+        b = b - A[:, d] @ g
+        b[d] = g
+        A[d, :] = 0.0
+        A[:, d] = 0.0
+        A[d, d] = 1.0
+        return A, b
+
+    def homogenize(self):
+        self.values = np.zeros_like(self.values)
+        return self
+
+
+def combine_bcs(bc):
+    """Normalize the solver's per-dim bc entry (0 | BC | [BC, ...]) into a
+    list (possibly empty)."""
+    if bc is None or (isinstance(bc, int) and bc == 0):
+        return []
+    if isinstance(bc, (list, tuple)):
+        return list(bc)
+    return [bc]

@@ -1,0 +1,192 @@
+"""Point evaluation of FE functions: cell-locate + local basis eval.
+
+Replaces dolfin point evaluation / fenicstools.Probes (reference
+model.py:107-130, 822-842).  For structured meshes the containing cell is
+computed arithmetically (no search trees), so a batch of query points is a
+single fused gather.
+
+Array-module generic: ``xp=numpy`` (default) for the host orchestration
+layer, ``xp=jax.numpy`` for the jitted TPU fast path (everything here is
+shape-static and trace-safe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pgdrome_tpu.fem.mesh import IntervalMesh, RectangleMesh
+
+
+def _locate_1d(mesh, x, xp):
+    """Cell index + local coordinate xi for 1D points."""
+    verts = xp.asarray(mesh.coordinates()[:, 0])
+    nc = mesh.num_cells()
+    x = xp.asarray(x)
+    idx = xp.clip(xp.searchsorted(verts, x, side="right") - 1, 0, nc - 1)
+    a = verts[idx]
+    b = verts[idx + 1]
+    xi = (x - a) / (b - a)
+    return idx, xi
+
+
+def _shape_1d_x(degree, xi, xp):
+    if degree == 1:
+        return xp.stack([1.0 - xi, xi], axis=-1)
+    if degree == 2:
+        return xp.stack(
+            [(1.0 - xi) * (1.0 - 2.0 * xi), 4.0 * xi * (1.0 - xi), xi * (2.0 * xi - 1.0)],
+            axis=-1,
+        )
+    if degree == 0:
+        return xp.ones(xi.shape + (1,))
+    raise NotImplementedError
+
+
+def _dshape_1d_x(degree, xi, xp):
+    if degree == 1:
+        return xp.stack([-xp.ones_like(xi), xp.ones_like(xi)], axis=-1)
+    if degree == 2:
+        return xp.stack([4.0 * xi - 3.0, 4.0 - 8.0 * xi, 4.0 * xi - 1.0], axis=-1)
+    if degree == 0:
+        return xp.zeros(xi.shape + (1,))
+    raise NotImplementedError
+
+
+def _shape_tri_x(degree, bary, xp):
+    l0, l1, l2 = bary[..., 0], bary[..., 1], bary[..., 2]
+    if degree == 1:
+        return xp.stack([l0, l1, l2], axis=-1)
+    if degree == 2:
+        return xp.stack(
+            [
+                l0 * (2 * l0 - 1),
+                l1 * (2 * l1 - 1),
+                l2 * (2 * l2 - 1),
+                4 * l1 * l2,
+                4 * l0 * l2,
+                4 * l0 * l1,
+            ],
+            axis=-1,
+        )
+    if degree == 0:
+        return xp.ones(l0.shape + (1,))
+    raise NotImplementedError
+
+
+def _locate_2d(mesh: RectangleMesh, pts, xp):
+    """Cell index for points in a RectangleMesh (arithmetic, no search)."""
+    (x0, x1), (y0, y1) = mesh.bounds
+    nx, ny = mesh.nx, mesh.ny
+    hx = (x1 - x0) / nx
+    hy = (y1 - y0) / ny
+    x = pts[..., 0]
+    y = pts[..., 1]
+    i = xp.clip(xp.floor((x - x0) / hx).astype(np.int32), 0, nx - 1)
+    j = xp.clip(xp.floor((y - y0) / hy).astype(np.int32), 0, ny - 1)
+    u = (x - (x0 + i * hx)) / hx
+    v = (y - (y0 + j * hy)) / hy
+    quad = j * nx + i
+    if mesh.diagonal == "crossed":
+        # 4 triangles per quad: bottom(0), right(1), top(2), left(3)
+        below_main = v <= u
+        below_anti = v <= 1.0 - u
+        local = xp.where(
+            below_main & below_anti,
+            0,
+            xp.where(below_main, 1, xp.where(~below_anti, 2, 3)),
+        )
+        cell = quad * 4 + local
+    elif mesh.diagonal == "right":
+        cell = quad * 2 + xp.where(v <= u, 0, 1)
+    else:  # left
+        cell = quad * 2 + xp.where(u + v <= 1.0, 0, 1)
+    return cell
+
+
+def _bary_in_cell(mesh, cell, pts, xp):
+    coords = xp.asarray(mesh.coordinates())
+    cells = xp.asarray(mesh.cells())
+    tri = coords[cells[cell]]  # (..., 3, 2)
+    v0, v1, v2 = tri[..., 0, :], tri[..., 1, :], tri[..., 2, :]
+    d = (v1[..., 0] - v0[..., 0]) * (v2[..., 1] - v0[..., 1]) - (
+        v2[..., 0] - v0[..., 0]
+    ) * (v1[..., 1] - v0[..., 1])
+    l1 = (
+        (pts[..., 0] - v0[..., 0]) * (v2[..., 1] - v0[..., 1])
+        - (v2[..., 0] - v0[..., 0]) * (pts[..., 1] - v0[..., 1])
+    ) / d
+    l2 = (
+        (v1[..., 0] - v0[..., 0]) * (pts[..., 1] - v0[..., 1])
+        - (pts[..., 0] - v0[..., 0]) * (v1[..., 1] - v0[..., 1])
+    ) / d
+    l0 = 1.0 - l1 - l2
+    return xp.stack([l0, l1, l2], axis=-1)
+
+
+def eval_dofs_at_points(V, dofs, points, derivative: bool = False, xp=np):
+    """Evaluate a FE function (dof vector `dofs` on space `V`) at `points`.
+
+    points: (..., gdim) or (...,) for 1D. Returns (...,) for scalar spaces,
+    (..., value_size) for vector spaces.  ``derivative=True`` (1D only)
+    evaluates d/dx.  Pass ``xp=jax.numpy`` for a traced/jittable version.
+    """
+    dofs = xp.asarray(dofs)
+    mesh = V.mesh()
+    tdim = mesh.topology_dim()
+    vs = max(V.value_size, 1)
+    ed = xp.asarray(V.element_dofs)
+
+    if tdim == 1:
+        pts = xp.asarray(points)
+        if pts.ndim and pts.shape[-1] == 1 and pts.ndim > 1:
+            pts = pts[..., 0]
+        cell, xi = _locate_1d(mesh, pts, xp)
+        if derivative:
+            verts = xp.asarray(mesh.coordinates()[:, 0])
+            h = verts[cell + 1] - verts[cell]
+            basis = _dshape_1d_x(V.degree, xi, xp) / h[..., None]
+        else:
+            basis = _shape_1d_x(V.degree, xi, xp)  # (..., nl)
+    else:
+        if derivative:
+            raise NotImplementedError("derivative point-eval only in 1D")
+        pts = xp.asarray(points)
+        cell = _locate_2d(mesh, pts, xp)
+        bary = _bary_in_cell(mesh, cell, pts, xp)
+        basis = _shape_tri_x(V.degree, bary, xp)
+
+    local_sdofs = ed[cell]  # (..., nl)
+    if vs == 1:
+        return xp.sum(dofs[local_sdofs] * basis, axis=-1)
+    comp_vals = [
+        xp.sum(dofs[local_sdofs * vs + c] * basis, axis=-1) for c in range(vs)
+    ]
+    return xp.stack(comp_vals, axis=-1)
+
+
+def check_in_range(V, points) -> None:
+    """Raise ValueError if any point lies outside the mesh (host-side).
+
+    Parity: scipy interp1d bounds error used by the reference container
+    (model.py:636, test_pgdclass.py:319-326)."""
+    mesh = V.mesh()
+    pts = np.asarray(points, dtype=np.float64)
+    if mesh.topology_dim() == 1:
+        lo = float(mesh.coordinates()[:, 0].min())
+        hi = float(mesh.coordinates()[:, 0].max())
+        flat = pts.ravel()
+        if np.any(flat < lo - 1e-12) or np.any(flat > hi + 1e-12):
+            raise ValueError(
+                f"point(s) outside mesh range [{lo}, {hi}]: "
+                f"{flat[(flat < lo) | (flat > hi)]}"
+            )
+    else:
+        (x0, x1), (y0, y1) = mesh.bounds
+        p2 = pts.reshape(-1, 2)
+        if (
+            np.any(p2[:, 0] < x0 - 1e-12)
+            or np.any(p2[:, 0] > x1 + 1e-12)
+            or np.any(p2[:, 1] < y0 - 1e-12)
+            or np.any(p2[:, 1] > y1 + 1e-12)
+        ):
+            raise ValueError("point(s) outside 2D mesh bounds")

@@ -1,0 +1,193 @@
+"""Structured meshes (1D intervals, 2D rectangles incl. "crossed" diagonals).
+
+TPU-first design notes
+----------------------
+Topology is built once on the host (numpy, static shapes); vertex coordinates
+live as JAX arrays so that downstream assembly / point evaluation stays on
+device and jit-traceable.  Only structured meshes are supported — all
+reference tests use ``IntervalMesh`` and ``RectangleMesh(..., 'crossed')``
+(e.g. /root/reference/tests/integration/test_solver_problem.py:69-71); fully
+unstructured import would be I/O-layer work, not solver work.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from pgdrome_tpu.config import default_dtype
+
+
+class Point:
+    """Geometric point; mirrors the two-argument mesh-constructor idiom."""
+
+    def __init__(self, *coords: float):
+        self.coords = tuple(float(c) for c in coords)
+
+    def __getitem__(self, i):
+        return self.coords[i]
+
+    def __iter__(self):
+        return iter(self.coords)
+
+    def __len__(self):
+        return len(self.coords)
+
+
+class Mesh:
+    """Base mesh: static topology (numpy int32) + device coordinates."""
+
+    def __init__(self, coordinates: np.ndarray, cells: np.ndarray, tdim: int):
+        self._coords_np = np.asarray(coordinates, dtype=np.float64)
+        if self._coords_np.ndim == 1:
+            self._coords_np = self._coords_np[:, None]
+        self._cells_np = np.asarray(cells, dtype=np.int32)
+        self._tdim = int(tdim)
+        self._coords_jnp = jnp.asarray(self._coords_np, dtype=default_dtype())
+
+    # --- dolfin-like accessors (used by the model/solver layers) ---
+    def coordinates(self) -> np.ndarray:
+        """Vertex coordinates, shape (num_vertices, gdim); host numpy."""
+        return self._coords_np
+
+    def coordinates_device(self) -> jnp.ndarray:
+        return self._coords_jnp
+
+    def cells(self) -> np.ndarray:
+        """Cell connectivity, shape (num_cells, verts_per_cell)."""
+        return self._cells_np
+
+    def num_cells(self) -> int:
+        return self._cells_np.shape[0]
+
+    def num_vertices(self) -> int:
+        return self._coords_np.shape[0]
+
+    def topology_dim(self) -> int:
+        return self._tdim
+
+    def geometry_dim(self) -> int:
+        return self._coords_np.shape[1]
+
+    # compatibility shims mirroring dolfin's mesh.topology().dim() etc.
+    def topology(self):
+        return _TopologyShim(self._tdim)
+
+    def geometry(self):
+        return _GeometryShim(self._coords_np.shape[1])
+
+    def hmin(self) -> float:
+        raise NotImplementedError
+
+    def __repr__(self):
+        return (
+            f"{self.__class__.__name__}(vertices={self.num_vertices()}, "
+            f"cells={self.num_cells()}, tdim={self._tdim})"
+        )
+
+
+class _TopologyShim:
+    def __init__(self, d):
+        self._d = d
+
+    def dim(self):
+        return self._d
+
+
+class _GeometryShim:
+    def __init__(self, d):
+        self._d = d
+
+    def dim(self):
+        return self._d
+
+
+class IntervalMesh(Mesh):
+    """1D mesh of ``n`` cells on ``[a, b]`` with ascending vertex order.
+
+    Also accepts explicit (possibly non-uniform) vertex coordinates via
+    :meth:`from_points`.
+    """
+
+    def __init__(self, n: int, a: float, b: float):
+        if n < 1:
+            raise ValueError("IntervalMesh needs at least 1 cell")
+        pts = np.linspace(float(a), float(b), int(n) + 1)
+        cells = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+        super().__init__(pts, cells, tdim=1)
+
+    @classmethod
+    def from_points(cls, points) -> "IntervalMesh":
+        pts = np.sort(np.asarray(points, dtype=np.float64).ravel())
+        self = cls.__new__(cls)
+        n = len(pts) - 1
+        cells = np.stack([np.arange(n), np.arange(1, n + 1)], axis=1)
+        Mesh.__init__(self, pts, cells, tdim=1)
+        return self
+
+    def hmin(self) -> float:
+        return float(np.min(np.diff(self._coords_np[:, 0])))
+
+
+class RectangleMesh(Mesh):
+    """Structured triangulation of ``[p0, p1]`` with nx × ny quads.
+
+    ``diagonal`` in {'right', 'left', 'crossed'}: 'right'/'left' split each
+    quad into 2 triangles; 'crossed' adds the quad center and splits into 4
+    (the variant all reference 2D tests use).
+    Vertex ordering: grid vertices row-major (x fastest), then — for
+    'crossed' — the quad centers.
+    """
+
+    def __init__(self, p0: Point, p1: Point, nx: int, ny: int, diagonal: str = "right"):
+        x0, y0 = p0[0], p0[1]
+        x1, y1 = p1[0], p1[1]
+        nx, ny = int(nx), int(ny)
+        xs = np.linspace(x0, x1, nx + 1)
+        ys = np.linspace(y0, y1, ny + 1)
+        X, Y = np.meshgrid(xs, ys, indexing="xy")  # row-major over y rows
+        verts = np.stack([X.ravel(), Y.ravel()], axis=1)  # idx = j*(nx+1)+i
+
+        def vid(i, j):
+            return j * (nx + 1) + i
+
+        tris = []
+        if diagonal in ("right", "left"):
+            for j in range(ny):
+                for i in range(nx):
+                    v00, v10 = vid(i, j), vid(i + 1, j)
+                    v01, v11 = vid(i, j + 1), vid(i + 1, j + 1)
+                    if diagonal == "right":
+                        tris.append([v00, v10, v11])
+                        tris.append([v00, v11, v01])
+                    else:
+                        tris.append([v00, v10, v01])
+                        tris.append([v10, v11, v01])
+        elif diagonal == "crossed":
+            centers = []
+            cbase = (nx + 1) * (ny + 1)
+            for j in range(ny):
+                for i in range(nx):
+                    cx = 0.5 * (xs[i] + xs[i + 1])
+                    cy = 0.5 * (ys[j] + ys[j + 1])
+                    cidx = cbase + len(centers)
+                    centers.append([cx, cy])
+                    v00, v10 = vid(i, j), vid(i + 1, j)
+                    v01, v11 = vid(i, j + 1), vid(i + 1, j + 1)
+                    tris.append([v00, v10, cidx])
+                    tris.append([v10, v11, cidx])
+                    tris.append([v11, v01, cidx])
+                    tris.append([v01, v00, cidx])
+            verts = np.concatenate([verts, np.asarray(centers)], axis=0)
+        else:
+            raise ValueError(f"unknown diagonal '{diagonal}'")
+
+        super().__init__(verts, np.asarray(tris, dtype=np.int32), tdim=2)
+        self.nx, self.ny = nx, ny
+        self.bounds = ((x0, x1), (y0, y1))
+        self.diagonal = diagonal
+
+    def hmin(self) -> float:
+        (x0, x1), (y0, y1) = self.bounds
+        hx, hy = (x1 - x0) / self.nx, (y1 - y0) / self.ny
+        return float(min(hx, hy))

@@ -1,0 +1,194 @@
+"""Linear and nonlinear solvers for the per-dimension PGD subproblems.
+
+TPU-native replacements for the reference's solver zoo (SURVEY.md §2.3):
+PETSc/MUMPS direct solves → dense LU on the MXU (per-dim systems are small),
+scipy spsolve (FD path) → dense LU or batched Thomas, dolfin Newton →
+jax.jacfwd Newton under lax.while_loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def solve_dense(A, b):
+    """Dense direct solve; parity with MUMPS/spsolve for small systems.
+
+    Host numpy inputs solve on host (orchestration layer), traced/device
+    arrays via jnp (fast path)."""
+    if isinstance(A, np.ndarray) and isinstance(b, np.ndarray):
+        return np.linalg.solve(A, b)
+    return jnp.linalg.solve(jnp.asarray(A), jnp.asarray(b))
+
+
+def thomas_solve(dl, d, du, b):
+    """Tridiagonal Thomas solve.
+
+    dl/d/du: sub/main/super diagonals (dl[0] and du[-1] ignored), b: rhs.
+    Supports leading batch dimensions via vmap from the caller; the scan
+    itself is sequential (O(n) like the algorithm demands).
+    """
+    n = d.shape[-1]
+
+    def fwd(carry, i):
+        cp_prev, dp_prev = carry
+        w = dl[i] / (d[i] - dl[i] * cp_prev)
+        # rewritten classic recurrences:
+        cp = du[i] / (d[i] - dl[i] * cp_prev)
+        dp = (b[i] - dl[i] * dp_prev) / (d[i] - dl[i] * cp_prev)
+        del w
+        return (cp, dp), (cp, dp)
+
+    cp0 = du[0] / d[0]
+    dp0 = b[0] / d[0]
+    (_, _), (cps, dps) = jax.lax.scan(
+        fwd, (cp0, dp0), jnp.arange(1, n)
+    )
+    cps = jnp.concatenate([jnp.array([cp0]), cps])
+    dps = jnp.concatenate([jnp.array([dp0]), dps])
+
+    def bwd(x_next, i):
+        x = dps[i] - cps[i] * x_next
+        return x, x
+
+    xn = dps[n - 1]
+    _, xs = jax.lax.scan(bwd, xn, jnp.arange(n - 2, -1, -1))
+    x = jnp.concatenate([jnp.array([xn]), xs])[::-1]
+    return x
+
+
+def cg_solve(A, b, x0=None, tol=1e-10, maxiter=None):
+    """Conjugate-gradient solve (SPD dense or matvec-callable A)."""
+    matvec = A if callable(A) else (lambda v: jnp.asarray(A) @ v)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    x, _ = jax.scipy.sparse.linalg.cg(matvec, b, x0=x0, tol=tol, maxiter=maxiter)
+    return x
+
+
+def newton_solve_np(
+    residual_fn,
+    u0,
+    bc_dofs=None,
+    bc_values=None,
+    atol=1e-10,
+    rtol=1e-9,
+    max_iter=50,
+):
+    """Host-side Newton with finite-difference Jacobian (for the
+    orchestration layer's nonlinear path when callbacks return residual
+    vectors).  Per-dim systems are small, so n+1 residual evaluations per
+    step are cheap.  Returns (u, converged, num_iter)."""
+    u = np.array(u0, dtype=np.float64)
+    n = len(u)
+    have_bc = bc_dofs is not None and len(bc_dofs) > 0
+
+    def cres(v):
+        r = np.asarray(residual_fn(v), dtype=np.float64).copy()
+        if have_bc:
+            r[bc_dofs] = v[bc_dofs] - bc_values
+        return r
+
+    r = cres(u)
+    r0 = np.linalg.norm(r)
+    it = 0
+    while it < max_iter:
+        rn = np.linalg.norm(r)
+        if rn <= atol or rn <= rtol * (r0 + 1e-300):
+            return u, True, it
+        # finite-difference Jacobian
+        J = np.zeros((n, n))
+        eps = 1e-7 * max(1.0, np.linalg.norm(u))
+        for j in range(n):
+            up = u.copy()
+            up[j] += eps
+            J[:, j] = (cres(up) - r) / eps
+        u = u + np.linalg.solve(J, -r)
+        r = cres(u)
+        it += 1
+    rn = np.linalg.norm(r)
+    return u, bool(rn <= atol or rn <= rtol * (r0 + 1e-300)), it
+
+
+def picard_solve_np(
+    system_fn,
+    u0,
+    bcs=(),
+    atol=1e-12,
+    rtol=1e-10,
+    max_iter=50,
+):
+    """Host-side Picard iteration for quasi-linear problems
+    ``A(u) u = b(u)``:  u ← solve(A(u), b(u)) until the update stalls.
+
+    This is the orchestration-layer 'nonlinear' FEM path (the reference
+    gets Newton from UFL `derivative`, solver.py:581; for the matrix-form
+    callback contract Picard reproduces it — and converges in one step when
+    the problem is linear, which is what the linear/nonlinear amplitude
+    agreement check exercises, test_solver_problem.py:752).
+    Returns (u, converged, num_iter)."""
+    u = np.array(u0, dtype=np.float64)
+    for it in range(max_iter):
+        A, b = system_fn(u)
+        A = np.array(A, dtype=np.float64)
+        b = np.array(b, dtype=np.float64)
+        for bc in bcs:
+            A, b = bc.apply_system(A, b)
+        u_new = np.linalg.solve(A, b)
+        dn = np.linalg.norm(u_new - u)
+        u = u_new
+        if dn <= atol or dn <= rtol * (np.linalg.norm(u) + 1e-300):
+            return u, True, it + 1
+    return u, False, max_iter
+
+
+def newton_solve(
+    residual_fn,
+    u0,
+    bc_dofs=None,
+    bc_values=None,
+    atol=1e-10,
+    rtol=1e-9,
+    max_iter=50,
+):
+    """Newton's method on ``residual_fn(u) = 0`` with optional Dirichlet
+    constraints (rows replaced by ``u[d] − g``).
+
+    Replaces dolfin.NonlinearVariationalSolver + UFL `derivative`
+    (reference solver.py:579-595): the Jacobian comes from jax.jacfwd, the
+    iteration runs as a lax.while_loop so the whole solve stays on device.
+    Returns (u, converged, num_iter).
+    """
+    u0 = jnp.asarray(u0)
+    have_bc = bc_dofs is not None and len(bc_dofs) > 0
+    if have_bc:
+        bc_dofs = jnp.asarray(bc_dofs)
+        bc_values = jnp.asarray(bc_values)
+
+    def constrained_residual(u):
+        r = residual_fn(u)
+        if have_bc:
+            r = r.at[bc_dofs].set(u[bc_dofs] - bc_values)
+        return r
+
+    jac = jax.jacfwd(constrained_residual)
+
+    r0norm = jnp.linalg.norm(constrained_residual(u0))
+
+    def cond(state):
+        u, rnorm, it = state
+        return (rnorm > atol) & (rnorm > rtol * (r0norm + 1e-300)) & (it < max_iter)
+
+    def body(state):
+        u, _, it = state
+        r = constrained_residual(u)
+        J = jac(u)
+        du = jnp.linalg.solve(J, -r)
+        u = u + du
+        rnorm = jnp.linalg.norm(constrained_residual(u))
+        return (u, rnorm, it + 1)
+
+    u, rnorm, it = jax.lax.while_loop(cond, body, (u0, r0norm, 0))
+    converged = (rnorm <= atol) | (rnorm <= rtol * (r0norm + 1e-300))
+    return u, converged, it

@@ -1,0 +1,20 @@
+"""Test configuration: CPU backend with 8 virtual devices (for sharding
+tests) and float64 (the reference accuracy thresholds need it, BASELINE.md).
+
+Mirrors the reference CI strategy (single-process pytest,
+.github/workflows/tests.yml) plus the SURVEY.md §4 recommendation to test
+sharding via xla_force_host_platform_device_count.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the image presets axon (TPU)
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
