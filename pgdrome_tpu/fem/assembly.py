@@ -63,6 +63,18 @@ def _scatter_matrix(V: FunctionSpace, Ae):
     return A
 
 
+def _scatter_matrix_sparse(V: FunctionSpace, Ae):
+    """Scatter element matrices into a scipy CSR matrix (large 2D reference
+    solves; the PGD per-dim operators stay dense)."""
+    from scipy import sparse
+
+    ed = V.element_dofs
+    rows = np.broadcast_to(ed[:, :, None], Ae.shape).ravel()
+    cols = np.broadcast_to(ed[:, None, :], Ae.shape).ravel()
+    n = V.ndofs
+    return sparse.coo_matrix((Ae.ravel(), (rows, cols)), shape=(n, n)).tocsr()
+
+
 def _scatter_vector(V: FunctionSpace, be):
     b = np.zeros(V.ndofs)
     np.add.at(b, V.element_dofs, be)
@@ -79,27 +91,31 @@ def _require_scalar(V):
 
 # ----------------------------------------------------------------- matrices
 
-def mass_matrix(V: FunctionSpace, weight=None) -> np.ndarray:
+def mass_matrix(V: FunctionSpace, weight=None, sparse: bool = False):
     """M[i,j] = ∫ w φi φj dx  (UFL parity: `w*fct_F*var_F*dx`)."""
     _require_scalar(V)
-    if weight is None and "mass" in V._cache:
+    if weight is None and not sparse and "mass" in V._cache:
         return V._cache["mass"]
     wq = _weight_at_quadrature(V, weight)
     Ae = np.einsum("cq,ciq,cjq->cij", V.q_weights * wq, V.q_basis, V.q_basis)
+    if sparse:
+        return _scatter_matrix_sparse(V, Ae)
     M = _scatter_matrix(V, Ae)
     if weight is None:
         V._cache["mass"] = M
     return M
 
 
-def stiffness_matrix(V: FunctionSpace, weight=None) -> np.ndarray:
+def stiffness_matrix(V: FunctionSpace, weight=None, sparse: bool = False):
     """K[i,j] = ∫ w ∇φi·∇φj dx  (UFL parity: `w*fct_F.dx(0)*var_F.dx(0)*dx`
     in 1D, `w*inner(grad(u),grad(v))*dx` in 2D)."""
     _require_scalar(V)
-    if weight is None and "stiff" in V._cache:
+    if weight is None and not sparse and "stiff" in V._cache:
         return V._cache["stiff"]
     wq = _weight_at_quadrature(V, weight)
     Ae = np.einsum("cq,ciqg,cjqg->cij", V.q_weights * wq, V.q_grads, V.q_grads)
+    if sparse:
+        return _scatter_matrix_sparse(V, Ae)
     K = _scatter_matrix(V, Ae)
     if weight is None:
         V._cache["stiff"] = K
@@ -138,7 +154,7 @@ def assemble_vector(V: FunctionSpace, g, weight=None) -> np.ndarray:
 
 # ------------------------------------------------------- vector-space (2D)
 
-def elasticity_matrix(V: FunctionSpace, C) -> np.ndarray:
+def elasticity_matrix(V: FunctionSpace, C, sparse: bool = False):
     """K[i,j] = ∫ ε(φi) : C : ε(φj) dx for a 2D vector space, with C a
     constant 3×3 Voigt matrix (εxx, εyy, γxy).
 
@@ -160,27 +176,43 @@ def elasticity_matrix(V: FunctionSpace, C) -> np.ndarray:
     ed = V.element_dofs
     vd = (ed[:, :, None] * 2 + np.arange(2)[None, None, :]).reshape(nc, nl * 2)
     n = V.dim()
-    A = np.zeros((n, n))
     rows = np.broadcast_to(vd[:, :, None], Ae.shape)
     cols = np.broadcast_to(vd[:, None, :], Ae.shape)
+    if sparse:
+        from scipy import sparse as sps
+
+        return sps.coo_matrix(
+            (Ae.ravel(), (rows.ravel(), cols.ravel())), shape=(n, n)
+        ).tocsr()
+    A = np.zeros((n, n))
     np.add.at(A, (rows, cols), Ae)
     return A
 
 
-def vector_mass_matrix(V: FunctionSpace, weight=None) -> np.ndarray:
+def vector_mass_matrix(V: FunctionSpace, weight=None, sparse: bool = False):
     """Block mass matrix for a vector space (interleaved dofs)."""
-    if weight is None and "vmass" in V._cache:
-        return V._cache["vmass"]
+    key = "vmass_sp" if sparse else "vmass"
+    if weight is None and key in V._cache:
+        return V._cache[key]
     Vs = FunctionSpace(V.mesh(), V.family, V.degree)
-    Ms = mass_matrix(Vs, weight)
     vs = V.value_size
     n = Vs.ndofs
-    M = np.zeros((n * vs, n * vs))
-    for c in range(vs):
-        idx = np.arange(n) * vs + c
-        M[np.ix_(idx, idx)] += Ms
+    if sparse:
+        from scipy import sparse as sps
+
+        Ms = mass_matrix(Vs, weight, sparse=True).tocoo()
+        rows = np.concatenate([Ms.row * vs + c for c in range(vs)])
+        cols = np.concatenate([Ms.col * vs + c for c in range(vs)])
+        data = np.concatenate([Ms.data for _ in range(vs)])
+        M = sps.coo_matrix((data, (rows, cols)), shape=(n * vs, n * vs)).tocsr()
+    else:
+        Ms = mass_matrix(Vs, weight)
+        M = np.zeros((n * vs, n * vs))
+        for c in range(vs):
+            idx = np.arange(n) * vs + c
+            M[np.ix_(idx, idx)] += Ms
     if weight is None:
-        V._cache["vmass"] = M
+        V._cache[key] = M
     return M
 
 
@@ -244,13 +276,14 @@ def boundary_load_vector(V: FunctionSpace, g, marker=None) -> np.ndarray:
 # ----------------------------------------------------------- contractions
 
 def gram(f, A, g) -> float:
-    """Scalar ⟨f, A g⟩ = fᵀ A g for Functions or raw arrays.
+    """Scalar ⟨f, A g⟩ = fᵀ A g for Functions or raw arrays (A may be
+    dense or scipy-sparse).
 
     Replaces the reference idiom `dolfin.assemble(F*w*F*dx)` — the operator
     A is assembled once, the contraction is a single matvec+dot."""
     fa = f.array if isinstance(f, Function) else np.asarray(f)
     ga = g.array if isinstance(g, Function) else np.asarray(g)
-    return float(fa @ (np.asarray(A) @ ga))
+    return float(fa @ (A @ ga))
 
 
 def norm(f, M=None) -> float:
@@ -265,7 +298,7 @@ def norm(f, M=None) -> float:
         arr = np.asarray(f)
         if M is None:
             raise ValueError("raw-array norm needs an explicit mass matrix")
-    return float(np.sqrt(np.abs(arr @ (np.asarray(M) @ arr))))
+    return float(np.sqrt(np.abs(arr @ (M @ arr))))
 
 
 def inner_l2(f, g, M=None) -> float:

@@ -113,15 +113,29 @@ class DirichletBC:
         return target
 
     def apply_system(self, A, b):
-        """Symmetric elimination with lifting on a dense system.
+        """Symmetric elimination with lifting on a dense or scipy-sparse
+        system.
 
         Returns (A', b') with A'[d,:]=A'[:,d]=0, A'[d,d]=1, b' = b − A[:,d]·g
         off the constrained set and b'[d]=g.  Equivalent to the dolfin
         linear-solver bc handling for these problems."""
-        A = np.array(A, dtype=np.float64)
-        b = np.array(b, dtype=np.float64)
+        from scipy import sparse as sps
+
         d = self.dofs
         g = self.values
+        b = np.array(b, dtype=np.float64)
+        if sps.issparse(A):
+            A = A.tocsr()
+            b = b - A[:, d] @ g
+            b[d] = g
+            mask = np.ones(A.shape[0])
+            mask[d] = 0.0
+            D = sps.diags(mask)
+            A = D @ A @ D + sps.coo_matrix(
+                (np.ones(len(d)), (d, d)), shape=A.shape
+            ).tocsr()
+            return A.tocsr(), b
+        A = np.array(A, dtype=np.float64)
         b = b - A[:, d] @ g
         b[d] = g
         A[d, :] = 0.0

@@ -128,14 +128,19 @@ def picard_solve_np(
     the problem is linear, which is what the linear/nonlinear amplitude
     agreement check exercises, test_solver_problem.py:752).
     Returns (u, converged, num_iter)."""
+    from scipy import sparse as sps
+    from scipy.sparse import linalg as spla
+
     u = np.array(u0, dtype=np.float64)
     for it in range(max_iter):
         A, b = system_fn(u)
-        A = np.array(A, dtype=np.float64)
         b = np.array(b, dtype=np.float64)
         for bc in bcs:
             A, b = bc.apply_system(A, b)
-        u_new = np.linalg.solve(A, b)
+        if sps.issparse(A):
+            u_new = spla.spsolve(A.tocsr(), b)
+        else:
+            u_new = np.linalg.solve(np.asarray(A, dtype=np.float64), b)
         dn = np.linalg.norm(u_new - u)
         u = u_new
         if dn <= atol or dn <= rtol * (np.linalg.norm(u) + 1e-300):

@@ -146,11 +146,15 @@ class PGDProblem:
 
     # ------------------------------------------------------------- internals
     def _mass(self, dim):
-        """Consistent mass matrix of V[dim] (for dolfin.norm-parity L2)."""
+        """Consistent mass matrix of V[dim] (for dolfin.norm-parity L2);
+        scipy-sparse above a size threshold."""
         if dim not in self._mass_cache:
             V = self.V[dim]
+            sparse = V.dim() > 2000
             self._mass_cache[dim] = (
-                vector_mass_matrix(V) if V.value_size > 1 else mass_matrix(V)
+                vector_mass_matrix(V, sparse=sparse)
+                if V.value_size > 1
+                else mass_matrix(V, sparse=sparse)
             )
         return self._mass_cache[dim]
 
@@ -459,12 +463,16 @@ class PGDProblem:
     def _solve_fem(self, dim, Fs, n_enr, _problem, bc_list, settings):
         V = self.V[dim]
         if _problem.lower() == "linear":
+            from scipy import sparse as sps
+            from scipy.sparse import linalg as spla
+
             A, b = self._call_lhs_rhs(dim, Fs, n_enr, None, None)
-            A = np.asarray(A)
             b = np.asarray(b)
             for bc in bc_list:
                 A, b = bc.apply_system(A, b)
-            return Function(V, solve_dense(A, b))
+            if sps.issparse(A):
+                return Function(V, spla.spsolve(A.tocsr(), b))
+            return Function(V, solve_dense(np.asarray(A), b))
 
         if _problem.lower() == "nonlinear":
             atol = settings.get("absolute_tolerance", 1e-12)
