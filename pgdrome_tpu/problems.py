@@ -1,0 +1,226 @@
+"""Predefined separated model problems (BASELINE.json "configs").
+
+Builders return a :class:`pgdrome_tpu.separated.SeparatedProblem` plus the
+per-dim function spaces; :func:`pgd_problem_from_separated` bridges any
+separated problem to the reference-parity :class:`PGDProblem` API (generic
+callbacks over the term IR), which gives
+
+* amplitude cross-checks between the jitted fast path and the orchestration
+  layer, and
+* the single-core CPU baseline the benchmark compares against.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from pgdrome_tpu.fem.mesh import IntervalMesh, RectangleMesh, Point
+from pgdrome_tpu.fem.space import FunctionSpace
+from pgdrome_tpu.fem.bc import DirichletBC
+from pgdrome_tpu.fem.assembly import (
+    mass_matrix,
+    stiffness_matrix,
+    load_vector,
+)
+from pgdrome_tpu.separated import SeparatedProblem
+from pgdrome_tpu.solver import PGDProblem
+
+
+# ------------------------------------------------------------------ builders
+
+def parametric_elliptic(
+    n_x: int = 1024,
+    n_p: int = 64,
+    num_params: int = 3,
+    p_range=(0.0, 1.0),
+    degree_x: int = 2,
+    dtype=None,
+):
+    """Parametric elliptic vademecum: −∇·(κ ∇u) = f on [0,1], homogeneous
+    Dirichlet, with affine separated diffusion
+
+        κ(x; p1..pP) = 1 + Σ_i p_i · w_i(x),    w_i(x) = sin²(iπx)/(2P)
+
+    (κ ≥ 1/2 on the parameter box).  Separated terms: K_base ⊗ M ⊗ … ⊗ M
+    plus one K_{w_i} ⊗ … ⊗ M_{p·} ⊗ … per parameter.  This is the
+    BASELINE.json north-star config ("space × 3 params").
+    """
+    mesh_x = IntervalMesh(n_x, 0.0, 1.0)
+    Vx = FunctionSpace(mesh_x, "P", degree_x)
+    Vp = [
+        FunctionSpace(IntervalMesh(n_p, p_range[0], p_range[1]), "P", 1)
+        for _ in range(num_params)
+    ]
+    Vs = [Vx] + Vp
+    nd = 1 + num_params
+
+    K0 = stiffness_matrix(Vx)
+    Kw = [
+        stiffness_matrix(
+            Vx, weight=(lambda i: (lambda x: np.sin((i + 1) * np.pi * x) ** 2 / (2 * num_params)))(i)
+        )
+        for i in range(num_params)
+    ]
+    Mx = mass_matrix(Vx)
+    Mp = [mass_matrix(v) for v in Vp]
+    Mp_w = [mass_matrix(v, weight=lambda p: p) for v in Vp]
+
+    T = 1 + num_params
+    ops = []
+    # dim 0 (space): term 0 → K0, term i → Kw[i-1]
+    ops.append(np.stack([K0] + Kw))
+    # dim i (param j = i-1): term 0 → M, term j+1 → weighted M, else M
+    for j in range(num_params):
+        mats = []
+        for t in range(T):
+            mats.append(Mp_w[j] if t == j + 1 else Mp[j])
+        ops.append(np.stack(mats))
+
+    # rhs: f = 1 on space, ones on params (single rank-1 term)
+    b_x = load_vector(Vx, lambda x: np.ones_like(x))
+    rhs = [b_x[None, :]] + [
+        load_vector(v, lambda p: np.ones_like(p))[None, :] for v in Vp
+    ]
+
+    bc_x = DirichletBC(Vx, 0.0, lambda x, onb: onb)
+    bc_dofs = [bc_x.dofs] + [np.array([], dtype=np.int64)] * num_params
+    # homogenize the rhs rows too (bc entries zeroed by masks in the solver)
+
+    mass = [Mx] + Mp
+
+    dt = dtype or np.float64
+    prob = SeparatedProblem(
+        ops=[jnp.asarray(o, dtype=dt) for o in ops],
+        rhs=[jnp.asarray(r, dtype=dt) for r in rhs],
+        mass=[jnp.asarray(m, dtype=dt) for m in mass],
+        bc_dofs=bc_dofs,
+    )
+    return prob, Vs
+
+
+def poisson_xy(n_x: int = 60, n_y: int = 40, lx: float = 1.0, ly: float = 1.0,
+               k: float = 1.0, dtype=None):
+    """2D Poisson separated as x⊗y (two 1D P1 meshes): −kΔu = q with
+    q = 1_{x<lx/2}, homogeneous Dirichlet at x ∈ {0, lx}
+    (BASELINE.json config 1; physics of reference test_laplace)."""
+    Vx = FunctionSpace(IntervalMesh(n_x, 0.0, lx), "P", 1)
+    Vy = FunctionSpace(IntervalMesh(n_y, 0.0, ly), "P", 1)
+    Kx, Mx = stiffness_matrix(Vx), mass_matrix(Vx)
+    Ky, My = stiffness_matrix(Vy), mass_matrix(Vy)
+
+    ops = [np.stack([k * Kx, k * Mx]), np.stack([My, Ky])]
+    qx = load_vector(Vx, lambda x: np.where(x < lx / 2, 1.0, 0.0))
+    qy = load_vector(Vy, lambda y: np.ones_like(y))
+    rhs = [qx[None, :], qy[None, :]]
+
+    bc_x = DirichletBC(Vx, 0.0, lambda x, onb: onb)
+    bc_dofs = [bc_x.dofs, np.array([], dtype=np.int64)]
+    mass = [Mx, My]
+
+    dt = dtype or np.float64
+    prob = SeparatedProblem(
+        ops=[jnp.asarray(o, dtype=dt) for o in ops],
+        rhs=[jnp.asarray(r, dtype=dt) for r in rhs],
+        mass=[jnp.asarray(m, dtype=dt) for m in mass],
+        bc_dofs=bc_dofs,
+    )
+    return prob, [Vx, Vy]
+
+
+def elastic_truss(n_x=113, n_p=2, n_E=100, ranges=((0, 1), (-1, 3), (0.2, 2)),
+                  degree=2, dtype=None):
+    """1D truss u(x, p, E) (BASELINE.json config 4 in 1D; physics of
+    reference test_elastic)."""
+    Vx = FunctionSpace(IntervalMesh(n_x, *ranges[0]), "P", degree)
+    Vp = FunctionSpace(IntervalMesh(n_p, *ranges[1]), "P", degree)
+    VE = FunctionSpace(IntervalMesh(n_E, *ranges[2]), "P", degree)
+
+    Kx = stiffness_matrix(Vx)
+    Mp = mass_matrix(Vp)
+    ME_w = mass_matrix(VE, weight=lambda E: E)
+
+    ops = [Kx[None], Mp[None], ME_w[None]]
+    bx = load_vector(Vx, lambda x: np.ones_like(x))
+    bp = load_vector(Vp, lambda p: p)
+    bE = load_vector(VE, lambda E: np.ones_like(E))
+    rhs = [bx[None, :], bp[None, :], bE[None, :]]
+
+    bc_x = DirichletBC(Vx, 0.0, lambda x, onb: onb)
+    bc_dofs = [bc_x.dofs, np.array([], dtype=np.int64), np.array([], dtype=np.int64)]
+    mass = [mass_matrix(Vx), Mp, mass_matrix(VE)]
+
+    dt = dtype or np.float64
+    prob = SeparatedProblem(
+        ops=[jnp.asarray(o, dtype=dt) for o in ops],
+        rhs=[jnp.asarray(r, dtype=dt) for r in rhs],
+        mass=[jnp.asarray(m, dtype=dt) for m in mass],
+        bc_dofs=bc_dofs,
+    )
+    return prob, [Vx, Vp, VE]
+
+
+# ----------------------------------------------------- compat-layer bridge
+
+def pgd_problem_from_separated(sep: SeparatedProblem, Vs, name="separated"):
+    """Run any separated problem through the reference-parity PGDProblem
+    (generic callbacks over the term IR).  Used to cross-check fast-path
+    amplitudes and as the single-core CPU baseline in bench.py."""
+    ops = [np.asarray(o) for o in sep.ops]
+    rhs = [np.asarray(r) for r in sep.rhs]
+    nd = sep.num_dims
+    T = sep.num_terms
+
+    def lhs_fct(fct_F, var_F, Fs, meshes, dom, param, typ, dim):
+        if dim >= nd:  # 'stiff' norming evaluation on the last dim
+            dim = nd - 1
+        coef = np.ones(T)
+        for j in range(nd):
+            if j != dim:
+                coef = coef * np.einsum("tij,i,j->t", ops[j], Fs[j].array, Fs[j].array)
+        return np.einsum("t,tij->ij", coef, ops[dim])
+
+    def rhs_fct(fct_F, var_F, Fs, meshes, dom, param, load, PGD_func, typ, n_enr, dim):
+        rcoef = np.ones(sep.num_rhs)
+        for j in range(nd):
+            if j != dim:
+                rcoef = rcoef * (rhs[j] @ Fs[j].array)
+        b = rcoef @ rhs[dim]
+        for o in range(n_enr):
+            coef = np.ones(T)
+            for j in range(nd):
+                if j != dim:
+                    coef = coef * np.einsum(
+                        "tij,i,j->t", ops[j], Fs[j].array, PGD_func[j][o].array
+                    )
+            b = b - np.einsum("t,tij,j->i", coef, ops[dim], PGD_func[dim][o].array)
+        return b
+
+    def bc_fct(Vlist, dom, param):
+        out = []
+        for d in range(nd):
+            if sep.bc_dofs[d] is not None and len(sep.bc_dofs[d]):
+                bc = DirichletBC.__new__(DirichletBC)
+                bc._V = Vlist[d]
+                bc.component = None
+                bc.dofs = np.asarray(sep.bc_dofs[d], dtype=np.int64)
+                bc.values = np.zeros(len(bc.dofs))
+                out.append(bc)
+            else:
+                out.append(0)
+        return out
+
+    prob = PGDProblem(
+        name=name,
+        name_coord=[f"D{i}" for i in range(nd)],
+        modes_info=["U", "Node", "Scalar"],
+        Vs=Vs,
+        bc_fct=bc_fct,
+        load=[None] * nd,
+        param={},
+        rhs_fct=rhs_fct,
+        lhs_fct=lhs_fct,
+        probs=list(range(nd)),
+        seq_fp=list(range(nd)),
+    )
+    return prob

@@ -1,0 +1,333 @@
+"""TPU fast path: fully jitted progressive PGD on a separated-term IR.
+
+This is the performance heart of the framework (BASELINE.json north star).
+Where :mod:`pgdrome_tpu.solver` mirrors the reference's Python orchestration
+(callbacks per fixed-point step), this module compiles ONE XLA program per
+problem:
+
+* the problem is a list of rank-1 operator terms  a(u,v) = Σ_t ⊗_d O_td
+  and rank-1 right-hand sides  f = Σ_r c_r ⊗_d g_rd  (BC lifts fold into
+  extra rhs terms, reference homogenization semantics preserved),
+* per-dim operators are stacked dense tensors ``(T, n_d, n_d)`` so Gram
+  coefficients are batched einsums on the MXU,
+* the alternating fixed point runs under ``lax.while_loop``; the
+  previous-modes sum is a masked batched contraction over a padded mode
+  buffer (no dynamic shapes, SURVEY.md §7 "growing state under jit"),
+* Dirichlet BCs are mask + identity-row operations (shape static).
+
+Algorithmic semantics (residual check, 'norm' fixed-point stop, 'stiff'
+normalization, amplitude convergence) replicate pgdrome/solver.py:306-506 so
+amplitudes match the orchestration layer (and hence the reference) to
+floating-point accuracy.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclass
+class SeparatedProblem:
+    """Separated weak form: Σ_t ⊗_d O_td (lhs) and Σ_r ⊗_d g_rd (rhs).
+
+    ops:   per dim, stacked lhs operators (T, n_d, n_d)
+    rhs:   per dim, stacked rhs vectors (R, n_d)  (lift terms included)
+    mass:  per dim, consistent mass matrix (n_d, n_d) for norms
+    bc_dofs: per dim, constrained dof indices (possibly empty) — homogenized
+    """
+
+    ops: Sequence[jnp.ndarray]
+    rhs: Sequence[jnp.ndarray]
+    mass: Sequence[jnp.ndarray]
+    bc_dofs: Sequence[np.ndarray]
+
+    def __post_init__(self):
+        self.num_dims = len(self.ops)
+        self.num_terms = self.ops[0].shape[0]
+        self.num_rhs = self.rhs[0].shape[0]
+        self.sizes = tuple(o.shape[1] for o in self.ops)
+        # bc masks: 1 interior, 0 constrained
+        self.bc_masks = []
+        for d in range(self.num_dims):
+            m = np.ones(self.sizes[d])
+            if self.bc_dofs[d] is not None and len(self.bc_dofs[d]):
+                m[np.asarray(self.bc_dofs[d])] = 0.0
+            self.bc_masks.append(jnp.asarray(m, dtype=self.ops[d].dtype))
+
+
+@dataclass
+class PGDResult:
+    modes: list  # per dim (n_max, n_d) padded buffers
+    n_modes: int
+    amplitudes: np.ndarray  # relConv per enrichment (trimmed)
+    alpha: np.ndarray
+    fp_its: np.ndarray
+
+    def mode_list(self, dim):
+        return [np.asarray(self.modes[dim][k]) for k in range(self.n_modes)]
+
+
+# --------------------------------------------------------------------- core
+
+def _term_weights(A_d, F_d):
+    """w_t = F_dᵀ O_td F_d for all terms: einsum('tij,i,j->t')."""
+    return jnp.einsum("tij,i,j->t", A_d, F_d, F_d)
+
+
+def _rhs_weights(R_d, F_d):
+    """c_r = F_d · g_rd for all rhs terms."""
+    return R_d @ F_d
+
+
+def _apply_bc_system(A, b, mask):
+    """Homogeneous Dirichlet: zero rows/cols, 1 on diag, zero rhs entries."""
+    A = A * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
+    b = b * mask
+    return A, b
+
+
+def _solve_dim(problem, k, Fs, modes, mode_mask):
+    """One alternating-direction solve for dim k given current factors Fs
+    and the padded previous-mode buffers."""
+    T = problem.num_terms
+    nd = problem.num_dims
+
+    # lhs: A_k = Σ_t (Π_{j≠k} w_jt) O_tk
+    coef = jnp.ones((T,), dtype=Fs[k].dtype)
+    for j in range(nd):
+        if j != k:
+            coef = coef * _term_weights(problem.ops[j], Fs[j])
+    A_k = jnp.einsum("t,tij->ij", coef, problem.ops[k])
+
+    # rhs loads: b = Σ_r (Π_{j≠k} c_rj) g_rk
+    rcoef = jnp.ones((problem.num_rhs,), dtype=Fs[k].dtype)
+    for j in range(nd):
+        if j != k:
+            rcoef = rcoef * _rhs_weights(problem.rhs[j], Fs[j])
+    b = rcoef @ problem.rhs[k]
+
+    # previous modes: b -= Σ_t Σ_m (Π_{j≠k} F_jᵀ O_tj G_jm) O_tk G_km
+    # P[m,t] = Π_{j≠k} modes_j[m] · (O_tj F_j)   (batched over the mode axis)
+    P = jnp.ones((modes[k].shape[0], T), dtype=Fs[k].dtype)
+    for j in range(nd):
+        if j != k:
+            AFj = jnp.einsum("tij,j->ti", problem.ops[j], Fs[j])  # (T, n_j)
+            P = P * (modes[j] @ AFj.T)  # (M, T)
+    P = P * mode_mask[:, None]
+    W = jnp.einsum("mt,mi->ti", P, modes[k])  # (T, n_k)
+    b = b - jnp.einsum("tij,tj->i", problem.ops[k], W)
+
+    A_k, b = _apply_bc_system(A_k, b, problem.bc_masks[k])
+    return jnp.linalg.solve(A_k, b)
+
+
+def _norm_d(problem, d, v):
+    return jnp.sqrt(jnp.abs(v @ (problem.mass[d] @ v)))
+
+
+def _inner_d(problem, d, u, v):
+    return u @ (problem.mass[d] @ v)
+
+
+def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
+                     tol_fp=1e-5, n_max=None):
+    """Build the jitted enrichment step: (mode buffers, n) → new mode set.
+
+    Returns a function of (modes, n_modes) producing
+    (Fs_new, norm_Fs, fp_iters, residual) — semantics of reference
+    solver.py FP_solve with the 'norm' stop."""
+    nd = problem.num_dims
+    seq = list(seq_fp) if seq_fp is not None else list(range(nd))
+
+    def init_modes():
+        Fs = []
+        for d in range(nd):
+            f = jnp.ones(problem.sizes[d], dtype=problem.ops[d].dtype)
+            f = f * problem.bc_masks[d]
+            f = f / _norm_d(problem, d, f)
+            Fs.append(f)
+        return tuple(Fs)
+
+    def residual_norm(Fs, modes, mode_mask):
+        # reference residual check (solver.py:345-395): per-dim rhs with
+        # init modes, bc entries zeroed, res = sqrt(Σ_d ||b_d||²)
+        res = 0.0
+        for d in range(nd):
+            rcoef = jnp.ones((problem.num_rhs,), dtype=Fs[d].dtype)
+            for j in range(nd):
+                if j != d:
+                    rcoef = rcoef * _rhs_weights(problem.rhs[j], Fs[j])
+            b = rcoef @ problem.rhs[d]
+            P = jnp.ones((modes[d].shape[0], problem.num_terms), dtype=Fs[d].dtype)
+            for j in range(nd):
+                if j != d:
+                    AFj = jnp.einsum("tij,j->ti", problem.ops[j], Fs[j])
+                    P = P * (modes[j] @ AFj.T)
+            P = P * mode_mask[:, None]
+            W = jnp.einsum("mt,mi->ti", P, modes[d])
+            b = b - jnp.einsum("tij,tj->i", problem.ops[d], W)
+            b = b * problem.bc_masks[d]
+            res = res + jnp.sum(b * b)
+        return jnp.sqrt(res)
+
+    def fp_sweep(Fs, modes, mode_mask):
+        Fs = list(Fs)
+        for k in seq:
+            Fs[k] = _solve_dim(problem, k, Fs, modes, mode_mask)
+        return tuple(Fs)
+
+    def enrich(modes, n_modes):
+        mode_mask = (jnp.arange(modes[0].shape[0]) < n_modes).astype(
+            problem.ops[0].dtype
+        )
+        Fs0 = init_modes()
+        res = residual_norm(Fs0, modes, mode_mask)
+
+        def cond(state):
+            Fs, Fs_prev, err, it = state
+            return (err >= tol_fp) & (it < max_fp_it)
+
+        def body(state):
+            Fs, _, _, it = state
+            Fs_new = fp_sweep(Fs, modes, mode_mask)
+            # 'norm' stop (solver.py:812-871): product inner products
+            newnew, newold, oldold = 1.0, 1.0, 1.0
+            for d in range(nd):
+                newnew = newnew * _inner_d(problem, d, Fs_new[d], Fs_new[d])
+                newold = newold * _inner_d(problem, d, Fs_new[d], Fs[d])
+                oldold = oldold * _inner_d(problem, d, Fs[d], Fs[d])
+            err = jnp.sqrt(jnp.abs(newnew + oldold - 2 * newold))
+            return (Fs_new, Fs, err, it + 1)
+
+        big = jnp.asarray(jnp.inf, dtype=problem.ops[0].dtype)
+        Fs, _, err, fp_its = jax.lax.while_loop(
+            cond, body, (Fs0, Fs0, big, 0)
+        )
+
+        norm_Fs = jnp.stack([_norm_d(problem, d, Fs[d]) for d in range(nd)])
+
+        # 'stiff' normalization (solver.py:413-456): evaluate the full lhs
+        # Gram on L2-normalized factors
+        Fn = [Fs[d] / norm_Fs[d] for d in range(nd)]
+        wprod = jnp.ones((problem.num_terms,), dtype=norm_Fs.dtype)
+        for d in range(nd):
+            wprod = wprod * _term_weights(problem.ops[d], Fn[d])
+        norm_aux = jnp.sum(wprod)
+        norm_fac = jnp.sqrt(jnp.abs(norm_aux)) ** (1.0 / nd)
+        alpha = jnp.prod(norm_Fs) * norm_fac ** nd
+        scale = alpha ** (1.0 / nd) / norm_fac
+        Fstored = tuple(Fn[d] * scale for d in range(nd))
+
+        normU = jnp.prod(norm_Fs)
+        new_modes = tuple(
+            modes[d].at[n_modes].set(Fstored[d]) for d in range(nd)
+        )
+        return new_modes, normU, alpha, fp_its, res
+
+    return enrich
+
+
+class SeparatedPGD:
+    """Progressive PGD driver over a :class:`SeparatedProblem`.
+
+    ``solve()`` keeps the enrichment loop on the host (one jitted
+    ``enrich_step`` call per mode — compiled once), matching the reference
+    control flow: residual check → fixed point → 'stiff' norming →
+    amplitude convergence (solver.py:306-506).
+    """
+
+    def __init__(
+        self,
+        problem: SeparatedProblem,
+        n_max: int = 20,
+        tol: float = 1e-10,
+        tol_fp: float = 1e-5,
+        max_fp_it: int = 50,
+        seq_fp=None,
+    ):
+        self.problem = problem
+        self.n_max = n_max
+        self.tol = tol
+        self._enrich = jax.jit(
+            make_enrich_step(
+                problem, seq_fp=seq_fp, max_fp_it=max_fp_it, tol_fp=tol_fp
+            )
+        )
+
+    def init_buffers(self):
+        return tuple(
+            jnp.zeros((self.n_max, n), dtype=self.problem.ops[0].dtype)
+            for n in self.problem.sizes
+        )
+
+    def solve(self, verbose: bool = False) -> PGDResult:
+        modes = self.init_buffers()
+        normConv, alphas, fps = [], [], []
+        n = 0
+        while n < self.n_max:
+            modes_new, normU, alpha, fp_its, res = self._enrich(modes, n)
+            res = float(res)
+            if res < 1e-10:
+                if verbose:
+                    print(f"residual {res:.3e} < 1e-10 at mode {n}: stop")
+                break
+            modes = modes_new
+            normConv.append(float(normU))
+            alphas.append(float(alpha))
+            fps.append(int(fp_its))
+            n += 1
+            rel = normConv[-1] / normConv[0]
+            if verbose:
+                print(f"mode {n}: relConv={rel:.3e} fp_its={fp_its}")
+            if rel < self.tol:
+                break
+        rel = np.asarray(normConv) / (normConv[0] if normConv else 1.0)
+        return PGDResult(
+            modes=list(modes),
+            n_modes=n,
+            amplitudes=rel,
+            alpha=np.asarray(alphas),
+            fp_its=np.asarray(fps),
+        )
+
+
+# -------------------------------------------------------------- evaluation
+
+def make_evaluator(result_modes, n_modes):
+    """Jitted rank-1 reconstruction over the first (fixed) dimension for a
+    BATCH of parameter factor matrices.
+
+    Given per-free-dim factor values ``fac[j]`` of shape (B, n_max) —
+    typically interpolation weights already contracted with the mode
+    buffers — this is one einsum.  See pgdrome_tpu.parallel.vademecum for
+    the sharded sweep built on top."""
+
+    modes0 = result_modes[0]  # (n_max, n0)
+
+    @jax.jit
+    def reconstruct(free_factors):
+        # free_factors: (B, n_max) product over free dims of per-mode values
+        return free_factors @ modes0  # (B, n0)
+
+    return reconstruct
+
+
+def evaluate_modes_1d(V, modes_buf, points, xp=jnp):
+    """Evaluate all buffered modes of a 1D space at a batch of points:
+    returns (npoints, n_max).  Shared cell-locate + basis, one gather."""
+    from pgdrome_tpu.fem.interpolate import _locate_1d, _shape_1d_x
+
+    pts = xp.asarray(points)
+    cell, xi = _locate_1d(V.mesh(), pts, xp)
+    basis = _shape_1d_x(V.degree, xi, xp)  # (B, nl)
+    ed = xp.asarray(V.element_dofs)
+    local = ed[cell]  # (B, nl)
+    # modes_buf: (n_max, ndof) → gather (B, nl, n_max)
+    gathered = modes_buf.T[local]  # (B, nl, n_max)
+    return xp.einsum("bl,bln->bn", basis, gathered)

@@ -1,0 +1,103 @@
+"""Jitted fast path vs the reference-parity orchestration layer.
+
+The north-star requirement (BASELINE.md): amplitudes from the fully jitted
+separated solver must match the reference-semantics solver to 1e-8
+relative."""
+
+import numpy as np
+import pytest
+
+from pgdrome_tpu.problems import (
+    parametric_elliptic,
+    poisson_xy,
+    elastic_truss,
+    pgd_problem_from_separated,
+)
+from pgdrome_tpu.separated import SeparatedPGD, evaluate_modes_1d
+
+
+class TestFastPathParity:
+    def test_parametric_elliptic_amplitudes(self):
+        sep, Vs = parametric_elliptic(n_x=40, n_p=10, num_params=2)
+        fast = SeparatedPGD(sep, n_max=8, tol=1e-10, tol_fp=1e-7)
+        res = fast.solve()
+
+        compat = pgd_problem_from_separated(sep, Vs)
+        compat.PGD_nmax = 8
+        compat.PGD_tol = 1e-10
+        compat.tol_fp_it = 1e-7
+        compat.stop_fp = "norm"
+        compat.norm_modes = "stiff"
+        compat.solve_PGD(_problem="linear")
+
+        amp_fast = np.asarray(res.amplitudes)
+        amp_compat = np.asarray(compat.amplitude)
+        n = min(len(amp_fast), len(amp_compat))
+        assert n >= 2
+        np.testing.assert_allclose(amp_fast[:n], amp_compat[:n], rtol=1e-8)
+
+        # alpha agreement too
+        al_fast = res.alpha[:n]
+        al_compat = np.asarray(compat.alpha[:n])
+        np.testing.assert_allclose(al_fast, al_compat, rtol=1e-8)
+
+    def test_poisson_xy_single_mode(self):
+        sep, Vs = poisson_xy(n_x=30, n_y=20)
+        fast = SeparatedPGD(sep, n_max=5, tol=1e-10, tol_fp=1e-6)
+        res = fast.solve()
+        # exactly-separable problem converges immediately: second mode has
+        # relative amplitude ~0 (reference test_laplace asserts 1 mode)
+        assert res.amplitudes[0] == 1.0
+        if res.n_modes > 1:
+            assert res.amplitudes[1] < 1e-8
+
+    def test_elastic_truss_vs_compat(self):
+        sep, Vs = elastic_truss(n_x=50, n_E=40)
+        fast = SeparatedPGD(sep, n_max=6, tol=1e-10, tol_fp=1e-7)
+        res = fast.solve()
+        compat = pgd_problem_from_separated(sep, Vs)
+        compat.PGD_nmax = 6
+        compat.tol_fp_it = 1e-7
+        compat.solve_PGD(_problem="linear")
+        n = min(res.n_modes, len(compat.amplitude))
+        np.testing.assert_allclose(
+            res.amplitudes[:n], np.asarray(compat.amplitude)[:n], rtol=1e-8
+        )
+
+    def test_vademecum_accuracy(self):
+        # fast-path solution vs a direct solve at a parameter point; the
+        # error floor is the parameter-grid discretization O(h_p²)
+        # (verified 2nd-order: 1.2e-5 @ n_p=16 → 3.1e-6 @ 32 → 8.2e-7 @ 64)
+        sep, Vs = parametric_elliptic(n_x=60, n_p=64, num_params=2)
+        fast = SeparatedPGD(sep, n_max=30, tol=1e-14, tol_fp=1e-9)
+        res = fast.solve()
+
+        # direct FEM at an on-grid parameter point (vademecum = lookup on
+        # the parameter grid; off-grid adds P1 parameter interpolation error)
+        from pgdrome_tpu.fem.assembly import stiffness_matrix, load_vector
+        from pgdrome_tpu.fem.bc import DirichletBC
+
+        p = (0.375, 0.75)
+        Vx = Vs[0]
+        kappa = lambda x: (
+            1.0
+            + p[0] * np.sin(np.pi * x) ** 2 / 4.0
+            + p[1] * np.sin(2 * np.pi * x) ** 2 / 4.0
+        )
+        K = stiffness_matrix(Vx, weight=kappa)
+        b = load_vector(Vx, lambda x: np.ones_like(x))
+        bc = DirichletBC(Vx, 0.0, lambda x, onb: onb)
+        A2, b2 = bc.apply_system(K, b)
+        u_ref = np.linalg.solve(A2, b2)
+
+        # PGD reconstruction: per-mode factors at the parameter point
+        fac = np.ones(res.n_modes)
+        for j, pj in enumerate(p):
+            vals = np.asarray(
+                evaluate_modes_1d(Vs[1 + j], res.modes[1 + j], np.asarray([pj]), xp=np)
+            )[0]
+            fac *= vals[: res.n_modes]
+        u_pgd = fac @ np.asarray(res.modes[0])[: res.n_modes]
+        err = np.linalg.norm(u_pgd - u_ref) / np.linalg.norm(u_ref)
+        print("vademecum rel err:", err, "modes:", res.n_modes)
+        assert err < 1e-6
