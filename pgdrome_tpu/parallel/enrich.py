@@ -1,0 +1,117 @@
+"""Multi-chip PGD training step: dp over load cases × sp over space dofs.
+
+The honest parallelism of the PGD workload (SURVEY.md §2.4):
+
+* **dp** — the vademecum/load-case axis: independent right-hand sides
+  (different loads / sources) train in parallel, one PGD per case.  This is
+  a vmap over the enrichment step with the batch axis sharded.
+* **sp** — the space-dof axis: the space dimension carries the big
+  operators (T, n0, n0); sharding their row axis distributes the Gram
+  matvecs and the previous-mode contractions, with XLA inserting
+  psum/all-gather over ICI (GSPMD: annotate shardings, let the compiler
+  place collectives).
+
+``make_multichip_train_step`` builds the jitted step; ``dryrun`` (used by
+__graft_entry__.dryrun_multichip) compiles + executes it on an n-device
+mesh with tiny shapes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pgdrome_tpu.separated import SeparatedProblem, make_enrich_step
+
+
+def _mesh_axes(n_devices):
+    """Factor n into (dp, sp): a 2D mesh when n is even (so both the
+    load-case axis and the space-dof axis are genuinely sharded), else 1D."""
+    sp = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    dp = n_devices // sp
+    return dp, sp
+
+
+def make_multichip_train_step(problem: SeparatedProblem, mesh: Mesh,
+                              tol_fp=1e-6, max_fp_it=30):
+    """Jitted batched enrichment step sharded over ``mesh``.
+
+    Returns (step, placed_args) where
+    ``step(modes_batch, n_modes, rhs0_batch) -> (new_modes_batch, normU,
+    alpha, fp_its, res)`` — modes/rhs carry a leading load-case axis
+    sharded on 'dp'; the space-dof axis of the dim-0 buffers is sharded on
+    'sp'."""
+    enrich = make_enrich_step(problem, max_fp_it=max_fp_it, tol_fp=tol_fp)
+    nd = problem.num_dims
+
+    def batched(modes_batch, n_modes, rhs0_batch):
+        def one(modes, rhs0):
+            rhs = [rhs0] + [problem.rhs[j] for j in range(1, nd)]
+            return enrich(modes, n_modes, rhs=rhs)
+
+        return jax.vmap(one, in_axes=(0, 0))(modes_batch, rhs0_batch)
+
+    # sharding annotations: batch axis -> dp; space-dof axis of dim-0 -> sp
+    mode_shardings = tuple(
+        NamedSharding(mesh, P("dp", None, "sp") if d == 0 else P("dp", None, None))
+        for d in range(nd)
+    )
+    rhs0_sharding = NamedSharding(mesh, P("dp", None, "sp"))
+    step = jax.jit(
+        batched,
+        in_shardings=(mode_shardings, None, rhs0_sharding),
+        out_shardings=(mode_shardings, NamedSharding(mesh, P("dp")),
+                       NamedSharding(mesh, P("dp")), NamedSharding(mesh, P("dp")),
+                       NamedSharding(mesh, P("dp"))),
+    )
+    return step
+
+
+def dryrun(n_devices: int, n_max: int = 4, verbose: bool = False):
+    """Create an n-device mesh, jit the FULL batched+sharded training step
+    over it, and run one enrichment step on tiny shapes.
+
+    Exercised by the driver via __graft_entry__.dryrun_multichip with
+    virtual CPU devices (xla_force_host_platform_device_count)."""
+    from pgdrome_tpu.problems import parametric_elliptic
+
+    devs = jax.devices()[:n_devices]
+    dp, sp = _mesh_axes(n_devices)
+    mesh = Mesh(np.array(devs).reshape(dp, sp), ("dp", "sp"))
+
+    # tiny problem; space dofs divisible by sp (P1 on n_x elems → n_x+1
+    # dofs; pick n_x = 16*sp - 1)
+    n_x = 16 * sp - 1
+    sep, Vs = parametric_elliptic(
+        n_x=n_x, n_p=8, num_params=2, degree_x=1,
+        dtype=np.float32 if not jax.config.jax_enable_x64 else np.float64,
+    )
+
+    B = dp  # one load case per dp shard
+    n0 = sep.sizes[0]
+    # distinct load cases: scaled copies of the base space rhs
+    scales = (1.0 + jnp.arange(B, dtype=sep.rhs[0].dtype))[:, None, None]
+    rhs0_batch = jnp.broadcast_to(sep.rhs[0][None], (B,) + sep.rhs[0].shape) * scales
+
+    modes_batch = tuple(
+        jnp.zeros((B, n_max, n), dtype=sep.ops[0].dtype) for n in sep.sizes
+    )
+
+    step = make_multichip_train_step(sep, mesh)
+    new_modes, normU, alpha, fp_its, res = step(modes_batch, 0, rhs0_batch)
+    jax.block_until_ready(new_modes)
+
+    assert np.all(np.isfinite(np.asarray(normU))), "non-finite amplitudes"
+    assert np.all(np.asarray(normU) > 0), "zero-amplitude enrichment"
+    # the scaled load cases must give proportionally scaled amplitudes
+    ratio = np.asarray(normU) / np.asarray(normU)[0]
+    expected = (1.0 + np.arange(B)) / 1.0
+    np.testing.assert_allclose(ratio, expected, rtol=1e-4)
+    if verbose:
+        print(
+            f"dryrun ok: mesh=({dp}x{sp}) B={B} n0={n0} "
+            f"normU={np.asarray(normU)} fp_its={np.asarray(fp_its)}"
+        )
+    return True

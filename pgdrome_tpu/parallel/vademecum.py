@@ -1,0 +1,72 @@
+"""Sharded vademecum sweeps: batched PGD evaluation over ICI.
+
+The PGD "inference" workload is the parameter sweep: reconstruct
+u(·; p₁..p_{d-1}) for a large batch of parameter samples.  The reference
+does this one sample at a time through Python+dolfin point evaluation
+(model.py:822-842, the SURVEY.md §3.3 hot loop); here the whole sweep is
+one jitted program — per-dim mode evaluation is a shared-basis gather, the
+mode products and the rank-1 reconstruction are einsums — with the sample
+axis sharded over the device mesh ('dp', the honest data-parallel axis of
+this workload, SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from pgdrome_tpu.separated import evaluate_modes_1d
+
+
+def make_sweep_fn(spaces, modes, n_modes):
+    """Build the jitted sweep: samples (B, d-1) → fields (B, n0).
+
+    spaces: per-dim function spaces (free dims 1..d-1 must be 1D scalar);
+    modes: per-dim padded mode buffers (n_max, n_d)."""
+    nd = len(spaces)
+    modes0 = modes[0]
+    n_max = modes0.shape[0]
+    mode_mask = (jnp.arange(n_max) < n_modes).astype(modes0.dtype)
+
+    def sweep(samples):
+        fac = jnp.ones((samples.shape[0], n_max), dtype=modes0.dtype)
+        for j in range(1, nd):
+            vals = evaluate_modes_1d(spaces[j], modes[j], samples[:, j - 1])
+            fac = fac * vals  # (B, n_max)
+        fac = fac * mode_mask[None, :]
+        return fac @ modes0  # (B, n0)
+
+    return jax.jit(sweep)
+
+
+def sharded_sweep(spaces, modes, n_modes, samples, mesh=None):
+    """Run the sweep with the sample axis sharded over the mesh's 'dp' axis
+    (XLA inserts any needed collectives; mode buffers are replicated)."""
+    if mesh is None:
+        devs = jax.devices()
+        mesh = Mesh(np.array(devs), ("dp",))
+    sweep = make_sweep_fn(spaces, modes, n_modes)
+    samples = jnp.asarray(samples)
+    sharding = NamedSharding(mesh, P("dp"))
+    # pad B to a multiple of the dp axis
+    ndev = mesh.shape["dp"]
+    B = samples.shape[0]
+    pad = (-B) % ndev
+    if pad:
+        samples = jnp.concatenate([samples, samples[:pad]], axis=0)
+    samples = jax.device_put(samples, sharding)
+    out = sweep(samples)
+    return out[:B]
+
+
+def sweep_errors(spaces, modes, n_modes, samples, fom_fields):
+    """Relative L2 errors of the PGD reconstruction vs precomputed FOM
+    fields over a sample batch — the vmapped analogue of
+    PGDErrorComputation.evaluate_error (reference model.py:1768-1825)."""
+    sweep = make_sweep_fn(spaces, modes, n_modes)
+    u = sweep(jnp.asarray(samples))
+    fom = jnp.asarray(fom_fields)
+    err = jnp.linalg.norm(u - fom, axis=1) / jnp.linalg.norm(fom, axis=1)
+    return err

@@ -1,0 +1,67 @@
+"""Sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §4 strategy)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pgdrome_tpu.problems import parametric_elliptic
+from pgdrome_tpu.separated import SeparatedPGD
+
+
+@pytest.fixture(scope="module")
+def solved():
+    sep, Vs = parametric_elliptic(n_x=40, n_p=16, num_params=2)
+    res = SeparatedPGD(sep, n_max=10, tol=1e-12, tol_fp=1e-8).solve()
+    return sep, Vs, res
+
+
+class TestShardedSweep:
+    def test_sweep_matches_serial_evaluate(self, solved):
+        sep, Vs, res = solved
+        from pgdrome_tpu.parallel.vademecum import sharded_sweep, make_sweep_fn
+
+        rng = np.random.default_rng(0)
+        samples = rng.uniform(0.05, 0.95, size=(37, 2))
+        out = np.asarray(
+            sharded_sweep(Vs, [jnp.asarray(m) for m in res.modes], res.n_modes, samples)
+        )
+        assert out.shape == (37, sep.sizes[0])
+
+        # against per-sample reconstruction
+        from pgdrome_tpu.separated import evaluate_modes_1d
+
+        for i in [0, 13, 36]:
+            fac = np.ones(res.n_modes)
+            for j in range(2):
+                vals = np.asarray(
+                    evaluate_modes_1d(
+                        Vs[1 + j], res.modes[1 + j], np.asarray([samples[i, j]]), xp=np
+                    )
+                )[0]
+                fac *= vals[: res.n_modes]
+            u = fac @ np.asarray(res.modes[0])[: res.n_modes]
+            np.testing.assert_allclose(out[i], u, rtol=1e-10, atol=1e-12)
+
+    def test_sweep_errors(self, solved):
+        sep, Vs, res = solved
+        from pgdrome_tpu.parallel.vademecum import sweep_errors, make_sweep_fn
+
+        samples = np.array([[0.25, 0.5], [0.75, 0.125]])
+        sweep = make_sweep_fn(Vs, [jnp.asarray(m) for m in res.modes], res.n_modes)
+        fom = np.asarray(sweep(jnp.asarray(samples)))
+        errs = np.asarray(sweep_errors(Vs, res.modes, res.n_modes, samples, fom))
+        np.testing.assert_allclose(errs, 0.0, atol=1e-14)
+
+
+class TestMultichipTrainStep:
+    def test_dryrun_8(self):
+        assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
+        from pgdrome_tpu.parallel.enrich import dryrun
+
+        assert dryrun(8, verbose=True)
+
+    def test_dryrun_odd(self):
+        from pgdrome_tpu.parallel.enrich import dryrun
+
+        assert dryrun(1)
