@@ -69,7 +69,7 @@ def make_multichip_train_step(problem: SeparatedProblem, mesh: Mesh,
     return step
 
 
-def dryrun(n_devices: int, n_max: int = 4, verbose: bool = False):
+def dryrun(n_devices: int, n_max: int = 4, verbose: bool = False, devices=None):
     """Create an n-device mesh, jit the FULL batched+sharded training step
     over it, and run one enrichment step on tiny shapes.
 
@@ -77,16 +77,25 @@ def dryrun(n_devices: int, n_max: int = 4, verbose: bool = False):
     virtual CPU devices (xla_force_host_platform_device_count)."""
     from pgdrome_tpu.problems import parametric_elliptic
 
-    devs = jax.devices()[:n_devices]
+    if devices is None:
+        devices = jax.devices()
+        if len(devices) < n_devices:
+            devices = jax.devices("cpu")
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, have {len(devices)} "
+            "(set XLA_FLAGS=--xla_force_host_platform_device_count)"
+        )
+    devs = devices[:n_devices]
     dp, sp = _mesh_axes(n_devices)
     mesh = Mesh(np.array(devs).reshape(dp, sp), ("dp", "sp"))
 
     # tiny problem; space dofs divisible by sp (P1 on n_x elems → n_x+1
     # dofs; pick n_x = 16*sp - 1)
     n_x = 16 * sp - 1
-    sep, Vs = parametric_elliptic(
-        n_x=n_x, n_p=8, num_params=2, degree_x=1,
-        dtype=np.float32 if not jax.config.jax_enable_x64 else np.float64,
+    sep, Vs = parametric_elliptic(n_x=n_x, n_p=8, num_params=2, degree_x=1)
+    sep = sep.as_device(
+        np.float64 if jax.config.jax_enable_x64 else np.float32
     )
 
     B = dp  # one load case per dp shard

@@ -91,9 +91,9 @@ def parametric_elliptic(
 
     dt = dtype or np.float64
     prob = SeparatedProblem(
-        ops=[jnp.asarray(o, dtype=dt) for o in ops],
-        rhs=[jnp.asarray(r, dtype=dt) for r in rhs],
-        mass=[jnp.asarray(m, dtype=dt) for m in mass],
+        ops=[np.asarray(o, dtype=dt) for o in ops],
+        rhs=[np.asarray(r, dtype=dt) for r in rhs],
+        mass=[np.asarray(m, dtype=dt) for m in mass],
         bc_dofs=bc_dofs,
     )
     return prob, Vs
@@ -120,9 +120,9 @@ def poisson_xy(n_x: int = 60, n_y: int = 40, lx: float = 1.0, ly: float = 1.0,
 
     dt = dtype or np.float64
     prob = SeparatedProblem(
-        ops=[jnp.asarray(o, dtype=dt) for o in ops],
-        rhs=[jnp.asarray(r, dtype=dt) for r in rhs],
-        mass=[jnp.asarray(m, dtype=dt) for m in mass],
+        ops=[np.asarray(o, dtype=dt) for o in ops],
+        rhs=[np.asarray(r, dtype=dt) for r in rhs],
+        mass=[np.asarray(m, dtype=dt) for m in mass],
         bc_dofs=bc_dofs,
     )
     return prob, [Vx, Vy]
@@ -152,9 +152,9 @@ def elastic_truss(n_x=113, n_p=2, n_E=100, ranges=((0, 1), (-1, 3), (0.2, 2)),
 
     dt = dtype or np.float64
     prob = SeparatedProblem(
-        ops=[jnp.asarray(o, dtype=dt) for o in ops],
-        rhs=[jnp.asarray(r, dtype=dt) for r in rhs],
-        mass=[jnp.asarray(m, dtype=dt) for m in mass],
+        ops=[np.asarray(o, dtype=dt) for o in ops],
+        rhs=[np.asarray(r, dtype=dt) for r in rhs],
+        mass=[np.asarray(m, dtype=dt) for m in mass],
         bc_dofs=bc_dofs,
     )
     return prob, [Vx, Vp, VE]

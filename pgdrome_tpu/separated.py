@@ -52,13 +52,30 @@ class SeparatedProblem:
         self.num_terms = self.ops[0].shape[0]
         self.num_rhs = self.rhs[0].shape[0]
         self.sizes = tuple(o.shape[1] for o in self.ops)
-        # bc masks: 1 interior, 0 constrained
+        # bc masks: 1 interior, 0 constrained (same array module as ops, so
+        # host-f64 problems stay full precision until device conversion)
         self.bc_masks = []
         for d in range(self.num_dims):
-            m = np.ones(self.sizes[d])
+            m = np.ones(self.sizes[d], dtype=np.asarray(self.ops[d]).dtype if isinstance(self.ops[d], np.ndarray) else None)
             if self.bc_dofs[d] is not None and len(self.bc_dofs[d]):
                 m[np.asarray(self.bc_dofs[d])] = 0.0
-            self.bc_masks.append(jnp.asarray(m, dtype=self.ops[d].dtype))
+            if isinstance(self.ops[d], np.ndarray):
+                self.bc_masks.append(m)
+            else:
+                self.bc_masks.append(jnp.asarray(m, dtype=self.ops[d].dtype))
+
+    def as_device(self, dtype=None) -> "SeparatedProblem":
+        """Copy with all arrays as device (jnp) arrays of `dtype`.
+
+        Keep problem construction/preconditioning in host f64 and convert
+        here: casting ill-conditioned raw operators to f32 costs
+        cond(K)·eps accuracy, casting the preconditioned ones is benign."""
+        return SeparatedProblem(
+            ops=[jnp.asarray(np.asarray(o), dtype=dtype) for o in self.ops],
+            rhs=[jnp.asarray(np.asarray(r), dtype=dtype) for r in self.rhs],
+            mass=[jnp.asarray(np.asarray(m), dtype=dtype) for m in self.mass],
+            bc_dofs=list(self.bc_dofs),
+        )
 
 
 @dataclass
@@ -251,10 +268,15 @@ class SeparatedPGD:
         tol_fp: float = 1e-5,
         max_fp_it: int = 50,
         seq_fp=None,
+        dtype=None,
     ):
+        if isinstance(problem.ops[0], np.ndarray):
+            problem = problem.as_device(dtype)
         self.problem = problem
         self.n_max = n_max
         self.tol = tol
+        self._max_fp_it = max_fp_it
+        self._tol_fp = tol_fp
         self._enrich = jax.jit(
             make_enrich_step(
                 problem, seq_fp=seq_fp, max_fp_it=max_fp_it, tol_fp=tol_fp
@@ -295,6 +317,69 @@ class SeparatedPGD:
             amplitudes=rel,
             alpha=np.asarray(alphas),
             fp_its=np.asarray(fps),
+        )
+
+    def solve_fused(self, n_enrich: int | None = None):
+        """Whole enrichment loop as ONE jitted program (lax.fori_loop over
+        modes) — a single device dispatch, no host round-trips.  This is
+        the benchmark path: on a remote/tunneled TPU the per-call latency
+        of the host loop would dominate.
+
+        Runs a fixed number of enrichments (padded buffers); amplitude
+        convergence is evaluated on the host afterwards from the recorded
+        normU trace (semantics unchanged: trailing modes past the tolerance
+        are simply truncated)."""
+        n_enrich = n_enrich or self.n_max
+        if not hasattr(self, "_fused"):
+            enrich = make_enrich_step(
+                self.problem,
+                seq_fp=None,
+                max_fp_it=self._max_fp_it,
+                tol_fp=self._tol_fp,
+            )
+            nd = self.problem.num_dims
+
+            def fused(modes):
+                def body(i, carry):
+                    modes, normUs, alphas, fps = carry
+                    modes_new, normU, alpha, fp_its, res = enrich(modes, i)
+                    # preserve residual early-exit semantics: keep the old
+                    # buffers (zero mode) if the residual already vanished
+                    keep = res >= 1e-10
+                    modes = tuple(
+                        jnp.where(keep, mn, mo)
+                        for mn, mo in zip(modes_new, modes)
+                    )
+                    normUs = normUs.at[i].set(jnp.where(keep, normU, 0.0))
+                    alphas = alphas.at[i].set(jnp.where(keep, alpha, 0.0))
+                    fps = fps.at[i].set(fp_its)
+                    return (modes, normUs, alphas, fps)
+
+                dt = self.problem.ops[0].dtype
+                init = (
+                    modes,
+                    jnp.zeros(n_enrich, dtype=dt),
+                    jnp.zeros(n_enrich, dtype=dt),
+                    jnp.zeros(n_enrich, dtype=jnp.int32),
+                )
+                return jax.lax.fori_loop(0, n_enrich, body, init)
+
+            self._fused = jax.jit(fused)
+
+        modes, normUs, alphas, fps = self._fused(self.init_buffers())
+        normUs = np.asarray(normUs)
+        valid = normUs > 0
+        nrun = int(valid.sum())
+        rel = normUs[:nrun] / (normUs[0] if nrun else 1.0)
+        # truncate at amplitude tolerance (host-side, reference semantics)
+        below = np.where(rel < self.tol)[0]
+        n = int(below[0]) + 1 if len(below) else nrun
+        return PGDResult(
+            modes=list(modes),
+            n_modes=n,
+            amplitudes=rel[:n],
+            alpha=np.asarray(alphas)[:n],
+            fp_its=np.asarray(fps)[:n],
         )
 
 
