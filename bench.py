@@ -12,10 +12,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+os.makedirs("/root/.cache/jax", exist_ok=True)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
 N_X = 1024          # P2 → 2049 space dofs (2047 interior)
 N_P = 128           # per parameter dim (× 3)
@@ -54,7 +58,13 @@ def tpu_solve(sep32):
 
     dev = jax.devices()[0]
     log(f"device: {dev} ({dev.platform})")
-    solver = SeparatedPGD(sep32, n_max=N_MODES, tol=TOL / 10, tol_fp=1e-7, max_fp_it=40)
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    solver = SeparatedPGD(
+        sep32, n_max=N_MODES, tol=TOL / 10, tol_fp=1e-7, max_fp_it=40,
+        solver="cg", cg_iters=25, residual_check=False,
+    )
 
     t0 = time.perf_counter()
     res = solver.solve_fused()  # includes compile
@@ -178,6 +188,9 @@ def cpu_baseline(sep64, Vs, n_modes_target):
 
 
 def main():
+    import pgdrome_tpu.config as cfg
+
+    cfg.use_full_f32_matmul()  # bf16-default matmuls would cost ~4e-3 acc.
     sep64, sep32, tf, Vs = build()
     res, t_solve = tpu_solve(sep32)
     max_err = verify(sep64, Vs, res, tf)

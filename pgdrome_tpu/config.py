@@ -28,6 +28,16 @@ def use_x64(enable: bool = True) -> None:
     jax.config.update("jax_enable_x64", enable)
 
 
+def use_full_f32_matmul() -> None:
+    """Force true-f32 matmul precision globally.
+
+    TPU matmuls default to bf16 inputs (~4e-3 relative error); the PGD
+    Gram contractions and the LU solves inside jnp.linalg.solve need full
+    f32.  The separated-solver einsums pin HIGHEST precision themselves;
+    this flag additionally covers linalg internals."""
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+
 def is_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"

@@ -224,3 +224,138 @@ def pgd_problem_from_separated(sep: SeparatedProblem, Vs, name="separated"):
         seq_fp=list(range(nd)),
     )
     return prob
+
+
+def transient_heat_2d(
+    nx: int = 12,
+    ny: int = 12,
+    n_t: int = 50,
+    lx: float = 1.0,
+    ly: float = 1.0,
+    lt: float = 1.0,
+    rho_cp: float = 1.0,
+    k: float = 0.1,
+    dtype=None,
+):
+    """Transient heat, 2D space mesh ⊗ 1D FD-upwind time (BASELINE.json
+    config 2; hybrid solve-mode physics of reference test_heat1D with the
+    space dimension promoted to a 2D crossed triangulation).
+
+    rho·cp ∂T/∂t − k ΔT = q(x,y) with natural space BCs and T(t=0) = 0
+    (constant ambient lifts add externally; they drop out of the
+    homogenized rhs since K·1 = 0 and D1_up·1 = 0)."""
+    from pgdrome_tpu.ops.fd import FD_matrices
+
+    mesh2 = RectangleMesh(Point(0, 0), Point(lx, ly), nx, ny, "crossed")
+    V2 = FunctionSpace(mesh2, "P", 1)
+    Vt = FunctionSpace(IntervalMesh(n_t, 0.0, lt), "P", 1)
+
+    M2 = mass_matrix(V2)
+    K2 = stiffness_matrix(V2)
+    t_grid = Vt.tabulate_dof_coordinates()[:, 0]
+    M_t, _, D1_up = FD_matrices(t_grid)
+
+    ops = [np.stack([rho_cp * M2, k * K2]), np.stack([D1_up, M_t])]
+
+    # source: Gaussian bump at the domain center, constant in time
+    xc, yc, a = lx / 2, ly / 2, 0.15 * lx
+    q2 = load_vector(
+        V2,
+        lambda p: np.exp(-(((p[..., 0] - xc) ** 2 + (p[..., 1] - yc) ** 2) / a**2)),
+    )
+    qt = M_t @ np.ones(len(t_grid))
+    rhs = [q2[None, :], qt[None, :]]
+
+    bc_dofs = [np.array([], dtype=np.int64), np.array([0], dtype=np.int64)]  # t=0
+    mass = [M2, M_t]
+
+    dt = dtype or np.float64
+    prob = SeparatedProblem(
+        ops=[np.asarray(o, dtype=dt) for o in ops],
+        rhs=[np.asarray(r, dtype=dt) for r in rhs],
+        mass=[np.asarray(m, dtype=dt) for m in mass],
+        bc_dofs=bc_dofs,
+    )
+    return prob, [V2, Vt]
+
+
+def moving_heat_source(
+    n_x: int = 120,
+    n_t: int = 80,
+    n_P: int = 10,
+    n_v: int = 16,
+    v_range=(0.5, 1.0),
+    P_range=(0.5, 1.0),
+    af: float = 0.08,
+    xc0: float = 0.15,
+    rho_cp: float = 1.0,
+    k: float = 0.05,
+    source_rank: int = 40,
+    dtype=None,
+):
+    """Moving heat-source welding/AM surrogate: space ⊗ time ⊗ power ⊗
+    velocity (BASELINE.json config 5).
+
+        rho·cp ∂T/∂t − k ∂²T/∂x² = P · g(x − v·t),
+        g = exp(−(x − xc0 − v·t)²/af²),  T(t=0) = 0 (lift external)
+
+    The non-separable moving source is factorized by greedy SVD separation
+    (pgdrome_tpu.separation) into `source_rank` rank-1 (x,t,v) terms; the
+    power dimension enters linearly.  Time uses FD upwind (backward-Euler
+    equivalent, reference test_heat1D.py FDtime semantics).
+
+    Returns (problem, spaces, source_factors, separation_rel_error)."""
+    from pgdrome_tpu.ops.fd import FD_matrices
+    from pgdrome_tpu.separation import separate, separation_error
+
+    Vx = FunctionSpace(IntervalMesh(n_x, 0.0, 1.0), "P", 1)
+    Vt = FunctionSpace(IntervalMesh(n_t, 0.0, 1.0), "P", 1)
+    VP = FunctionSpace(IntervalMesh(n_P, *P_range), "P", 1)
+    Vv = FunctionSpace(IntervalMesh(n_v, *v_range), "P", 1)
+
+    Mx, Kx = mass_matrix(Vx), stiffness_matrix(Vx)
+    t_grid = Vt.tabulate_dof_coordinates()[:, 0]
+    M_t, _, D1_up = FD_matrices(t_grid)
+    MP = mass_matrix(VP)
+    Mv = mass_matrix(Vv)
+
+    ops = [
+        np.stack([rho_cp * Mx, k * Kx]),
+        np.stack([D1_up, M_t]),
+        np.stack([MP, MP]),
+        np.stack([Mv, Mv]),
+    ]
+
+    # separate g(x - v t) over the (x, t, v) tensor grid
+    x_grid = Vx.tabulate_dof_coordinates()[:, 0]
+    v_grid = Vv.tabulate_dof_coordinates()[:, 0]
+    X, Tm, Vm = np.meshgrid(x_grid, t_grid, v_grid, indexing="ij")
+    g = np.exp(-((X - xc0 - Vm * Tm) ** 2) / af**2)
+    factors = separate(g, source_rank, tol=1e-12)
+    sep_err = separation_error(g, factors)
+    R = factors[0].shape[0]
+
+    bP = load_vector(VP, lambda P: P)  # power enters linearly
+    rhs = [
+        factors[0] @ Mx.T,           # (R, n_x): weak x factors  M_x g_r
+        factors[1] @ M_t.T,          # (R, n_t): FD-time mass weighting
+        np.tile(bP[None, :], (R, 1)),
+        factors[2] @ Mv.T,
+    ]
+
+    bc_dofs = [
+        np.array([], dtype=np.int64),
+        np.array([0], dtype=np.int64),  # IC at t = 0
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64),
+    ]
+    mass = [Mx, M_t, MP, Mv]
+
+    dt = dtype or np.float64
+    prob = SeparatedProblem(
+        ops=[np.asarray(o, dtype=dt) for o in ops],
+        rhs=[np.asarray(r, dtype=dt) for r in rhs],
+        mass=[np.asarray(m, dtype=dt) for m in mass],
+        bc_dofs=bc_dofs,
+    )
+    return prob, [Vx, Vt, VP, Vv], factors, sep_err

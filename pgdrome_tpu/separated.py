@@ -31,6 +31,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# TPU matmuls default to bf16 inputs (8-bit mantissa, ~4e-3 error) — the
+# PGD Gram contractions and solves need true f32.  All hot-path einsums
+# below pin HIGHEST precision; set use_full_f32_matmul() (config.py) too so
+# linalg internals (LU) follow.
+_PREC = jax.lax.Precision.HIGHEST
+
 
 @dataclass
 class SeparatedProblem:
@@ -94,12 +100,12 @@ class PGDResult:
 
 def _term_weights(A_d, F_d):
     """w_t = F_dᵀ O_td F_d for all terms: einsum('tij,i,j->t')."""
-    return jnp.einsum("tij,i,j->t", A_d, F_d, F_d)
+    return jnp.einsum("tij,i,j->t", A_d, F_d, F_d, precision=_PREC)
 
 
 def _rhs_weights(R_d, F_d):
     """c_r = F_d · g_rd for all rhs terms."""
-    return R_d @ F_d
+    return jnp.einsum("ri,i->r", R_d, F_d, precision=_PREC)
 
 
 def _apply_bc_system(A, b, mask):
@@ -109,7 +115,29 @@ def _apply_bc_system(A, b, mask):
     return A, b
 
 
-def _solve_dim(problem, k, Fs, modes, mode_mask, rhs):
+def _cg_solve(A, b, iters):
+    """Fixed-iteration CG (SPD A).  For the energy-basis preconditioned
+    systems cond(A) = O(1), so ~20 iterations reach f32 accuracy — and the
+    compiled program is a tiny matvec loop instead of an LU pivot cascade
+    (order-of-magnitude faster XLA compile AND runtime on TPU)."""
+
+    def body(i, state):
+        x, r, p, rs = state
+        Ap = jnp.einsum("ij,j->i", A, p, precision=_PREC)
+        alpha = rs / (jnp.einsum("i,i->", p, Ap, precision=_PREC) + 1e-30)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = jnp.einsum("i,i->", r, r, precision=_PREC)
+        p = r + (rs_new / (rs + 1e-30)) * p
+        return (x, r, p, rs_new)
+
+    x0 = jnp.zeros_like(b)
+    rs0 = jnp.einsum("i,i->", b, b, precision=_PREC)
+    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, b, b, rs0))
+    return x
+
+
+def _solve_dim(problem, k, Fs, modes, mode_mask, rhs, solver="lu", cg_iters=30):
     """One alternating-direction solve for dim k given current factors Fs
     and the padded previous-mode buffers."""
     T = problem.num_terms
@@ -120,40 +148,45 @@ def _solve_dim(problem, k, Fs, modes, mode_mask, rhs):
     for j in range(nd):
         if j != k:
             coef = coef * _term_weights(problem.ops[j], Fs[j])
-    A_k = jnp.einsum("t,tij->ij", coef, problem.ops[k])
+    A_k = jnp.einsum("t,tij->ij", coef, problem.ops[k], precision=_PREC)
 
     # rhs loads: b = Σ_r (Π_{j≠k} c_rj) g_rk
     rcoef = jnp.ones((rhs[0].shape[0],), dtype=Fs[k].dtype)
     for j in range(nd):
         if j != k:
             rcoef = rcoef * _rhs_weights(rhs[j], Fs[j])
-    b = rcoef @ rhs[k]
+    b = jnp.einsum("r,ri->i", rcoef, rhs[k], precision=_PREC)
 
     # previous modes: b -= Σ_t Σ_m (Π_{j≠k} F_jᵀ O_tj G_jm) O_tk G_km
-    # P[m,t] = Π_{j≠k} modes_j[m] · (O_tj F_j)   (batched over the mode axis)
+    # P[m,t] = Π_{j≠k} (F_jᵀ O_tj) · modes_j[m] — F on the TEST index;
+    # using the trial index instead would transpose non-symmetric operators
+    # (e.g. the upwind time stencil) and silently corrupt the rhs
     P = jnp.ones((modes[k].shape[0], T), dtype=Fs[k].dtype)
     for j in range(nd):
         if j != k:
-            AFj = jnp.einsum("tij,j->ti", problem.ops[j], Fs[j])  # (T, n_j)
-            P = P * (modes[j] @ AFj.T)  # (M, T)
+            FAj = jnp.einsum("i,tij->tj", Fs[j], problem.ops[j], precision=_PREC)
+            P = P * jnp.einsum("mj,tj->mt", modes[j], FAj, precision=_PREC)
     P = P * mode_mask[:, None]
-    W = jnp.einsum("mt,mi->ti", P, modes[k])  # (T, n_k)
-    b = b - jnp.einsum("tij,tj->i", problem.ops[k], W)
+    W = jnp.einsum("mt,mi->ti", P, modes[k], precision=_PREC)  # (T, n_k)
+    b = b - jnp.einsum("tij,tj->i", problem.ops[k], W, precision=_PREC)
 
     A_k, b = _apply_bc_system(A_k, b, problem.bc_masks[k])
+    if solver == "cg":
+        return _cg_solve(A_k, b, cg_iters)
     return jnp.linalg.solve(A_k, b)
 
 
 def _norm_d(problem, d, v):
-    return jnp.sqrt(jnp.abs(v @ (problem.mass[d] @ v)))
+    return jnp.sqrt(jnp.abs(_inner_d(problem, d, v, v)))
 
 
 def _inner_d(problem, d, u, v):
-    return u @ (problem.mass[d] @ v)
+    return jnp.einsum("i,ij,j->", u, problem.mass[d], v, precision=_PREC)
 
 
 def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
-                     tol_fp=1e-5, n_max=None):
+                     tol_fp=1e-5, n_max=None, solver="lu", cg_iters=30,
+                     residual_check=True):
     """Build the jitted enrichment step: (mode buffers, n) → new mode set.
 
     Returns a function of (modes, n_modes) producing
@@ -180,15 +213,15 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
             for j in range(nd):
                 if j != d:
                     rcoef = rcoef * _rhs_weights(rhs[j], Fs[j])
-            b = rcoef @ rhs[d]
+            b = jnp.einsum("r,ri->i", rcoef, rhs[d], precision=_PREC)
             P = jnp.ones((modes[d].shape[0], problem.num_terms), dtype=Fs[d].dtype)
             for j in range(nd):
                 if j != d:
-                    AFj = jnp.einsum("tij,j->ti", problem.ops[j], Fs[j])
-                    P = P * (modes[j] @ AFj.T)
+                    FAj = jnp.einsum("i,tij->tj", Fs[j], problem.ops[j], precision=_PREC)
+                    P = P * jnp.einsum("mj,tj->mt", modes[j], FAj, precision=_PREC)
             P = P * mode_mask[:, None]
-            W = jnp.einsum("mt,mi->ti", P, modes[d])
-            b = b - jnp.einsum("tij,tj->i", problem.ops[d], W)
+            W = jnp.einsum("mt,mi->ti", P, modes[d], precision=_PREC)
+            b = b - jnp.einsum("tij,tj->i", problem.ops[d], W, precision=_PREC)
             b = b * problem.bc_masks[d]
             res = res + jnp.sum(b * b)
         return jnp.sqrt(res)
@@ -196,7 +229,10 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
     def fp_sweep(Fs, modes, mode_mask, rhs):
         Fs = list(Fs)
         for k in seq:
-            Fs[k] = _solve_dim(problem, k, Fs, modes, mode_mask, rhs)
+            Fs[k] = _solve_dim(
+                problem, k, Fs, modes, mode_mask, rhs, solver=solver,
+                cg_iters=cg_iters,
+            )
         return tuple(Fs)
 
     def enrich(modes, n_modes, rhs=None):
@@ -205,7 +241,12 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
             problem.ops[0].dtype
         )
         Fs0 = init_modes()
-        res = residual_norm(Fs0, modes, mode_mask, rhs)
+        if residual_check:
+            res = residual_norm(Fs0, modes, mode_mask, rhs)
+        else:
+            # skip the (sizeable) residual program; semantics only matter
+            # for degenerate zero-residual problems (solver.py:391-395)
+            res = jnp.asarray(1.0, dtype=problem.ops[0].dtype)
 
         def cond(state):
             Fs, Fs_prev, err, it = state
@@ -269,6 +310,9 @@ class SeparatedPGD:
         max_fp_it: int = 50,
         seq_fp=None,
         dtype=None,
+        solver: str = "lu",
+        cg_iters: int = 30,
+        residual_check: bool = True,
     ):
         if isinstance(problem.ops[0], np.ndarray):
             problem = problem.as_device(dtype)
@@ -277,9 +321,14 @@ class SeparatedPGD:
         self.tol = tol
         self._max_fp_it = max_fp_it
         self._tol_fp = tol_fp
+        self._solver = solver
+        self._cg_iters = cg_iters
+        self._seq_fp = seq_fp
+        self._residual_check = residual_check
         self._enrich = jax.jit(
             make_enrich_step(
-                problem, seq_fp=seq_fp, max_fp_it=max_fp_it, tol_fp=tol_fp
+                problem, seq_fp=seq_fp, max_fp_it=max_fp_it, tol_fp=tol_fp,
+                solver=solver, cg_iters=cg_iters, residual_check=residual_check,
             )
         )
 
@@ -333,9 +382,12 @@ class SeparatedPGD:
         if not hasattr(self, "_fused"):
             enrich = make_enrich_step(
                 self.problem,
-                seq_fp=None,
+                seq_fp=self._seq_fp,
                 max_fp_it=self._max_fp_it,
                 tol_fp=self._tol_fp,
+                solver=self._solver,
+                cg_iters=self._cg_iters,
+                residual_check=self._residual_check,
             )
             nd = self.problem.num_dims
 
@@ -381,6 +433,55 @@ class SeparatedPGD:
             alpha=np.asarray(alphas)[:n],
             fp_its=np.asarray(fps)[:n],
         )
+
+
+# ------------------------------------------------------------ update step
+
+def galerkin_update(problem: SeparatedProblem, result: PGDResult) -> PGDResult:
+    """Galerkin update ("PGD with update"): re-solve the coefficients of the
+    computed rank-1 terms by projecting the FULL problem onto their span.
+
+    Progressive (greedy) PGD fixes each mode's amplitude when it is
+    enriched; for non-symmetric / transient problems the greedy amplitudes
+    can be far from the span-optimal ones and convergence stalls.  The
+    update solves the K×K system
+
+        Σ_j ⟨⊗F^i, A ⊗F^j⟩ α_j = ⟨⊗F^i, f⟩
+
+    using separated contractions (cost O(T·K²) small dots) and folds α into
+    the dim-0 modes.  Cheap, and often shaves orders of magnitude off the
+    error for the same mode count."""
+    K = result.n_modes
+    nd = problem.num_dims
+    ops = [np.asarray(o, dtype=np.float64) for o in problem.ops]
+    rhs = [np.asarray(r, dtype=np.float64) for r in problem.rhs]
+    modes = [np.asarray(m, dtype=np.float64)[:K] for m in result.modes]
+
+    # G[i,j] = Σ_t Π_d (F_d^i · O_td · F_d^j)
+    G = np.ones((ops[0].shape[0], K, K))
+    for d in range(nd):
+        # (T, K, K): F^i O F^j per term
+        G = G * np.einsum("ki,tij,lj->tkl", modes[d], ops[d], modes[d])
+    Gmat = G.sum(axis=0)
+
+    # b[i] = Σ_r Π_d (F_d^i · g_rd)
+    B = np.ones((rhs[0].shape[0], K))
+    for d in range(nd):
+        B = B * (rhs[d] @ modes[d].T)
+    bvec = B.sum(axis=0)
+
+    alpha = np.linalg.solve(Gmat, bvec)
+    new_modes0 = np.array(result.modes[0], dtype=np.float64)
+    new_modes0[:K] = alpha[:, None] * modes[0]
+    out = PGDResult(
+        modes=[jnp.asarray(new_modes0, dtype=np.asarray(result.modes[0]).dtype)]
+        + list(result.modes[1:]),
+        n_modes=K,
+        amplitudes=result.amplitudes,
+        alpha=result.alpha,
+        fp_its=result.fp_its,
+    )
+    return out
 
 
 # ---------------------------------------------------- preconditioned basis
@@ -485,4 +586,6 @@ def evaluate_modes_1d(V, modes_buf, points, xp=jnp):
     local = ed[cell]  # (B, nl)
     # modes_buf: (n_max, ndof) → gather (B, nl, n_max)
     gathered = modes_buf.T[local]  # (B, nl, n_max)
+    if xp is jnp:
+        return xp.einsum("bl,bln->bn", basis, gathered, precision=_PREC)
     return xp.einsum("bl,bln->bn", basis, gathered)
