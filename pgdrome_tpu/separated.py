@@ -119,22 +119,35 @@ def _cg_solve(A, b, iters):
     """Fixed-iteration CG (SPD A).  For the energy-basis preconditioned
     systems cond(A) = O(1), so ~20 iterations reach f32 accuracy — and the
     compiled program is a tiny matvec loop instead of an LU pivot cascade
-    (order-of-magnitude faster XLA compile AND runtime on TPU)."""
+    (order-of-magnitude faster XLA compile AND runtime on TPU).
+
+    The system is scale-normalized first (Â = A/s_A, b̂ = b/‖b‖) so every
+    internal quantity is O(1): late PGD modes have tiny right-hand sides
+    whose squared norms would otherwise underflow/denormalize in f32 and
+    collapse the iteration."""
+    dt = b.dtype
+    s_A = jnp.mean(jnp.abs(jnp.diagonal(A))) + jnp.asarray(1e-30, dt)
+    nb = jnp.sqrt(jnp.einsum("i,i->", b, b, precision=_PREC))
+    safe_nb = jnp.where(nb > 0, nb, 1.0)
+    Ah = A / s_A
+    bh = b / safe_nb
 
     def body(i, state):
         x, r, p, rs = state
-        Ap = jnp.einsum("ij,j->i", A, p, precision=_PREC)
-        alpha = rs / (jnp.einsum("i,i->", p, Ap, precision=_PREC) + 1e-30)
+        Ap = jnp.einsum("ij,j->i", Ah, p, precision=_PREC)
+        pAp = jnp.einsum("i,i->", p, Ap, precision=_PREC)
+        alpha = jnp.where(pAp > 0, rs / (pAp + 1e-30), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
         rs_new = jnp.einsum("i,i->", r, r, precision=_PREC)
-        p = r + (rs_new / (rs + 1e-30)) * p
+        beta = jnp.where(rs > 0, rs_new / (rs + 1e-30), 0.0)
+        p = r + beta * p
         return (x, r, p, rs_new)
 
-    x0 = jnp.zeros_like(b)
-    rs0 = jnp.einsum("i,i->", b, b, precision=_PREC)
-    x, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, b, b, rs0))
-    return x
+    x0 = jnp.zeros_like(bh)
+    rs0 = jnp.einsum("i,i->", bh, bh, precision=_PREC)
+    y, _, _, _ = jax.lax.fori_loop(0, iters, body, (x0, bh, bh, rs0))
+    return y * (nb / s_A)
 
 
 def _solve_dim(problem, k, Fs, modes, mode_mask, rhs, solver="lu", cg_iters=30):
@@ -280,7 +293,9 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
         norm_aux = jnp.sum(wprod)
         norm_fac = jnp.sqrt(jnp.abs(norm_aux)) ** (1.0 / nd)
         alpha = jnp.prod(norm_Fs) * norm_fac ** nd
-        scale = alpha ** (1.0 / nd) / norm_fac
+        # guard the f32 noise floor: a vanishing mode must not poison the
+        # buffers with NaN (0/0); it is reported with normU = 0 instead
+        scale = jnp.where(norm_fac > 0, alpha ** (1.0 / nd) / norm_fac, 0.0)
         Fstored = tuple(Fn[d] * scale for d in range(nd))
 
         normU = jnp.prod(norm_Fs)
@@ -349,6 +364,10 @@ class SeparatedPGD:
                 if verbose:
                     print(f"residual {res:.3e} < 1e-10 at mode {n}: stop")
                 break
+            if not np.isfinite(float(normU)) or float(normU) <= 0:
+                if verbose:
+                    print(f"mode {n} hit the fp noise floor: stop")
+                break
             modes = modes_new
             normConv.append(float(normU))
             alphas.append(float(alpha))
@@ -395,9 +414,10 @@ class SeparatedPGD:
                 def body(i, carry):
                     modes, normUs, alphas, fps = carry
                     modes_new, normU, alpha, fp_its, res = enrich(modes, i)
-                    # preserve residual early-exit semantics: keep the old
-                    # buffers (zero mode) if the residual already vanished
-                    keep = res >= 1e-10
+                    # preserve residual early-exit semantics AND stop at the
+                    # fp noise floor: keep the old buffers if the residual
+                    # vanished or the new mode collapsed/NaN'd
+                    keep = (res >= 1e-10) & jnp.isfinite(normU) & (normU > 0)
                     modes = tuple(
                         jnp.where(keep, mn, mo)
                         for mn, mo in zip(modes_new, modes)
