@@ -53,13 +53,18 @@ def _weight_at_quadrature(V: FunctionSpace, w):
 
 
 def _scatter_matrix(V: FunctionSpace, Ae):
-    """Scatter per-cell element matrices (nc, nl, nl) into a dense (n, n)."""
+    """Scatter per-cell element matrices (nc, nl, nl) into a dense (n, n).
+
+    Uses the native C++ scatter kernel when available (np.add.at is ~10x
+    slower); see pgdrome_tpu/native.py."""
+    from pgdrome_tpu import native
+
     ed = V.element_dofs
     n = V.ndofs
     rows = np.broadcast_to(ed[:, :, None], Ae.shape)
     cols = np.broadcast_to(ed[:, None, :], Ae.shape)
     A = np.zeros((n, n))
-    np.add.at(A, (rows, cols), Ae)
+    native.scatter_add_dense(A, rows, cols, Ae)
     return A
 
 
@@ -76,8 +81,10 @@ def _scatter_matrix_sparse(V: FunctionSpace, Ae):
 
 
 def _scatter_vector(V: FunctionSpace, be):
+    from pgdrome_tpu import native
+
     b = np.zeros(V.ndofs)
-    np.add.at(b, V.element_dofs, be)
+    native.scatter_add_vector(b, V.element_dofs, be)
     return b
 
 
