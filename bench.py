@@ -80,7 +80,7 @@ def tpu_solve(sep32):
     return res, t_solve
 
 
-def verify(sep64, Vs, res, tf, n_check=4):
+def verify(sep64, Vs, res, tf, n_check=6):
     """Max relative L2 error vs per-sample f64 FEM at on-grid parameters."""
     from pgdrome_tpu.fem.assembly import stiffness_matrix, load_vector
     from pgdrome_tpu.fem.bc import DirichletBC
@@ -193,6 +193,15 @@ def main():
     cfg.use_full_f32_matmul()  # bf16-default matmuls would cost ~4e-3 acc.
     sep64, sep32, tf, Vs = build()
     res, t_solve = tpu_solve(sep32)
+
+    # span-optimal coefficients in f64 against the (deterministically
+    # identical) transformed problem — host-side, O(T·K²) dots, ~ms
+    from pgdrome_tpu.separated import precondition_dim0, galerkin_update
+
+    t0 = time.perf_counter()
+    sep_pc64, _ = precondition_dim0(sep64, dtype=np.float64)
+    res = galerkin_update(sep_pc64, res)
+    log(f"galerkin update: {time.perf_counter() - t0:.2f}s")
     max_err = verify(sep64, Vs, res, tf)
     cpu_t, extrapolated = cpu_baseline(sep64, Vs, res.n_modes)
 

@@ -281,3 +281,39 @@ def load_pxdmf(pgd, filepath):
     pgd.numModes = len(pgd.mesh[0].attributes[0].data)
     pgd.used_numModes = pgd.numModes
     return pgd
+
+
+# ------------------------------------------------- solver-state checkpoints
+
+def save_result(result, filepath):
+    """Persist a fast-path PGDResult (mode buffers + convergence trace) —
+    the enrichment-loop resume checkpoint the reference lacks
+    (SURVEY.md §5: "no solver-state resume")."""
+    with h5py.File(filepath, "w") as f:
+        f.attrs["n_modes"] = result.n_modes
+        f.attrs["normU0"] = result.normU0
+        f.create_dataset("amplitudes", data=np.asarray(result.amplitudes))
+        f.create_dataset("alpha", data=np.asarray(result.alpha))
+        f.create_dataset("fp_its", data=np.asarray(result.fp_its))
+        for d, m in enumerate(result.modes):
+            f.create_dataset(f"modes_{d}", data=np.asarray(m))
+
+
+def load_result(filepath):
+    """Load a PGDResult checkpoint saved by :func:`save_result`."""
+    from pgdrome_tpu.separated import PGDResult
+
+    with h5py.File(filepath, "r") as f:
+        modes = []
+        d = 0
+        while f"modes_{d}" in f:
+            modes.append(np.asarray(f[f"modes_{d}"]))
+            d += 1
+        return PGDResult(
+            modes=modes,
+            n_modes=int(f.attrs["n_modes"]),
+            amplitudes=np.asarray(f["amplitudes"]),
+            alpha=np.asarray(f["alpha"]),
+            fp_its=np.asarray(f["fp_its"]),
+            normU0=float(f.attrs["normU0"]),
+        )

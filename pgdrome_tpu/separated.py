@@ -91,6 +91,7 @@ class PGDResult:
     amplitudes: np.ndarray  # relConv per enrichment (trimmed)
     alpha: np.ndarray
     fp_its: np.ndarray
+    normU0: float = 1.0  # absolute normU of the first mode (resume scale)
 
     def mode_list(self, dim):
         return [np.asarray(self.modes[dim][k]) for k in range(self.n_modes)]
@@ -353,10 +354,30 @@ class SeparatedPGD:
             for n in self.problem.sizes
         )
 
-    def solve(self, verbose: bool = False) -> PGDResult:
-        modes = self.init_buffers()
-        normConv, alphas, fps = [], [], []
-        n = 0
+    def solve(self, verbose: bool = False, resume_from: PGDResult | None = None) -> PGDResult:
+        """Progressive enrichment; pass ``resume_from`` (a prior PGDResult,
+        e.g. loaded from a checkpoint) to continue enriching instead of
+        restarting — PGD is progressive, so previous modes ARE the solver
+        state (SURVEY.md §5 checkpoint/resume)."""
+        if resume_from is not None:
+            modes = tuple(
+                jnp.zeros((self.n_max, n), dtype=self.problem.ops[0].dtype)
+                .at[: resume_from.n_modes]
+                .set(jnp.asarray(np.asarray(m)[: resume_from.n_modes]))
+                for m, n in zip(resume_from.modes, self.problem.sizes)
+            )
+            n = resume_from.n_modes
+            # amplitudes are stored relative; recover the absolute trace
+            normConv = list(
+                np.asarray(resume_from.amplitudes, dtype=np.float64)
+                * resume_from.normU0
+            )
+            alphas = list(np.asarray(resume_from.alpha, dtype=np.float64))
+            fps = list(np.asarray(resume_from.fp_its))
+        else:
+            modes = self.init_buffers()
+            normConv, alphas, fps = [], [], []
+            n = 0
         while n < self.n_max:
             modes_new, normU, alpha, fp_its, res = self._enrich(modes, n)
             res = float(res)
@@ -385,6 +406,7 @@ class SeparatedPGD:
             amplitudes=rel,
             alpha=np.asarray(alphas),
             fp_its=np.asarray(fps),
+            normU0=float(normConv[0]) if normConv else 1.0,
         )
 
     def solve_fused(self, n_enrich: int | None = None):
@@ -452,6 +474,7 @@ class SeparatedPGD:
             amplitudes=rel[:n],
             alpha=np.asarray(alphas)[:n],
             fp_its=np.asarray(fps)[:n],
+            normU0=float(normUs[0]) if nrun else 1.0,
         )
 
 
@@ -500,6 +523,7 @@ def galerkin_update(problem: SeparatedProblem, result: PGDResult) -> PGDResult:
         amplitudes=result.amplitudes,
         alpha=result.alpha,
         fp_its=result.fp_its,
+        normU0=result.normU0,
     )
     return out
 

@@ -201,14 +201,25 @@ class PGDProblem:
         return Fs_init
 
     # --------------------------------------------------------------- solve
-    def solve_PGD(self, _problem="nonlinear", solve_modes=None, settings=None):
-        """Progressive enrichment loop (reference solver.py:306-506)."""
+    def solve_PGD(self, _problem="nonlinear", solve_modes=None, settings=None,
+                  resume=False):
+        """Progressive enrichment loop (reference solver.py:306-506).
+
+        With ``resume=True`` enrichment continues from the modes already in
+        ``self.PGD_func`` instead of restarting — PGD is progressive, so
+        previous modes are the full solver state (an extension over the
+        reference, which always restarts; SURVEY.md §5)."""
         settings = settings or {}
-        n_enr = -1
-        normConv, relConv = [], []
+        if resume and self.PGD_func and len(self.PGD_func[0]):
+            n_enr = len(self.PGD_func[0]) - 1
+            normConv = list(self._normConv)
+            relConv = list(self.amplitude)
+        else:
+            n_enr = -1
+            normConv, relConv = [], []
         while n_enr < self.PGD_nmax - 1:
             n_enr += 1
-            if n_enr == 0:
+            if n_enr == 0 and not resume:
                 self.PGD_func = [list() for _ in range(self.num_pgd_var)]
                 normConv, relConv = [], []
 
@@ -343,6 +354,7 @@ class PGDProblem:
                 break
 
         self.amplitude = relConv
+        self._normConv = normConv
         self.PGD_modes = len(self.PGD_func[0])
         return self
 
