@@ -46,10 +46,10 @@ def build():
     )
     t_asm = time.perf_counter() - t0
     t0 = time.perf_counter()
-    sep32, tf = precondition_dim0(sep64, dtype=np.float32)
+    sep_pc64, tf = precondition_dim0(sep64, dtype=np.float64)  # host f64
     t_pc = time.perf_counter() - t0
     log(f"setup: assembly {t_asm:.2f}s, preconditioning {t_pc:.2f}s")
-    return sep64, sep32, tf, Vs
+    return sep64, sep_pc64, tf, Vs
 
 
 def tpu_solve(sep32):
@@ -191,15 +191,14 @@ def main():
     import pgdrome_tpu.config as cfg
 
     cfg.use_full_f32_matmul()  # bf16-default matmuls would cost ~4e-3 acc.
-    sep64, sep32, tf, Vs = build()
-    res, t_solve = tpu_solve(sep32)
+    sep64, sep_pc64, tf, Vs = build()
+    res, t_solve = tpu_solve(sep_pc64)
 
-    # span-optimal coefficients in f64 against the (deterministically
-    # identical) transformed problem — host-side, O(T·K²) dots, ~ms
-    from pgdrome_tpu.separated import precondition_dim0, galerkin_update
+    # span-optimal coefficients in f64 against the transformed problem —
+    # host-side, one optimized einsum chain
+    from pgdrome_tpu.separated import galerkin_update
 
     t0 = time.perf_counter()
-    sep_pc64, _ = precondition_dim0(sep64, dtype=np.float64)
     res = galerkin_update(sep_pc64, res)
     log(f"galerkin update: {time.perf_counter() - t0:.2f}s")
     max_err = verify(sep64, Vs, res, tf)

@@ -378,8 +378,13 @@ class SeparatedPGD:
             modes = self.init_buffers()
             normConv, alphas, fps = [], [], []
             n = 0
+        from pgdrome_tpu.profiling import EnrichmentMetrics
+
+        self.metrics = EnrichmentMetrics()
         while n < self.n_max:
-            modes_new, normU, alpha, fp_its, res = self._enrich(modes, n)
+            with self.metrics.step():
+                modes_new, normU, alpha, fp_its, res = self._enrich(modes, n)
+                jax.block_until_ready(modes_new)
             res = float(res)
             if res < 1e-10:
                 if verbose:
@@ -395,6 +400,7 @@ class SeparatedPGD:
             fps.append(int(fp_its))
             n += 1
             rel = normConv[-1] / normConv[0]
+            self.metrics.record(mode=n - 1, amplitude=rel, fp_its=int(fp_its))
             if verbose:
                 print(f"mode {n}: relConv={rel:.3e} fp_its={fp_its}")
             if rel < self.tol:
@@ -504,7 +510,9 @@ def galerkin_update(problem: SeparatedProblem, result: PGDResult) -> PGDResult:
     G = np.ones((ops[0].shape[0], K, K))
     for d in range(nd):
         # (T, K, K): F^i O F^j per term
-        G = G * np.einsum("ki,tij,lj->tkl", modes[d], ops[d], modes[d])
+        G = G * np.einsum(
+            "ki,tij,lj->tkl", modes[d], ops[d], modes[d], optimize=True
+        )
     Gmat = G.sum(axis=0)
 
     # b[i] = Σ_r Π_d (F_d^i · g_rd)
@@ -584,13 +592,16 @@ def precondition_dim0(sep: SeparatedProblem, dtype=None):
     new_rhs0 = np.asarray(sep.rhs[0], dtype=np.float64)[:, interior] @ Linv.T
     new_mass0 = Linv @ np.asarray(sep.mass[0], dtype=np.float64)[ii] @ Linv.T
 
+    # host numpy output (builders' convention): device casting happens at
+    # solver construction, so requesting f64 works regardless of the jax
+    # x64 flag (jnp would silently truncate)
     new = SeparatedProblem(
-        ops=[jnp.asarray(np.stack(new_ops0), dtype=dt)]
-        + [jnp.asarray(np.asarray(o), dtype=dt) for o in sep.ops[1:]],
-        rhs=[jnp.asarray(new_rhs0, dtype=dt)]
-        + [jnp.asarray(np.asarray(r), dtype=dt) for r in sep.rhs[1:]],
-        mass=[jnp.asarray(new_mass0, dtype=dt)]
-        + [jnp.asarray(np.asarray(m), dtype=dt) for m in sep.mass[1:]],
+        ops=[np.stack(new_ops0).astype(dt)]
+        + [np.asarray(o, dtype=dt) for o in sep.ops[1:]],
+        rhs=[new_rhs0.astype(dt)]
+        + [np.asarray(r, dtype=dt) for r in sep.rhs[1:]],
+        mass=[new_mass0.astype(dt)]
+        + [np.asarray(m, dtype=dt) for m in sep.mass[1:]],
         bc_dofs=[np.array([], dtype=np.int64)] + list(sep.bc_dofs[1:]),
     )
     tf = Dim0Transform(LinvT=Linv.T, interior=interior, n_full=n0)

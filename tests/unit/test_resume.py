@@ -58,3 +58,30 @@ class TestCompatResume:
         np.testing.assert_allclose(
             np.asarray(full.amplitude), np.asarray(part.amplitude), rtol=1e-9
         )
+
+
+class TestConfigAndMetrics:
+    def test_pgd_config(self):
+        from pgdrome_tpu.pgd_config import PGDConfig
+        from pgdrome_tpu.problems import elastic_truss, pgd_problem_from_separated
+
+        cfg = PGDConfig().with_(PGD_nmax=4, tol_fp_it=1e-7)
+        sep, Vs = elastic_truss(n_x=30, n_E=20)
+        prob = pgd_problem_from_separated(sep, Vs)
+        cfg.apply(prob)
+        assert prob.PGD_nmax == 4 and prob.tol_fp_it == 1e-7
+
+        s = SeparatedPGD(sep, **cfg.separated_kwargs())
+        r = s.solve()
+        assert r.n_modes <= 4
+
+    def test_metrics_collected(self):
+        from pgdrome_tpu.problems import parametric_elliptic
+
+        sep, _ = parametric_elliptic(n_x=30, n_p=8, num_params=2)
+        s = SeparatedPGD(sep, n_max=3, tol=1e-12, tol_fp=1e-7)
+        s.solve()
+        summ = s.metrics.summary()
+        assert summ["enrichments"] == 3
+        assert summ["total_wall_s"] > 0
+        assert summ["final_amplitude"] is not None
