@@ -196,6 +196,41 @@ def elasticity_matrix(V: FunctionSpace, C, sparse: bool = False):
     return A
 
 
+def elasticity_matrix_3d(V: FunctionSpace, C, sparse: bool = False):
+    """K[i,j] = ∫ ε(φi) : C : ε(φj) dx for a 3D vector space; C is a 6×6
+    Voigt matrix (εxx, εyy, εzz, γyz, γxz, γxy)."""
+    if V.value_size != 3:
+        raise ValueError("elasticity_matrix_3d needs a 3D vector space")
+    C = np.asarray(C, dtype=np.float64)
+    grads = V.q_grads  # (nc, nl, nq, 3)
+    nc, nl, nq, _ = grads.shape
+    z = np.zeros((nc, nl, nq))
+    gx, gy, gz = grads[..., 0], grads[..., 1], grads[..., 2]
+    # component c of dof l contributes rows of the Voigt strain vector
+    Bx = np.stack([gx, z, z, z, gz, gy], axis=-1)
+    By = np.stack([z, gy, z, gz, z, gx], axis=-1)
+    Bz = np.stack([z, z, gz, gy, gx, z], axis=-1)
+    B = np.stack([Bx, By, Bz], axis=2).reshape(nc, nl * 3, nq, 6)
+    CB = np.einsum("vw,cjqw->cjqv", C, B)
+    Ae = np.einsum("cq,ciqv,cjqv->cij", V.q_weights, B, CB)
+    ed = V.element_dofs
+    vd = (ed[:, :, None] * 3 + np.arange(3)[None, None, :]).reshape(nc, nl * 3)
+    n = V.dim()
+    rows = np.broadcast_to(vd[:, :, None], Ae.shape)
+    cols = np.broadcast_to(vd[:, None, :], Ae.shape)
+    if sparse:
+        from scipy import sparse as sps
+
+        return sps.coo_matrix(
+            (Ae.ravel(), (rows.ravel(), cols.ravel())), shape=(n, n)
+        ).tocsr()
+    A = np.zeros((n, n))
+    from pgdrome_tpu import native
+
+    native.scatter_add_dense(A, rows, cols, Ae)
+    return A
+
+
 def vector_mass_matrix(V: FunctionSpace, weight=None, sparse: bool = False):
     """Block mass matrix for a vector space (interleaved dofs)."""
     key = "vmass_sp" if sparse else "vmass"

@@ -23,13 +23,11 @@ def _on_boundary_mask(V: FunctionSpace) -> np.ndarray:
         x = pts[:, 0]
         lo, hi = mesh.coordinates()[:, 0].min(), mesh.coordinates()[:, 0].max()
         return (np.abs(x - lo) < 1e-12) | (np.abs(x - hi) < 1e-12)
-    (x0, x1), (y0, y1) = mesh.bounds
-    return (
-        (np.abs(pts[:, 0] - x0) < 1e-12)
-        | (np.abs(pts[:, 0] - x1) < 1e-12)
-        | (np.abs(pts[:, 1] - y0) < 1e-12)
-        | (np.abs(pts[:, 1] - y1) < 1e-12)
-    )
+    mask = np.zeros(len(pts), dtype=bool)
+    for ax, (lo, hi) in enumerate(mesh.bounds):
+        mask |= np.abs(pts[:, ax] - lo) < 1e-12
+        mask |= np.abs(pts[:, ax] - hi) < 1e-12
+    return mask
 
 
 class DirichletBC:

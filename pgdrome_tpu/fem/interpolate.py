@@ -123,6 +123,54 @@ def _bary_in_cell(mesh, cell, pts, xp):
     return xp.stack([l0, l1, l2], axis=-1)
 
 
+def _shape_tet_x(degree, bary, xp):
+    if degree == 1:
+        return bary
+    if degree == 0:
+        return xp.ones(bary.shape[:-1] + (1,))
+    raise NotImplementedError
+
+
+def _locate_3d(mesh, pts, xp):
+    """Cell index + barycentric coords for points in a BoxMesh (Kuhn split:
+    the tet of permutation π contains local coords with u_{π0} ≥ u_{π1} ≥
+    u_{π2})."""
+    (x0, x1), (y0, y1), (z0, z1) = mesh.bounds
+    nx, ny, nz = mesh.nx, mesh.ny, mesh.nz
+    hx, hy, hz = (x1 - x0) / nx, (y1 - y0) / ny, (z1 - z0) / nz
+    i = xp.clip(xp.floor((pts[..., 0] - x0) / hx).astype(np.int32), 0, nx - 1)
+    j = xp.clip(xp.floor((pts[..., 1] - y0) / hy).astype(np.int32), 0, ny - 1)
+    k = xp.clip(xp.floor((pts[..., 2] - z0) / hz).astype(np.int32), 0, nz - 1)
+    u = (pts[..., 0] - (x0 + i * hx)) / hx
+    v = (pts[..., 1] - (y0 + j * hy)) / hy
+    w = (pts[..., 2] - (z0 + k * hz)) / hz
+    hexid = (k * ny + j) * nx + i
+    # the Kuhn tet containing (u,v,w) is given by the descending sort order
+    # of the local coordinates; rank each axis (0 = largest, ties broken
+    # toward the lower axis → a valid adjacent tet, bary stays continuous)
+    a0 = (u < v).astype(np.int32) + (u < w).astype(np.int32)  # rank of u
+    a1 = (v <= u).astype(np.int32) + (v < w).astype(np.int32)  # rank of v
+    # perm index in BoxMesh._KUHN_PERMS order:
+    # (0,1,2)->0 (0,2,1)->1 (1,0,2)->2 (1,2,0)->3 (2,0,1)->4 (2,1,0)->5
+    first = xp.where(a0 == 0, 0, xp.where(a1 == 0, 1, 2))
+    second = xp.where(a0 == 1, 0, xp.where(a1 == 1, 1, 2))
+    local = xp.where(
+        (first == 0) & (second == 1), 0,
+        xp.where((first == 0) & (second == 2), 1,
+        xp.where((first == 1) & (second == 0), 2,
+        xp.where((first == 1) & (second == 2), 3,
+        xp.where((first == 2) & (second == 0), 4, 5)))),
+    )
+    cell = hexid * 6 + local
+    # barycentric coords along the Kuhn path: sort desc s0>=s1>=s2 then
+    # l0 = 1-s0, l1 = s0-s1, l2 = s1-s2, l3 = s2
+    s0 = xp.maximum(xp.maximum(u, v), w)
+    s2 = xp.minimum(xp.minimum(u, v), w)
+    s1 = u + v + w - s0 - s2
+    bary = xp.stack([1.0 - s0, s0 - s1, s1 - s2, s2], axis=-1)
+    return cell, bary
+
+
 def eval_dofs_at_points(V, dofs, points, derivative: bool = False, xp=np):
     """Evaluate a FE function (dof vector `dofs` on space `V`) at `points`.
 
@@ -147,13 +195,19 @@ def eval_dofs_at_points(V, dofs, points, derivative: bool = False, xp=np):
             basis = _dshape_1d_x(V.degree, xi, xp) / h[..., None]
         else:
             basis = _shape_1d_x(V.degree, xi, xp)  # (..., nl)
-    else:
+    elif tdim == 2:
         if derivative:
             raise NotImplementedError("derivative point-eval only in 1D")
         pts = xp.asarray(points)
         cell = _locate_2d(mesh, pts, xp)
         bary = _bary_in_cell(mesh, cell, pts, xp)
         basis = _shape_tri_x(V.degree, bary, xp)
+    else:  # 3D BoxMesh
+        if derivative:
+            raise NotImplementedError("derivative point-eval only in 1D")
+        pts = xp.asarray(points)
+        cell, bary = _locate_3d(mesh, pts, xp)
+        basis = _shape_tet_x(V.degree, bary, xp)
 
     local_sdofs = ed[cell]  # (..., nl)
     if vs == 1:
@@ -181,12 +235,8 @@ def check_in_range(V, points) -> None:
                 f"{flat[(flat < lo) | (flat > hi)]}"
             )
     else:
-        (x0, x1), (y0, y1) = mesh.bounds
-        p2 = pts.reshape(-1, 2)
-        if (
-            np.any(p2[:, 0] < x0 - 1e-12)
-            or np.any(p2[:, 0] > x1 + 1e-12)
-            or np.any(p2[:, 1] < y0 - 1e-12)
-            or np.any(p2[:, 1] > y1 + 1e-12)
-        ):
-            raise ValueError("point(s) outside 2D mesh bounds")
+        gdim = mesh.geometry_dim()
+        pflat = pts.reshape(-1, gdim)
+        for ax, (lo, hi) in enumerate(mesh.bounds):
+            if np.any(pflat[:, ax] < lo - 1e-12) or np.any(pflat[:, ax] > hi + 1e-12):
+                raise ValueError(f"point(s) outside mesh bounds on axis {ax}")

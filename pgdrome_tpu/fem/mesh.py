@@ -191,3 +191,51 @@ class RectangleMesh(Mesh):
         (x0, x1), (y0, y1) = self.bounds
         hx, hy = (x1 - x0) / self.nx, (y1 - y0) / self.ny
         return float(min(hx, hy))
+
+
+class BoxMesh(Mesh):
+    """Structured tetrahedralization of ``[p0, p1]`` with nx×ny×nz hexes,
+    each split into 6 tets (Kuhn/Freudenthal split — conforming).
+
+    Vertex ordering: grid vertices with x fastest, then y, then z
+    (idx = (k·(ny+1) + j)·(nx+1) + i)."""
+
+    _KUHN_PERMS = [
+        (0, 1, 2),
+        (0, 2, 1),
+        (1, 0, 2),
+        (1, 2, 0),
+        (2, 0, 1),
+        (2, 1, 0),
+    ]
+
+    def __init__(self, p0: Point, p1: Point, nx: int, ny: int, nz: int):
+        x0, y0, z0 = p0[0], p0[1], p0[2]
+        x1, y1, z1 = p1[0], p1[1], p1[2]
+        nx, ny, nz = int(nx), int(ny), int(nz)
+        xs = np.linspace(x0, x1, nx + 1)
+        ys = np.linspace(y0, y1, ny + 1)
+        zs = np.linspace(z0, z1, nz + 1)
+        Z, Y, X = np.meshgrid(zs, ys, xs, indexing="ij")
+        verts = np.stack([X.ravel(), Y.ravel(), Z.ravel()], axis=1)
+
+        def vid(i, j, k):
+            return (k * (ny + 1) + j) * (nx + 1) + i
+
+        tets = []
+        # Kuhn split: each tet is the path 0 -> e_{p0} -> e_{p0}+e_{p1} -> 1
+        for k in range(nz):
+            for j in range(ny):
+                for i in range(nx):
+                    corner = np.array([i, j, k])
+                    for perm in self._KUHN_PERMS:
+                        path = [corner.copy()]
+                        cur = corner.copy()
+                        for ax in perm:
+                            cur = cur.copy()
+                            cur[ax] += 1
+                            path.append(cur)
+                        tets.append([vid(*p) for p in path])
+        super().__init__(verts, np.asarray(tets, dtype=np.int32), tdim=3)
+        self.nx, self.ny, self.nz = nx, ny, nz
+        self.bounds = ((x0, x1), (y0, y1), (z0, z1))

@@ -1,4 +1,5 @@
-"""Function spaces: P1/P2 (CG) and DG0/DG1 on 1D/2D structured meshes.
+"""Function spaces: P1/P2 (CG) and DG0/DG1 on 1D/2D structured meshes,
+plus P1 on 3D tetrahedral BoxMeshes.
 
 Replaces dolfin.FunctionSpace / VectorFunctionSpace (used throughout the
 reference, e.g. tests/integration/test_elastic.py:46,
@@ -147,6 +148,38 @@ def _shape_tri(degree: int, bary: np.ndarray):
     return vals, d
 
 
+# 4-point degree-2 rule on the reference tetrahedron (volume 1/6),
+# barycentric quadruplets
+_TET_RULE = (
+    np.array(
+        [
+            [0.5854101966249685, 0.1381966011250105, 0.1381966011250105, 0.1381966011250105],
+            [0.1381966011250105, 0.5854101966249685, 0.1381966011250105, 0.1381966011250105],
+            [0.1381966011250105, 0.1381966011250105, 0.5854101966249685, 0.1381966011250105],
+            [0.1381966011250105, 0.1381966011250105, 0.1381966011250105, 0.5854101966249685],
+        ]
+    ),
+    np.full(4, 1.0 / 24.0),
+)
+
+
+def _shape_tet(degree: int, bary: np.ndarray):
+    """P1 (or P0) tetrahedral basis: values (nl, nq) and barycentric
+    gradients (nl, nq, 4)."""
+    nq = bary.shape[0]
+    if degree == 1:
+        vals = bary.T.copy()
+        d = np.zeros((4, nq, 4))
+        for i in range(4):
+            d[i, :, i] = 1.0
+    elif degree == 0:
+        vals = np.ones((1, nq))
+        d = np.zeros((1, nq, 4))
+    else:
+        raise NotImplementedError("3D supports P1 (and DG0) for now")
+    return vals, d
+
+
 _CG_FAMILIES = {"P", "CG", "Lagrange"}
 _DG_FAMILIES = {"DG", "Discontinuous Lagrange"}
 
@@ -255,8 +288,14 @@ class FunctionSpace:
                 self.ndofs = nv + nedges
             else:
                 raise NotImplementedError("2D CG degree must be 1 or 2")
+        elif tdim == 3:
+            if deg != 1:
+                raise NotImplementedError("3D CG degree must be 1")
+            self.element_dofs = cells.astype(np.int32)
+            self.dof_coords = coords.copy()
+            self.ndofs = mesh.num_vertices()
         else:
-            raise NotImplementedError("only 1D/2D meshes")
+            raise NotImplementedError("only 1D/2D/3D meshes")
 
     # ----------------------------------------------------------- quadrature
     def _tabulate_quadrature(self):
@@ -284,6 +323,26 @@ class FunctionSpace:
             self.q_weights = wJ
             self.q_basis = np.broadcast_to(vals, (len(cells),) + vals.shape)
             self.q_grads = grads[..., None]  # (nc, nl, nq, 1)
+        elif tdim == 3:
+            bary, w = _TET_RULE
+            vals, dbary = _shape_tet(deg, bary)  # (nl,nq), (nl,nq,4)
+            tet = coords[cells]  # (nc, 4, 3)
+            v0 = tet[:, 0]
+            J = np.stack(
+                [tet[:, 1] - v0, tet[:, 2] - v0, tet[:, 3] - v0], axis=2
+            )  # (nc,3,3), columns = edge vectors
+            detJ = np.linalg.det(J)
+            Jinv = np.linalg.inv(J)  # (nc,3,3)
+            dref = np.stack(
+                [dbary[:, :, i + 1] - dbary[:, :, 0] for i in range(3)], axis=2
+            )  # (nl, nq, 3) wrt (l1,l2,l3)
+            grads = np.einsum("lqr,crg->clqg", dref, Jinv)
+            qpts = np.einsum("qk,ckg->cqg", bary, tet)
+            wJ = np.abs(detJ)[:, None] * w[None, :]
+            self.q_points = qpts
+            self.q_weights = wJ
+            self.q_basis = np.broadcast_to(vals, (len(cells),) + vals.shape)
+            self.q_grads = grads
         else:
             rule_deg = 2 if deg <= 1 else 4
             bary, w = _TRI_RULES[rule_deg]
