@@ -308,6 +308,173 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
     return enrich
 
 
+def make_enrich_step_scanned(problem: SeparatedProblem, max_fp_it=50,
+                             tol_fp=1e-5, solver="cg", cg_iters=30):
+    """Enrichment step with the parameter dimensions folded into ONE
+    ``lax.scan`` — exact Gauss-Seidel semantics via the prefix-new /
+    suffix-old product trick.
+
+    The unrolled step traces one solve program per dimension; for
+    many-parameter vademecums that bloats XLA compile time linearly in d.
+    Here dims 1..d-1 (which must share shapes, the usual vademecum case)
+    are stacked to (P, T, n, n) and the alternating sweep scans over them:
+    the coefficient for dim p is  w0 · Π_{q<p} w_q^new · Π_{q>p} w_q^old,
+    with the prefix carried and the suffix precomputed by reverse cumprod.
+    Compile cost becomes independent of the number of parameters.
+
+    Requires residual_check semantics disabled (bench path) and uniform
+    parameter-dim shapes."""
+    nd = problem.num_dims
+    P = nd - 1
+    if len({problem.sizes[d] for d in range(1, nd)}) != 1:
+        raise ValueError("scanned enrich needs uniform parameter-dim shapes")
+
+    OPS_P = jnp.stack([jnp.asarray(problem.ops[d]) for d in range(1, nd)])
+    MASS_P = jnp.stack([jnp.asarray(problem.mass[d]) for d in range(1, nd)])
+    MASK_P = jnp.stack([jnp.asarray(problem.bc_masks[d]) for d in range(1, nd)])
+    ops0 = jnp.asarray(problem.ops[0])
+    mass0 = jnp.asarray(problem.mass[0])
+    mask0 = jnp.asarray(problem.bc_masks[0])
+    T = problem.num_terms
+
+    def solve_system(A, b, mask):
+        A, b = _apply_bc_system(A, b, mask)
+        if solver == "cg":
+            return _cg_solve(A, b, cg_iters)
+        return jnp.linalg.solve(A, b)
+
+    def param_weights(FP):
+        return jnp.einsum("ptij,pi,pj->pt", OPS_P, FP, FP, precision=_PREC)
+
+    def enrich(modes, n_modes, rhs=None):
+        rhs = tuple(problem.rhs) if rhs is None else tuple(rhs)
+        rhs0 = jnp.asarray(rhs[0])
+        RHS_P = jnp.stack([jnp.asarray(rhs[d]) for d in range(1, nd)])
+        R = rhs0.shape[0]
+        M = modes[0].shape[0]
+        MODES_P = jnp.stack([modes[d] for d in range(1, nd)])  # (P, M, n)
+        modes0 = modes[0]
+        dt = ops0.dtype
+        mode_mask = (jnp.arange(M) < n_modes).astype(dt)
+
+        # init factors (normalized masked ones)
+        F0 = jnp.ones(problem.sizes[0], dtype=dt) * mask0
+        F0 = F0 / jnp.sqrt(jnp.abs(jnp.einsum("i,ij,j->", F0, mass0, F0, precision=_PREC)))
+        FP = jnp.ones((P, problem.sizes[1]), dtype=dt) * MASK_P
+        FPn = jnp.sqrt(jnp.abs(jnp.einsum("pi,pij,pj->p", FP, MASS_P, FP, precision=_PREC)))
+        FP = FP / FPn[:, None]
+
+        def sweep(F0, FP):
+            # all-param weights with current values
+            w_p = param_weights(FP)  # (P, T)
+            r_p = jnp.einsum("pri,pi->pr", RHS_P, FP, precision=_PREC)  # (P, R)
+            FA_p = jnp.einsum("pi,ptij->ptj", FP, OPS_P, precision=_PREC)
+            pm_p = jnp.einsum("pmj,ptj->pmt", MODES_P, FA_p, precision=_PREC)
+
+            # ---- dim 0 solve
+            coef = jnp.prod(w_p, axis=0)  # (T,)
+            A0 = jnp.einsum("t,tij->ij", coef, ops0, precision=_PREC)
+            rc = jnp.prod(r_p, axis=0)  # (R,)
+            b0 = jnp.einsum("r,ri->i", rc, rhs0, precision=_PREC)
+            Pm = jnp.prod(pm_p, axis=0) * mode_mask[:, None]  # (M, T)
+            W = jnp.einsum("mt,mi->ti", Pm, modes0, precision=_PREC)
+            b0 = b0 - jnp.einsum("tij,tj->i", ops0, W, precision=_PREC)
+            F0n = solve_system(A0, b0, mask0)
+
+            # dim-0 weights with the new factor
+            w0 = jnp.einsum("tij,i,j->t", ops0, F0n, F0n, precision=_PREC)
+            r0 = jnp.einsum("ri,i->r", rhs0, F0n, precision=_PREC)
+            FA0 = jnp.einsum("i,tij->tj", F0n, ops0, precision=_PREC)
+            pm0 = jnp.einsum("mj,tj->mt", modes0, FA0, precision=_PREC)  # (M, T)
+
+            # ---- scanned Gauss-Seidel over parameter dims
+            # suffix products over q > p of OLD values: reverse cumprod
+            def rev_suffix(x, unit_shape):
+                rc_ = jnp.cumprod(x[::-1], axis=0)[::-1]  # (P, ...)
+                ones = jnp.ones((1,) + unit_shape, dtype=x.dtype)
+                return jnp.concatenate([rc_[1:], ones], axis=0)  # suffix[p]=Π_{q>p}
+
+            suff_w = rev_suffix(w_p, (T,))
+            suff_r = rev_suffix(r_p, (R,))
+            suff_pm = rev_suffix(pm_p, (M, T))
+
+            def body(carry, xs):
+                pre_w, pre_r, pre_pm = carry
+                Op, Rp, Mo, Mk, sw, sr, spm = xs
+                coef = w0 * pre_w * sw
+                A = jnp.einsum("t,tij->ij", coef, Op, precision=_PREC)
+                b = jnp.einsum(
+                    "r,ri->i", r0 * pre_r * sr, Rp, precision=_PREC
+                )
+                Pm = pm0 * pre_pm * spm * mode_mask[:, None]
+                Wp = jnp.einsum("mt,mi->ti", Pm, Mo, precision=_PREC)
+                b = b - jnp.einsum("tij,tj->i", Op, Wp, precision=_PREC)
+                Fp = solve_system(A, b, Mk)
+                # fold the updated factor into the prefixes
+                pre_w = pre_w * jnp.einsum("tij,i,j->t", Op, Fp, Fp, precision=_PREC)
+                pre_r = pre_r * jnp.einsum("ri,i->r", Rp, Fp, precision=_PREC)
+                FAp = jnp.einsum("i,tij->tj", Fp, Op, precision=_PREC)
+                pre_pm = pre_pm * jnp.einsum("mj,tj->mt", Mo, FAp, precision=_PREC)
+                return (pre_w, pre_r, pre_pm), Fp
+
+            init = (
+                jnp.ones((T,), dtype=dt),
+                jnp.ones((R,), dtype=dt),
+                jnp.ones((M, T), dtype=dt),
+            )
+            _, FPn = jax.lax.scan(
+                body, init, (OPS_P, RHS_P, MODES_P, MASK_P, suff_w, suff_r, suff_pm)
+            )
+            return F0n, FPn
+
+        def cond(state):
+            F0, FP, F0p, FPp, err, it = state
+            return (err >= tol_fp) & (it < max_fp_it)
+
+        def body(state):
+            F0, FP, _, _, _, it = state
+            F0n, FPn = sweep(F0, FP)
+            # 'norm' stop: product of per-dim inner products
+            i0nn = jnp.einsum("i,ij,j->", F0n, mass0, F0n, precision=_PREC)
+            i0no = jnp.einsum("i,ij,j->", F0n, mass0, F0, precision=_PREC)
+            i0oo = jnp.einsum("i,ij,j->", F0, mass0, F0, precision=_PREC)
+            ipnn = jnp.einsum("pi,pij,pj->p", FPn, MASS_P, FPn, precision=_PREC)
+            ipno = jnp.einsum("pi,pij,pj->p", FPn, MASS_P, FP, precision=_PREC)
+            ipoo = jnp.einsum("pi,pij,pj->p", FP, MASS_P, FP, precision=_PREC)
+            newnew = i0nn * jnp.prod(ipnn)
+            newold = i0no * jnp.prod(ipno)
+            oldold = i0oo * jnp.prod(ipoo)
+            err = jnp.sqrt(jnp.abs(newnew + oldold - 2 * newold))
+            return (F0n, FPn, F0, FP, err, it + 1)
+
+        big = jnp.asarray(jnp.inf, dtype=dt)
+        F0, FP, _, _, err, fp_its = jax.lax.while_loop(
+            cond, body, (F0, FP, F0, FP, big, 0)
+        )
+
+        n0 = jnp.sqrt(jnp.abs(jnp.einsum("i,ij,j->", F0, mass0, F0, precision=_PREC)))
+        np_ = jnp.sqrt(jnp.abs(jnp.einsum("pi,pij,pj->p", FP, MASS_P, FP, precision=_PREC)))
+        F0n = F0 / n0
+        FPn = FP / np_[:, None]
+
+        # 'stiff' normalization on L2-normalized factors
+        wprod = jnp.einsum("tij,i,j->t", ops0, F0n, F0n, precision=_PREC)
+        wprod = wprod * jnp.prod(param_weights(FPn), axis=0)
+        norm_aux = jnp.sum(wprod)
+        norm_fac = jnp.sqrt(jnp.abs(norm_aux)) ** (1.0 / nd)
+        normU = n0 * jnp.prod(np_)
+        alpha = normU * norm_fac ** nd
+        scale = jnp.where(norm_fac > 0, alpha ** (1.0 / nd) / norm_fac, 0.0)
+
+        new_modes = (modes[0].at[n_modes].set(F0n * scale),) + tuple(
+            modes[d].at[n_modes].set(FPn[d - 1] * scale) for d in range(1, nd)
+        )
+        res = jnp.asarray(1.0, dtype=dt)  # residual check not supported here
+        return new_modes, normU, alpha, fp_its, res
+
+    return enrich
+
+
 class SeparatedPGD:
     """Progressive PGD driver over a :class:`SeparatedProblem`.
 
@@ -329,6 +496,7 @@ class SeparatedPGD:
         solver: str = "lu",
         cg_iters: int = 30,
         residual_check: bool = True,
+        scan_params: bool = False,
     ):
         if isinstance(problem.ops[0], np.ndarray):
             problem = problem.as_device(dtype)
@@ -341,12 +509,18 @@ class SeparatedPGD:
         self._cg_iters = cg_iters
         self._seq_fp = seq_fp
         self._residual_check = residual_check
-        self._enrich = jax.jit(
-            make_enrich_step(
+        self._scan_params = scan_params
+        if scan_params:
+            step = make_enrich_step_scanned(
+                problem, max_fp_it=max_fp_it, tol_fp=tol_fp, solver=solver,
+                cg_iters=cg_iters,
+            )
+        else:
+            step = make_enrich_step(
                 problem, seq_fp=seq_fp, max_fp_it=max_fp_it, tol_fp=tol_fp,
                 solver=solver, cg_iters=cg_iters, residual_check=residual_check,
             )
-        )
+        self._enrich = jax.jit(step)
 
     def init_buffers(self):
         return tuple(
@@ -427,15 +601,24 @@ class SeparatedPGD:
         are simply truncated)."""
         n_enrich = n_enrich or self.n_max
         if not hasattr(self, "_fused"):
-            enrich = make_enrich_step(
-                self.problem,
-                seq_fp=self._seq_fp,
-                max_fp_it=self._max_fp_it,
-                tol_fp=self._tol_fp,
-                solver=self._solver,
-                cg_iters=self._cg_iters,
-                residual_check=self._residual_check,
-            )
+            if self._scan_params:
+                enrich = make_enrich_step_scanned(
+                    self.problem,
+                    max_fp_it=self._max_fp_it,
+                    tol_fp=self._tol_fp,
+                    solver=self._solver,
+                    cg_iters=self._cg_iters,
+                )
+            else:
+                enrich = make_enrich_step(
+                    self.problem,
+                    seq_fp=self._seq_fp,
+                    max_fp_it=self._max_fp_it,
+                    tol_fp=self._tol_fp,
+                    solver=self._solver,
+                    cg_iters=self._cg_iters,
+                    residual_check=self._residual_check,
+                )
             nd = self.problem.num_dims
 
             def fused(modes):

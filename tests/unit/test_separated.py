@@ -101,3 +101,28 @@ class TestFastPathParity:
         err = np.linalg.norm(u_pgd - u_ref) / np.linalg.norm(u_ref)
         print("vademecum rel err:", err, "modes:", res.n_modes)
         assert err < 1e-6
+
+
+class TestScannedStep:
+    def test_scan_matches_unrolled(self):
+        # the lax.scan-over-parameter-dims variant must reproduce the
+        # unrolled Gauss-Seidel sweep exactly (prefix-new/suffix-old trick)
+        sep, Vs = parametric_elliptic(n_x=48, n_p=12, num_params=3)
+        a = SeparatedPGD(
+            sep, n_max=6, tol=1e-13, tol_fp=1e-8, residual_check=False
+        ).solve()
+        b = SeparatedPGD(
+            sep, n_max=6, tol=1e-13, tol_fp=1e-8, scan_params=True
+        ).solve()
+        np.testing.assert_allclose(a.amplitudes, b.amplitudes, rtol=1e-10)
+        for d in range(4):
+            np.testing.assert_allclose(
+                np.asarray(a.modes[d]), np.asarray(b.modes[d]), rtol=1e-8, atol=1e-12
+            )
+
+    def test_scan_fused(self):
+        sep, Vs = parametric_elliptic(n_x=32, n_p=8, num_params=2)
+        s = SeparatedPGD(sep, n_max=5, tol=1e-13, tol_fp=1e-8, scan_params=True)
+        r1 = s.solve()
+        r2 = s.solve_fused()
+        np.testing.assert_allclose(r1.amplitudes, r2.amplitudes, rtol=1e-12)
