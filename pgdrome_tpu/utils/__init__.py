@@ -1,0 +1,17 @@
+"""Utilities: configuration, profiling/metrics, load separation, native
+host kernels."""
+
+from pgdrome_tpu.pgd_config import PGDConfig
+from pgdrome_tpu.profiling import trace, EnrichmentMetrics
+from pgdrome_tpu.separation import separate, separate_rank1, separation_error
+from pgdrome_tpu import native
+
+__all__ = [
+    "PGDConfig",
+    "trace",
+    "EnrichmentMetrics",
+    "separate",
+    "separate_rank1",
+    "separation_error",
+    "native",
+]
