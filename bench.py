@@ -117,6 +117,32 @@ def verify(sep64, Vs, res, tf, n_check=6):
     return float(np.max(errs))
 
 
+def sweep_throughput(Vs, res, tf, n_samples=200_000):
+    """Vademecum inference: samples/s for the batched rank-1 sweep."""
+    import jax
+    import jax.numpy as jnp
+    from pgdrome_tpu.parallel.vademecum import make_sweep_fn
+
+    full0 = jnp.asarray(tf.modes_to_full(res.modes[0]).astype(np.float32))
+    modes = [full0] + [jnp.asarray(m) for m in res.modes[1:]]
+    sweep = make_sweep_fn(Vs, modes, res.n_modes)
+    rng = np.random.default_rng(3)
+    samples = jnp.asarray(
+        rng.uniform(0.02, 0.98, size=(n_samples, NUM_PARAMS)).astype(np.float32)
+    )
+    out = sweep(samples)  # compile
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    reps = 5
+    for _ in range(reps):
+        out = sweep(samples)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    rate = n_samples / dt
+    log(f"vademecum sweep: {n_samples} samples in {dt*1e3:.1f} ms → {rate:,.0f} fields/s")
+    return rate
+
+
 def cpu_baseline(sep64, Vs, n_modes_target):
     """Reference-architecture baseline: host Python orchestration with
     per-dim dense solves (pgd_problem_from_separated), capped + per-mode
@@ -202,6 +228,11 @@ def main():
     res = galerkin_update(sep_pc64, res)
     log(f"galerkin update: {time.perf_counter() - t0:.2f}s")
     max_err = verify(sep64, Vs, res, tf)
+    try:
+        sweep_rate = sweep_throughput(Vs, res, tf)
+    except Exception as e:  # never block the headline metric
+        log(f"sweep throughput skipped: {e}")
+        sweep_rate = None
     cpu_t, extrapolated = cpu_baseline(sep64, Vs, res.n_modes)
 
     out = {
@@ -216,6 +247,7 @@ def main():
         "cpu_baseline_extrapolated": extrapolated,
         "space_dofs": int(sep64.sizes[0]),
         "param_dofs": int(sep64.sizes[1]),
+        "sweep_fields_per_s": round(sweep_rate) if sweep_rate else None,
     }
     print(json.dumps(out), flush=True)
 
