@@ -719,6 +719,56 @@ def galerkin_update(problem: SeparatedProblem, result: PGDResult) -> PGDResult:
     return out
 
 
+def normal_equations(sep: SeparatedProblem) -> SeparatedProblem:
+    """Minimal-residual PGD: transform to the normal equations AᵀA u = Aᵀf.
+
+    Greedy Galerkin PGD has no minimization principle for non-symmetric
+    operators (upwind time, advection) and can converge slowly or stall;
+    on AᵀA it minimizes the true residual monotonically.  Separated
+    structure is preserved: T lhs terms → T² (O_tdᵀ O_t'd per dim), R rhs
+    terms → T·R (O_tdᵀ g_rd).  Condition numbers square — combine with
+    :func:`precondition_dim0` for f32 runs.
+
+    Dirichlet dofs are assumed homogenized (they are eliminated in the
+    solver via masks; the masked system's normal equations coincide with
+    masking these transformed operators because constrained entries carry
+    zeros through every factor)."""
+    ops = [np.asarray(o, dtype=np.float64) for o in sep.ops]
+    rhs = [np.asarray(r, dtype=np.float64) for r in sep.rhs]
+    nd = sep.num_dims
+    T = sep.num_terms
+    R = sep.num_rhs
+
+    # zero out constrained rows/cols first so AᵀA matches the masked system
+    masked_ops = []
+    for d in range(nd):
+        m = np.asarray(sep.bc_masks[d], dtype=np.float64)
+        masked_ops.append(ops[d] * m[None, :, None] * m[None, None, :])
+    masked_rhs = []
+    for d in range(nd):
+        m = np.asarray(sep.bc_masks[d], dtype=np.float64)
+        masked_rhs.append(rhs[d] * m[None, :])
+
+    new_ops = []
+    new_rhs = []
+    for d in range(nd):
+        O = masked_ops[d]
+        OtO = np.einsum("tik,uij->tukj", O, O).reshape(T * T, O.shape[1], O.shape[2])
+        new_ops.append(OtO)
+        # Aᵀ f per dim: O_tdᵀ g_rd
+        Otg = np.einsum("tik,ri->trk", O, masked_rhs[d]).reshape(
+            T * R, O.shape[1]
+        )
+        new_rhs.append(Otg)
+
+    return SeparatedProblem(
+        ops=new_ops,
+        rhs=new_rhs,
+        mass=[np.asarray(m, dtype=np.float64) for m in sep.mass],
+        bc_dofs=list(sep.bc_dofs),
+    )
+
+
 # ---------------------------------------------------- preconditioned basis
 
 @dataclass

@@ -173,3 +173,82 @@ class TestMovingHeatSource:
             "sep_err:", sep_err, "amp[-1]:", res.amplitudes[-1],
         )
         assert err < 0.025
+
+
+class TestMinimalResidualPGD:
+    def test_normal_equations_converges_faster(self):
+        # greedy Galerkin PGD has no minimization principle on the
+        # non-symmetric transient operator; minres (normal equations)
+        # does — measured 2.2% (Galerkin) vs 0.10% (minres) at 80 modes
+        from pgdrome_tpu.separated import normal_equations
+
+        sep, Vs, factors, sep_err = moving_heat_source(
+            n_x=60, n_t=40, n_P=6, n_v=8, af=0.12, source_rank=45
+        )
+        sep_ne = normal_equations(sep)
+        res = SeparatedPGD(sep_ne, n_max=80, tol=1e-14, tol_fp=1e-8).solve()
+
+        P_val = Vs[2].tabulate_dof_coordinates()[3, 0]
+        v_idx = 4
+        v_val = Vs[3].tabulate_dof_coordinates()[v_idx, 0]
+        nx, nt = sep.sizes[0], sep.sizes[1]
+        Mx = np.asarray(sep.mass[0])
+        Mt = np.asarray(sep.ops[1][1])
+        rhs_terms = [
+            (P_val * factors[2][r][v_idx] * (Mx @ factors[0][r]), Mt @ factors[1][r])
+            for r in range(factors[0].shape[0])
+        ]
+        u_direct = _kron_reference_xt(
+            [np.asarray(sep.ops[0][0]), np.asarray(sep.ops[0][1])],
+            [np.asarray(sep.ops[1][0]), np.asarray(sep.ops[1][1])],
+            rhs_terms, [0], nx, nt,
+        ).reshape(nx, nt)
+
+        t_idx = nt - 5
+        t_eval = Vs[1].tabulate_dof_coordinates()[t_idx, 0]
+        fac = np.ones(res.n_modes)
+        for j, val in [(1, t_eval), (2, P_val), (3, v_val)]:
+            vals = np.asarray(
+                evaluate_modes_1d(Vs[j], res.modes[j], np.asarray([val]), xp=np)
+            )[0]
+            fac *= vals[: res.n_modes]
+        u_pgd = fac @ np.asarray(res.modes[0])[: res.n_modes]
+        err = np.linalg.norm(u_pgd - u_direct[:, t_idx]) / np.linalg.norm(
+            u_direct[:, t_idx]
+        )
+        print("minres moving-source err:", err, "modes:", res.n_modes)
+        assert err < 2e-3
+
+    def test_symmetric_problem_converges_too(self):
+        # on an SPD problem minres converges to the same limit (mode
+        # sequences differ, so compare both against the per-sample solve)
+        from pgdrome_tpu.separated import normal_equations
+        from pgdrome_tpu.problems import parametric_elliptic
+        from pgdrome_tpu.fem.assembly import stiffness_matrix, load_vector
+        from pgdrome_tpu.fem.bc import DirichletBC
+
+        sep, Vs = parametric_elliptic(n_x=40, n_p=16, num_params=2)
+        p = (0.5, 0.5)
+        Vx = Vs[0]
+        kappa = lambda x: (
+            1.0
+            + p[0] * np.sin(np.pi * x) ** 2 / 4
+            + p[1] * np.sin(2 * np.pi * x) ** 2 / 4
+        )
+        K = stiffness_matrix(Vx, weight=kappa)
+        bl = load_vector(Vx, lambda x: np.ones_like(x))
+        bc = DirichletBC(Vx, 0.0, lambda x, onb: onb)
+        A2, b2 = bc.apply_system(K, bl)
+        u_ref = np.linalg.solve(A2, b2)
+
+        for prob in (sep, normal_equations(sep)):
+            r = SeparatedPGD(prob, n_max=25, tol=1e-13, tol_fp=1e-9).solve()
+            fac = np.ones(r.n_modes)
+            for j, pj in enumerate(p):
+                vals = np.asarray(
+                    evaluate_modes_1d(Vs[1 + j], r.modes[1 + j], np.asarray([pj]), xp=np)
+                )[0]
+                fac *= vals[: r.n_modes]
+            u = fac @ np.asarray(r.modes[0])[: r.n_modes]
+            err = np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref)
+            assert err < 5e-5
