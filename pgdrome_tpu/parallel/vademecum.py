@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pgdrome_tpu.separated import evaluate_modes_1d
+from pgdrome_tpu.separated import evaluate_modes_1d, _PREC
 
 
 def make_sweep_fn(spaces, modes, n_modes):
@@ -36,7 +36,8 @@ def make_sweep_fn(spaces, modes, n_modes):
             vals = evaluate_modes_1d(spaces[j], modes[j], samples[:, j - 1])
             fac = fac * vals  # (B, n_max)
         fac = fac * mode_mask[None, :]
-        return fac @ modes0  # (B, n0)
+        # pin true-f32 precision: TPU matmuls default to bf16 inputs
+        return jnp.einsum("bk,ki->bi", fac, modes0, precision=_PREC)
 
     return jax.jit(sweep)
 
