@@ -18,7 +18,7 @@ natively in JAX (see :mod:`pgdrome_tpu.fem` and :mod:`pgdrome_tpu.ops`).
 """
 
 from pgdrome_tpu import config as config
-from pgdrome_tpu.fem.mesh import IntervalMesh, RectangleMesh, Point
+from pgdrome_tpu.fem.mesh import IntervalMesh, RectangleMesh, BoxMesh, Point
 from pgdrome_tpu.fem.space import FunctionSpace, VectorFunctionSpace
 from pgdrome_tpu.fem.function import Function, Expression, Constant, interpolate
 from pgdrome_tpu.fem.bc import DirichletBC
@@ -35,6 +35,15 @@ from pgdrome_tpu.fem.assembly import (
 from pgdrome_tpu.ops.fd import FD_matrices
 from pgdrome_tpu.solver import PGDProblem
 from pgdrome_tpu.model import PGD, PGDMesh, PGDAttribute, PGDErrorComputation
+from pgdrome_tpu.separated import (
+    SeparatedProblem,
+    SeparatedPGD,
+    PGDResult,
+    precondition_dim0,
+    galerkin_update,
+    normal_equations,
+)
+from pgdrome_tpu.pgd_config import PGDConfig
 
 __version__ = "0.1.0"
 
@@ -64,4 +73,12 @@ __all__ = [
     "PGDMesh",
     "PGDAttribute",
     "PGDErrorComputation",
+    "BoxMesh",
+    "SeparatedProblem",
+    "SeparatedPGD",
+    "PGDResult",
+    "precondition_dim0",
+    "galerkin_update",
+    "normal_equations",
+    "PGDConfig",
 ]
