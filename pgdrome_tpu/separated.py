@@ -200,7 +200,7 @@ def _inner_d(problem, d, u, v):
 
 def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
                      tol_fp=1e-5, n_max=None, solver="lu", cg_iters=30,
-                     residual_check=True):
+                     residual_check=True, stop_fp="norm"):
     """Build the jitted enrichment step: (mode buffers, n) → new mode set.
 
     Returns a function of (modes, n_modes) producing
@@ -269,13 +269,24 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
         def body(state):
             Fs, _, _, it = state
             Fs_new = fp_sweep(Fs, modes, mode_mask, rhs)
-            # 'norm' stop (solver.py:812-871): product inner products
-            newnew, newold, oldold = 1.0, 1.0, 1.0
-            for d in range(nd):
-                newnew = newnew * _inner_d(problem, d, Fs_new[d], Fs_new[d])
-                newold = newold * _inner_d(problem, d, Fs_new[d], Fs[d])
-                oldold = oldold * _inner_d(problem, d, Fs[d], Fs[d])
-            err = jnp.sqrt(jnp.abs(newnew + oldold - 2 * newold))
+            if stop_fp == "delta":
+                # 'delta' stop (solver.py:763-811): per-dim relative max DOF
+                # change; iterate while any dim exceeds the tolerance
+                err = 0.0
+                for d in range(nd):
+                    dd = jnp.abs(Fs_new[d] - Fs[d])
+                    mi = jnp.argmax(dd)
+                    ref = jnp.abs(Fs_new[d][mi])
+                    delta_d = jnp.where(ref < 1e-8, dd[mi], dd[mi] / ref)
+                    err = jnp.maximum(err, delta_d)
+            else:
+                # 'norm' stop (solver.py:812-871): product inner products
+                newnew, newold, oldold = 1.0, 1.0, 1.0
+                for d in range(nd):
+                    newnew = newnew * _inner_d(problem, d, Fs_new[d], Fs_new[d])
+                    newold = newold * _inner_d(problem, d, Fs_new[d], Fs[d])
+                    oldold = oldold * _inner_d(problem, d, Fs[d], Fs[d])
+                err = jnp.sqrt(jnp.abs(newnew + oldold - 2 * newold))
             return (Fs_new, Fs, err, it + 1)
 
         big = jnp.asarray(jnp.inf, dtype=problem.ops[0].dtype)
@@ -497,6 +508,7 @@ class SeparatedPGD:
         cg_iters: int = 30,
         residual_check: bool = True,
         scan_params: bool = False,
+        stop_fp: str = "norm",
     ):
         if isinstance(problem.ops[0], np.ndarray):
             problem = problem.as_device(dtype)
@@ -519,8 +531,10 @@ class SeparatedPGD:
             step = make_enrich_step(
                 problem, seq_fp=seq_fp, max_fp_it=max_fp_it, tol_fp=tol_fp,
                 solver=solver, cg_iters=cg_iters, residual_check=residual_check,
+                stop_fp=stop_fp,
             )
         self._enrich = jax.jit(step)
+        self._stop_fp = stop_fp
 
     def init_buffers(self):
         return tuple(
@@ -618,6 +632,7 @@ class SeparatedPGD:
                     solver=self._solver,
                     cg_iters=self._cg_iters,
                     residual_check=self._residual_check,
+                    stop_fp=self._stop_fp,
                 )
             nd = self.problem.num_dims
 

@@ -126,3 +126,22 @@ class TestScannedStep:
         r1 = s.solve()
         r2 = s.solve_fused()
         np.testing.assert_allclose(r1.amplitudes, r2.amplitudes, rtol=1e-12)
+
+
+class TestDeltaStop:
+    def test_delta_stop_matches_compat(self):
+        # 'delta' fp stop parity between the fast path and the
+        # reference-semantics orchestration layer
+        sep, Vs = elastic_truss(n_x=40, n_E=30)
+        fast = SeparatedPGD(
+            sep, n_max=5, tol=1e-12, tol_fp=1e-9, stop_fp="delta"
+        ).solve()
+        compat = pgd_problem_from_separated(sep, Vs)
+        compat.PGD_nmax = 5
+        compat.tol_fp_it = 1e-9
+        compat.stop_fp = "delta"
+        compat.solve_PGD(_problem="linear")
+        n = min(fast.n_modes, len(compat.amplitude))
+        np.testing.assert_allclose(
+            fast.amplitudes[:n], np.asarray(compat.amplitude)[:n], rtol=1e-8
+        )
