@@ -359,3 +359,81 @@ def moving_heat_source(
         bc_dofs=bc_dofs,
     )
     return prob, [Vx, Vt, VP, Vv], factors, sep_err
+
+
+def elasticity_vademecum(
+    nx: int = 40,
+    ny: int = 8,
+    n_p: int = 16,
+    n_E: int = 16,
+    p_range=(0.0, 2.0),
+    E_range=(0.5, 1.5),
+    E_0: float = 30000.0,
+    nu: float = 0.2,
+    L=(1000.0, 100.0),
+    degree: int = 2,
+    dtype=None,
+):
+    """2D plane-strain elasticity vademecum u((x,y), lam_p, lam_E)
+    (BASELINE.json config 4 through the fast path: the space dimension is a
+    VECTOR P2 field on a crossed mesh; physics of reference
+    test_solver_problem with ν fixed).
+
+        ∫ ε(v) : λE·E0·C(ν) : ε(u) dx = λp · ∫ g·v ds(top)
+    """
+    from pgdrome_tpu.fem.space import VectorFunctionSpace
+    from pgdrome_tpu.fem.assembly import (
+        elasticity_matrix,
+        vector_mass_matrix,
+        boundary_load_vector,
+    )
+    from pgdrome_tpu.fem.function import Expression
+
+    mesh_x = RectangleMesh(Point(0, 0), Point(L[0], L[1]), nx, ny, "crossed")
+    Vx = VectorFunctionSpace(mesh_x, "P", degree)
+    Vp = FunctionSpace(IntervalMesh(n_p, *p_range), "P", 1)
+    VE = FunctionSpace(IntervalMesh(n_E, *E_range), "P", 1)
+
+    # plane strain C(ν), constant here (ν fixed → single elasticity term)
+    a = 1.0 / ((1 + nu) * (1 - 2 * nu))
+    C = a * np.array(
+        [[1 - nu, nu, 0.0], [nu, 1 - nu, 0.0], [0.0, 0.0, (1 - 2 * nu) / 2]]
+    )
+    Kx = elasticity_matrix(Vx, C)
+    Mp = mass_matrix(Vp)
+    ME_w = mass_matrix(VE, weight=lambda E: E)
+
+    ops = [E_0 * Kx[None], Mp[None], ME_w[None]]
+
+    g1 = Expression(
+        (lambda p: 0.0 * p[..., 0], lambda p: -0.5 * np.ones_like(p[..., 0]))
+    )
+    g2 = Expression(
+        (lambda p: 0.0 * p[..., 0], lambda p: -1.5 * np.ones_like(p[..., 0]))
+    )
+    bL = boundary_load_vector(
+        Vx, g1, lambda m: abs(m[1] - L[1]) < 1e-9 and m[0] < L[0] / 2
+    )
+    bR = boundary_load_vector(
+        Vx, g2, lambda m: abs(m[1] - L[1]) < 1e-9 and m[0] > L[0] / 2
+    )
+    bp = load_vector(Vp, lambda p: p)
+    bE = load_vector(VE, lambda E: np.ones_like(E))
+    rhs = [
+        np.stack([bL, bR]),
+        np.stack([bp, bp]),
+        np.stack([bE, bE]),
+    ]
+
+    bc_x = DirichletBC(Vx, (0.0, 0.0), lambda p: abs(p[0]) < 1e-9)
+    bc_dofs = [bc_x.dofs, np.array([], dtype=np.int64), np.array([], dtype=np.int64)]
+    mass = [vector_mass_matrix(Vx), Mp, mass_matrix(VE)]
+
+    dt = dtype or np.float64
+    prob = SeparatedProblem(
+        ops=[np.asarray(o, dtype=dt) for o in ops],
+        rhs=[np.asarray(r, dtype=dt) for r in rhs],
+        mass=[np.asarray(m, dtype=dt) for m in mass],
+        bc_dofs=bc_dofs,
+    )
+    return prob, [Vx, Vp, VE], (C, bL, bR)

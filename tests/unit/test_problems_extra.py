@@ -252,3 +252,36 @@ class TestMinimalResidualPGD:
             u = fac @ np.asarray(r.modes[0])[: r.n_modes]
             err = np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref)
             assert err < 5e-5
+
+
+class TestElasticityVademecum:
+    def test_fast_path_vector_space_dim(self):
+        # fast path with a VECTOR 2D space dimension (config 4): PGD
+        # separates trivially (single term, load linear in params), so it
+        # must match the per-sample FEM solve almost exactly
+        from pgdrome_tpu.problems import elasticity_vademecum
+        from pgdrome_tpu.fem.bc import DirichletBC
+
+        # the 1/lam_E dependence carries an O(h_E²) parameter-grid floor
+        # (same tensor-Galerkin vs per-sample gap as the elliptic config)
+        sep, Vs, (C, bL, bR) = elasticity_vademecum(nx=20, ny=4, n_E=64)
+        res = SeparatedPGD(sep, n_max=8, tol=1e-12, tol_fp=1e-10).solve()
+
+        lam_p, lam_E = 1.5, 0.75
+        Vx = Vs[0]
+        K = np.asarray(sep.ops[0][0])  # E_0-scaled elasticity operator
+        b = lam_p * (bL + bR) / 1.0
+        bc = DirichletBC(Vx, (0.0, 0.0), lambda p: abs(p[0]) < 1e-9)
+        A2, b2 = bc.apply_system(lam_E * K, b)
+        u_ref = np.linalg.solve(A2, b2)
+
+        fac = np.ones(res.n_modes)
+        for j, val in [(1, lam_p), (2, lam_E)]:
+            vals = np.asarray(
+                evaluate_modes_1d(Vs[j], res.modes[j], np.asarray([val]), xp=np)
+            )[0]
+            fac *= vals[: res.n_modes]
+        u_pgd = fac @ np.asarray(res.modes[0])[: res.n_modes]
+        err = np.linalg.norm(u_pgd - u_ref) / np.linalg.norm(u_ref)
+        print("elasticity vademecum err:", err, "modes:", res.n_modes)
+        assert err < 1e-4
