@@ -291,6 +291,7 @@ def moving_heat_source(
     rho_cp: float = 1.0,
     k: float = 0.05,
     source_rank: int = 40,
+    separation: str = "greedy",
     dtype=None,
 ):
     """Moving heat-source welding/AM surrogate: space ⊗ time ⊗ power ⊗
@@ -299,14 +300,20 @@ def moving_heat_source(
         rho·cp ∂T/∂t − k ∂²T/∂x² = P · g(x − v·t),
         g = exp(−(x − xc0 − v·t)²/af²),  T(t=0) = 0 (lift external)
 
-    The non-separable moving source is factorized by greedy SVD separation
-    (pgdrome_tpu.separation) into `source_rank` rank-1 (x,t,v) terms; the
-    power dimension enters linearly.  Time uses FD upwind (backward-Euler
-    equivalent, reference test_heat1D.py FDtime semantics).
+    The non-separable moving source is factorized into rank-1 (x,t,v)
+    terms — ``separation='greedy'`` (ALS CP sweep, `source_rank` terms) or
+    ``'hierarchical'`` (two-level SVD, far better accuracy per term for
+    transport-like sources); the power dimension enters linearly.  Time
+    uses FD upwind (backward-Euler equivalent, reference test_heat1D.py
+    FDtime semantics).
 
     Returns (problem, spaces, source_factors, separation_rel_error)."""
     from pgdrome_tpu.ops.fd import FD_matrices
-    from pgdrome_tpu.separation import separate, separation_error
+    from pgdrome_tpu.separation import (
+        separate,
+        separate_hierarchical,
+        separation_error,
+    )
 
     Vx = FunctionSpace(IntervalMesh(n_x, 0.0, 1.0), "P", 1)
     Vt = FunctionSpace(IntervalMesh(n_t, 0.0, 1.0), "P", 1)
@@ -331,7 +338,10 @@ def moving_heat_source(
     v_grid = Vv.tabulate_dof_coordinates()[:, 0]
     X, Tm, Vm = np.meshgrid(x_grid, t_grid, v_grid, indexing="ij")
     g = np.exp(-((X - xc0 - Vm * Tm) ** 2) / af**2)
-    factors = separate(g, source_rank, tol=1e-12)
+    if separation == "hierarchical":
+        factors = separate_hierarchical(g, tol=1e-5, max_terms=source_rank)
+    else:
+        factors = separate(g, source_rank, tol=1e-12)
     sep_err = separation_error(g, factors)
     R = factors[0].shape[0]
 

@@ -93,3 +93,44 @@ def separate_function(fn, grids, rank: int, tol: float = 1e-10):
     mesh = np.meshgrid(*grids, indexing="ij")
     values = np.asarray(fn(*mesh), dtype=np.float64)
     return separate(values, rank, tol)
+
+
+def separate_hierarchical(values: np.ndarray, tol: float = 1e-6,
+                          max_terms: int = 200):
+    """Two-level SVD separation of a 3-way tensor (hierarchical-Tucker
+    style): SVD over axis 0 vs (1,2), then each right singular vector over
+    axis 1 vs 2.  Every kept pair becomes a rank-1 (x, t, v) term.
+
+    For transport-like tensors (moving sources q(x − v·t)) this reaches a
+    given accuracy with far fewer terms than the greedy CP sweep: both SVD
+    levels are optimal truncations.  Returns factor matrices (R, n_d) in
+    the same layout as :func:`separate`."""
+    values = np.asarray(values, dtype=np.float64)
+    if values.ndim != 3:
+        raise ValueError("separate_hierarchical expects a 3-way tensor")
+    n0, n1, n2 = values.shape
+    U, S, Vt = np.linalg.svd(values.reshape(n0, n1 * n2), full_matrices=False)
+    total = np.sqrt(np.sum(S**2))
+    # keep outer components until the tail is below tol
+    tail = np.sqrt(np.maximum(np.cumsum(S[::-1] ** 2)[::-1] - S**2, 0.0))
+    R1 = int(np.searchsorted(-tail, -tol * total) + 1)
+    R1 = min(max(R1, 1), len(S))
+
+    # split every kept outer component, then keep the globally largest
+    # (i, j) terms — truncating per-component instead would starve later
+    # outer components of budget
+    cand = []  # (magnitude, x_factor, t_factor, v_factor)
+    for i in range(R1):
+        W = (S[i] * Vt[i]).reshape(n1, n2)
+        Ui, Si, Vit = np.linalg.svd(W, full_matrices=False)
+        wtail = np.sqrt(np.maximum(np.cumsum(Si[::-1] ** 2)[::-1] - Si**2, 0.0))
+        R2 = int(np.searchsorted(-wtail, -tol * max(total, 1e-300)) + 1)
+        R2 = min(max(R2, 1), len(Si))
+        for j in range(R2):
+            cand.append((Si[j], U[:, i] * Si[j], Ui[:, j], Vit[j]))
+    cand.sort(key=lambda c: -c[0])
+    cand = cand[:max_terms]
+    f0 = np.stack([c[1] for c in cand])
+    f1 = np.stack([c[2] for c in cand])
+    f2 = np.stack([c[3] for c in cand])
+    return [f0, f1, f2]
