@@ -19,8 +19,6 @@ and as the tuning surface for later rounds.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -39,10 +37,6 @@ def _on_tpu() -> bool:
         return jax.devices()[0].platform == "tpu"
     except Exception:  # pragma: no cover
         return False
-
-
-def _round_up(x, m):
-    return ((x + m - 1) // m) * m
 
 
 # -------------------------------------------------------------- gram stack

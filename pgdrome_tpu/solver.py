@@ -35,7 +35,7 @@ import logging
 
 import numpy as np
 
-from pgdrome_tpu.fem.function import Function, interpolate
+from pgdrome_tpu.fem.function import Function
 from pgdrome_tpu.fem.assembly import mass_matrix, vector_mass_matrix
 from pgdrome_tpu.fem.bc import combine_bcs
 from pgdrome_tpu.ops.solvers import solve_dense, newton_solve_np, picard_solve_np
