@@ -26,7 +26,7 @@ N_P = 128           # per parameter dim (× 3)
 NUM_PARAMS = 3
 N_MODES = 50
 TOL = 1e-6
-CPU_BASELINE_CAP_S = 150.0
+CPU_BASELINE_CAP_S = 90.0
 CPU_BASELINE_MIN_MODES = 4
 
 
@@ -80,7 +80,7 @@ def tpu_solve(sep32):
     return res, t_solve
 
 
-def verify(sep64, Vs, res, tf, n_check=6):
+def verify(sep64, Vs, res, tf, n_check=4):
     """Max relative L2 error vs per-sample f64 FEM at on-grid parameters."""
     from pgdrome_tpu.fem.assembly import stiffness_matrix, load_vector
     from pgdrome_tpu.fem.bc import DirichletBC
@@ -117,7 +117,7 @@ def verify(sep64, Vs, res, tf, n_check=6):
     return float(np.max(errs))
 
 
-def sweep_throughput(Vs, res, tf, n_samples=200_000):
+def sweep_throughput(Vs, res, tf, n_samples=100_000):
     """Vademecum inference: samples/s for the batched rank-1 sweep."""
     import jax
     import jax.numpy as jnp

@@ -124,3 +124,32 @@ def dryrun(n_devices: int, n_max: int = 4, verbose: bool = False, devices=None):
             f"normU={np.asarray(normU)} fp_its={np.asarray(fp_its)}"
         )
     return True
+
+
+def solve_many(problem: SeparatedProblem, rhs0_batch, n_max: int = 20,
+               mesh=None, tol_fp=1e-6, max_fp_it=30):
+    """Train B independent PGDs (one per load case) in parallel, sharded
+    over the device mesh.
+
+    rhs0_batch: (B, R, n0) space-dim right-hand sides (dims 1.. share the
+    problem's rhs).  Returns per-case mode buffers and normU traces.  The
+    batch axis rides 'dp'; the space-dof axis rides 'sp' when the mesh has
+    one."""
+    rhs0_batch = jnp.asarray(rhs0_batch)
+    B = rhs0_batch.shape[0]
+    if mesh is None:
+        devs = jax.devices()
+        dp, sp = _mesh_axes(len(devs))
+        mesh = Mesh(np.array(devs).reshape(dp, sp), ("dp", "sp"))
+    step = make_multichip_train_step(problem, mesh, tol_fp=tol_fp,
+                                     max_fp_it=max_fp_it)
+    modes_batch = tuple(
+        jnp.zeros((B, n_max, n), dtype=rhs0_batch.dtype) for n in problem.sizes
+    )
+    normUs = np.zeros((B, n_max))
+    alphas = np.zeros((B, n_max))
+    for n in range(n_max):
+        modes_batch, normU, alpha, fp_its, res = step(modes_batch, n, rhs0_batch)
+        normUs[:, n] = np.asarray(normU)
+        alphas[:, n] = np.asarray(alpha)
+    return modes_batch, normUs, alphas

@@ -65,3 +65,39 @@ class TestMultichipTrainStep:
         from pgdrome_tpu.parallel.enrich import dryrun
 
         assert dryrun(1)
+
+
+class TestSolveMany:
+    def test_batched_vademecum_training(self):
+        # B independent load cases trained at once must match per-case
+        # single solves
+        from pgdrome_tpu.parallel.enrich import solve_many
+        from pgdrome_tpu.separated import SeparatedPGD
+
+        sep, Vs = parametric_elliptic(n_x=31, n_p=8, num_params=2, degree_x=1)
+        sep32 = sep.as_device(np.float64)
+        B = 4
+        scales = np.array([1.0, 2.0, 0.5, 3.0])
+        rhs0 = jnp.asarray(
+            np.stack([s * np.asarray(sep.rhs[0]) for s in scales])
+        )
+        modes_b, normUs, alphas = solve_many(sep32, rhs0, n_max=4)
+
+        for b in [0, 2]:
+            single = SeparatedPGD(
+                sep, n_max=4, tol=0.0, tol_fp=1e-6, max_fp_it=30,
+                residual_check=False,
+            )
+            # single solve with the scaled rhs via the enrich rhs argument
+            modes = single.init_buffers()
+            trace = []
+            for n in range(4):
+                modes, nU, al, fp, res = single._enrich(
+                    modes, n, rhs=[scales[b] * jnp.asarray(sep.rhs[0])]
+                    + [jnp.asarray(r) for r in sep.rhs[1:]]
+                )
+                trace.append(float(nU))
+            np.testing.assert_allclose(normUs[b], trace, rtol=1e-8)
+            np.testing.assert_allclose(
+                np.asarray(modes_b[0][b]), np.asarray(modes[0]), rtol=1e-7, atol=1e-12
+            )
