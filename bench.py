@@ -127,16 +127,21 @@ def sweep_throughput(Vs, res, tf, n_samples=100_000):
     modes = [full0] + [jnp.asarray(m) for m in res.modes[1:]]
     sweep = make_sweep_fn(Vs, modes, res.n_modes)
     rng = np.random.default_rng(3)
-    samples = jnp.asarray(
-        rng.uniform(0.02, 0.98, size=(n_samples, NUM_PARAMS)).astype(np.float32)
-    )
-    out = sweep(samples)  # compile
+    reps = 5
+    # distinct inputs per rep + per-call blocking: identical repeated calls
+    # can be elided/cached by the runtime and give absurd rates
+    batches = [
+        jnp.asarray(
+            rng.uniform(0.02, 0.98, size=(n_samples, NUM_PARAMS)).astype(np.float32)
+        )
+        for _ in range(reps)
+    ]
+    out = sweep(batches[0])  # compile
     jax.block_until_ready(out)
     t0 = time.perf_counter()
-    reps = 5
-    for _ in range(reps):
-        out = sweep(samples)
-    jax.block_until_ready(out)
+    for s in batches:
+        out = sweep(s)
+        out.block_until_ready()
     dt = (time.perf_counter() - t0) / reps
     rate = n_samples / dt
     log(f"vademecum sweep: {n_samples} samples in {dt*1e3:.1f} ms → {rate:,.0f} fields/s")
