@@ -101,3 +101,10 @@ class TestSolveMany:
             np.testing.assert_allclose(
                 np.asarray(modes_b[0][b]), np.asarray(modes[0]), rtol=1e-7, atol=1e-12
             )
+
+
+class TestDryrunSizes:
+    def test_dryrun_4(self):
+        from pgdrome_tpu.parallel.enrich import dryrun
+
+        assert dryrun(4)
