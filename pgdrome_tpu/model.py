@@ -706,3 +706,36 @@ class PGDErrorComputation(object):
                 errorL2[i] = self.compute_SampleError(u_fem, u_pgdPoint)
 
         return errorL2, np.mean(errorL2), np.max(errorL2)
+
+
+def pgd_from_result(result, spaces, name="pgd", name_coord=None,
+                    modes_info=None, dim0_transform=None):
+    """Bridge a fast-path :class:`~pgdrome_tpu.separated.PGDResult` into the
+    reference-style :class:`PGD` container, unlocking the whole model-layer
+    ecosystem (evaluate/reducers/derivatives/sensor responses, pxdmf/HDF5
+    persistence, PGDErrorComputation).
+
+    dim0_transform: the Dim0Transform from precondition_dim0 when the solve
+    ran in the energy basis (maps transformed modes back to full dofs).
+    """
+    nd = len(spaces)
+    name_coord = name_coord or [f"D{i}" for i in range(nd)]
+    modes_info = modes_info or ["U", "Node", "Scalar"]
+    K = result.n_modes
+
+    mode_fns = []
+    for d in range(nd):
+        arrs = np.asarray(result.modes[d])[:K].astype(np.float64)
+        if d == 0 and dim0_transform is not None:
+            arrs = dim0_transform.modes_to_full(arrs)
+        mode_fns.append([Function(spaces[d], arrs[k]) for k in range(K)])
+
+    return PGD(
+        name=name,
+        n_modes=K,
+        fmeshes=[V.mesh() for V in spaces],
+        pgd_modes=mode_fns,
+        name_coord=name_coord,
+        modes_info=modes_info,
+        spaces=list(spaces),
+    )

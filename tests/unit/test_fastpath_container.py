@@ -1,0 +1,92 @@
+"""Fast-path results flow into the reference-style container ecosystem:
+evaluate, error computation, pxdmf round trip."""
+
+import os
+import tempfile
+
+import numpy as np
+
+from pgdrome_tpu.problems import parametric_elliptic
+from pgdrome_tpu.separated import SeparatedPGD, precondition_dim0, evaluate_modes_1d
+from pgdrome_tpu.model import pgd_from_result, PGDErrorComputation
+
+
+class TestFastPathContainer:
+    def setup_method(self):
+        self.sep, self.Vs = parametric_elliptic(n_x=40, n_p=16, num_params=2)
+        self.res = SeparatedPGD(self.sep, n_max=10, tol=1e-12, tol_fp=1e-8).solve()
+        self.pgd = pgd_from_result(
+            self.res, self.Vs, name="vademecum", name_coord=["X", "P1", "P2"]
+        )
+
+    def test_evaluate_matches_direct_reconstruction(self):
+        p = (0.375, 0.625)
+        u = self.pgd.evaluate(0, [1, 2], list(p), 0)
+        fac = np.ones(self.res.n_modes)
+        for j, pj in enumerate(p):
+            vals = np.asarray(
+                evaluate_modes_1d(
+                    self.Vs[1 + j], self.res.modes[1 + j], np.asarray([pj]), xp=np
+                )
+            )[0]
+            fac *= vals[: self.res.n_modes]
+        u_direct = fac @ np.asarray(self.res.modes[0])[: self.res.n_modes]
+        np.testing.assert_allclose(u.array, u_direct, rtol=1e-10, atol=1e-14)
+
+    def test_error_computation_on_fastpath_result(self):
+        from pgdrome_tpu.fem.assembly import stiffness_matrix, load_vector
+        from pgdrome_tpu.fem.bc import DirichletBC
+
+        class FOM:
+            def __init__(self, Vs):
+                self.Vx = Vs[0]
+
+            def __call__(self, data):
+                p = data
+                kappa = lambda x: (
+                    1.0
+                    + p[0] * np.sin(np.pi * x) ** 2 / 4
+                    + p[1] * np.sin(2 * np.pi * x) ** 2 / 4
+                )
+                K = stiffness_matrix(self.Vx, weight=kappa)
+                b = load_vector(self.Vx, lambda x: np.ones_like(x))
+                bc = DirichletBC(self.Vx, 0.0, lambda x, onb: onb)
+                A2, b2 = bc.apply_system(K, b)
+                u = np.linalg.solve(A2, b2)
+                # return VERTEX values (compute_SampleError compares the
+                # Function's vertex values against ndarray FOMs)
+                return u[::2] if self.Vx.degree == 2 else u
+
+        # PGDErrorComputation needs problem.meshes for the sampling bounds
+        class _P:
+            meshes = [V.mesh() for V in self.Vs]
+
+        self.pgd.problem = _P()
+        fom = FOM(self.Vs)
+        ec = PGDErrorComputation(
+            fixed_dim=[0], n_samples=5, FOM_model=fom, PGD_model=self.pgd
+        )
+        errors, mean_e, max_e = ec.evaluate_error()
+        print("fast-path container LHS errors:", errors)
+        assert max_e < 5e-4  # truncation at 10 modes + param grid
+
+    def test_pxdmf_roundtrip_of_fastpath_modes(self):
+        with tempfile.TemporaryDirectory() as d:
+            self.pgd.write_pxdmf(d)
+            self.pgd.write_hdf5(d)
+            from pgdrome_tpu.model import PGD
+
+            loaded = PGD().load_pxdmf(os.path.join(d, "vademecum.pxdmf"))
+            assert loaded.numModes == self.res.n_modes
+            for dm in range(3):
+                loaded.mesh[dm].attributes[0].interpolationInfo = {
+                    "name": 1,
+                    "family": "P",
+                    "degree": self.Vs[dm].degree,
+                    "_type": "scalar",
+                }
+            loaded.create_interpolation_fcts([0, 1, 2], 0)
+            p = (0.25, 0.5)
+            u1 = self.pgd.evaluate(0, [1, 2], list(p), 0)
+            u2 = loaded.evaluate(0, [1, 2], list(p), 0)
+            np.testing.assert_allclose(u2.array, u1.array, rtol=1e-8, atol=1e-12)
