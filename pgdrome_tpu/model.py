@@ -559,6 +559,32 @@ class PGD:
             return eval_fixedmode * tmp[0]
         return np.sum(eval_fixedmode[..., 0 : self.used_numModes] * tmp, axis=-1)
 
+    def reconstruct_tensor(self, attri: int = 0):
+        """Full-tensor reconstruction on all nodal grids:
+        T[i1..id] = Σ_k Π_d data_d[k][i_d].
+
+        The reference's class docstring advertises this method
+        (model.py:35) but never implements it; provided here as an
+        extension.  Scalar attributes only; mind the memory (product of
+        grid sizes)."""
+        d = self.num_pgd_var
+        if d > 6:
+            raise ValueError("tensor reconstruction limited to 6 dims")
+        letters = "abcdef"[:d]
+        expr = ",".join("k" + c for c in letters) + "->" + letters
+        out = None
+        for at_needed in [attri]:
+            stacks = []
+            for dim in range(d):
+                att = self.mesh[dim].attributes[at_needed]
+                if not att.data:
+                    raise ValueError("attribute has no nodal data")
+                stacks.append(
+                    np.stack([att.data[k][:, 0] for k in range(self.used_numModes)])
+                )
+            out = np.einsum(expr, *stacks, optimize=True)
+        return out
+
     # ------------------------------------------------------------------ I/O
     def write_hdf5(self, folder):
         from pgdrome_tpu import io as pgd_io

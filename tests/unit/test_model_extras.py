@@ -153,3 +153,14 @@ class TestLatexExport(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestReconstructTensor(unittest.TestCase):
+    def test_full_tensor(self):
+        pgd, (Vx, Vp, VE) = build_pgd()
+        T = pgd.reconstruct_tensor(0)
+        xs = pgd.mesh[0].dataX
+        ps = pgd.mesh[1].dataX
+        Es = pgd.mesh[2].dataX
+        X, P, E = np.meshgrid(xs, ps, Es, indexing="ij")
+        np.testing.assert_allclose(T, exact(X, P, E), atol=1e-12)
