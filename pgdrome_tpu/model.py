@@ -572,18 +572,15 @@ class PGD:
             raise ValueError("tensor reconstruction limited to 6 dims")
         letters = "abcdef"[:d]
         expr = ",".join("k" + c for c in letters) + "->" + letters
-        out = None
-        for at_needed in [attri]:
-            stacks = []
-            for dim in range(d):
-                att = self.mesh[dim].attributes[at_needed]
-                if not att.data:
-                    raise ValueError("attribute has no nodal data")
-                stacks.append(
-                    np.stack([att.data[k][:, 0] for k in range(self.used_numModes)])
-                )
-            out = np.einsum(expr, *stacks, optimize=True)
-        return out
+        stacks = []
+        for dim in range(d):
+            att = self.mesh[dim].attributes[attri]
+            if not att.data:
+                raise ValueError("attribute has no nodal data")
+            stacks.append(
+                np.stack([att.data[k][:, 0] for k in range(self.used_numModes)])
+            )
+        return np.einsum(expr, *stacks, optimize=True)
 
     # ------------------------------------------------------------------ I/O
     def write_hdf5(self, folder):

@@ -198,7 +198,7 @@ def _inner_d(problem, d, u, v):
 
 
 def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
-                     tol_fp=1e-5, n_max=None, solver="lu", cg_iters=30,
+                     tol_fp=1e-5, solver="lu", cg_iters=30,
                      residual_check=True, stop_fp="norm"):
     """Build the jitted enrichment step: (mode buffers, n) → new mode set.
 
