@@ -219,10 +219,27 @@ def cpu_baseline(sep64, Vs, n_modes_target):
 
 
 def main():
+    import threading
+
     import pgdrome_tpu.config as cfg
 
     cfg.use_full_f32_matmul()  # bf16-default matmuls would cost ~4e-3 acc.
     sep64, sep_pc64, tf, Vs = build()
+
+    # run the (host-numpy) CPU baseline concurrently with the TPU compile:
+    # the axon AOT compile blocks on the network and BLAS releases the GIL
+    baseline_out = {}
+
+    def _baseline():
+        try:
+            baseline_out["result"] = cpu_baseline(sep64, Vs, N_MODES)
+        except Exception as e:
+            log(f"cpu baseline failed: {e}")
+            baseline_out["result"] = (float("nan"), True)
+
+    bl_thread = threading.Thread(target=_baseline, daemon=True)
+    bl_thread.start()
+
     res, t_solve = tpu_solve(sep_pc64)
 
     # span-optimal coefficients in f64 against the transformed problem —
@@ -238,11 +255,8 @@ def main():
     except Exception as e:  # never block the headline metric
         log(f"sweep throughput skipped: {e}")
         sweep_rate = None
-    try:
-        cpu_t, extrapolated = cpu_baseline(sep64, Vs, res.n_modes)
-    except Exception as e:
-        log(f"cpu baseline failed: {e}")
-        cpu_t, extrapolated = float("nan"), True
+    bl_thread.join(timeout=CPU_BASELINE_CAP_S + 120)
+    cpu_t, extrapolated = baseline_out.get("result", (float("nan"), True))
 
     out = {
         "metric": "time-to-1e-6 rel. error, 50-mode parametric-elliptic vademecum (space x 3 params)",
