@@ -21,12 +21,15 @@ import numpy as np
 os.makedirs("/root/.cache/jax", exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
-N_X = 1024          # P2 → 2049 space dofs (2047 interior)
-N_P = 128           # per parameter dim (× 3)
+if os.environ.get("PGDROME_BENCH_QUICK"):  # smoke mode for bench iteration
+    N_X, N_P, N_MODES, CPU_BASELINE_CAP_S = 128, 32, 10, 20.0
+else:
+    N_X = 1024      # P2 → 2049 space dofs (2047 interior)
+    N_P = 128       # per parameter dim (× 3)
+    N_MODES = 50
+    CPU_BASELINE_CAP_S = 90.0
 NUM_PARAMS = 3
-N_MODES = 50
 TOL = 1e-6
-CPU_BASELINE_CAP_S = 90.0
 CPU_BASELINE_MIN_MODES = 4
 
 
