@@ -139,3 +139,36 @@ class TestSplit3D:
         pts = V.tabulate_dof_coordinates()
         np.testing.assert_allclose(ux.array, pts[:, 0], atol=1e-14)
         np.testing.assert_allclose(uz.array, 3 * pts[:, 2], atol=1e-14)
+
+
+class TestNormalizationInvariance:
+    def _solve(self, norm_modes, fp_init=""):
+        from pgdrome_tpu.problems import elastic_truss, pgd_problem_from_separated
+
+        sep, Vs = elastic_truss(n_x=30, n_E=20)
+        prob = pgd_problem_from_separated(sep, Vs)
+        prob.PGD_nmax = 4
+        prob.tol_fp_it = 1e-9
+        prob.norm_modes = norm_modes
+        prob.fp_init = fp_init
+        prob.solve_PGD(_problem="linear")
+        sol = prob.return_PGD()
+        u = sol.evaluate(0, [1, 2], [1.5, 0.8], 0)
+        return np.asarray(u.array), prob
+
+    def test_all_normings_same_solution(self):
+        # 'no' / 'l2' / 'stiff' rescale factors differently but preserve
+        # the rank-1 products (reference solver.py:404-470 comments)
+        u_no, _ = self._solve("no")
+        u_l2, _ = self._solve("l2")
+        u_st, _ = self._solve("stiff")
+        np.testing.assert_allclose(u_l2, u_no, rtol=1e-9, atol=1e-14)
+        np.testing.assert_allclose(u_st, u_no, rtol=1e-9, atol=1e-14)
+
+    def test_randomized_init_converges(self):
+        # fp_init='randomized' (reference solver.py:193-197): different
+        # start, same converged solution for this contractive problem
+        np.random.seed(7)
+        u_r, prob = self._solve("stiff", fp_init="randomized")
+        u_o, _ = self._solve("stiff")
+        np.testing.assert_allclose(u_r, u_o, rtol=1e-6, atol=1e-10)
