@@ -108,3 +108,19 @@ class TestDryrunSizes:
         from pgdrome_tpu.parallel.enrich import dryrun
 
         assert dryrun(4)
+
+
+class TestSweepPadding:
+    def test_k128_buffer_skips_padding(self, solved):
+        # mode buffer already >= 128: the pad branch must be skipped and
+        # results still match the small-buffer sweep exactly
+        sep, Vs, res = solved
+        from pgdrome_tpu.parallel.vademecum import make_sweep_fn
+
+        big = [np.pad(np.asarray(m), ((0, 128 - m.shape[0]), (0, 0))) for m in res.modes]
+        samples = jnp.asarray(np.random.default_rng(1).uniform(0.1, 0.9, size=(9, 2)))
+        small = make_sweep_fn(Vs, [jnp.asarray(m) for m in res.modes], res.n_modes)
+        wide = make_sweep_fn(Vs, [jnp.asarray(m) for m in big], res.n_modes)
+        np.testing.assert_allclose(
+            np.asarray(wide(samples)), np.asarray(small(samples)), rtol=1e-12
+        )
