@@ -313,3 +313,56 @@ class TestHierarchicalSeparation:
         )
         # measured: 7.1e-4 @ 100 terms (greedy CP: 2.4e-2 @ 60, slow decay)
         assert sep_err < 2e-3
+
+
+class TestMinresFusedPath:
+    def test_normal_equations_through_solve_fused(self):
+        # the minres-on-TPU recipe: normal equations -> dim-0 energy
+        # preconditioning -> f32 fused single-dispatch solve.  Two
+        # calibration facts baked into the thresholds: (a) the normal
+        # equations SQUARE the time-dim conditioning, so the fixed-iteration
+        # CG needs ~200 its there (25 suffice for the plain elliptic IR);
+        # (b) even f64-vs-f64, the preconditioned and plain solves differ
+        # ~0.7% at rank 20 (different greedy mode sequences), so full-tensor
+        # agreement at the few-percent level IS convergence.
+        from pgdrome_tpu.separated import (
+            SeparatedPGD,
+            normal_equations,
+            precondition_dim0,
+        )
+
+        sep, Vs, factors, sep_err = moving_heat_source(
+            n_x=40, n_t=24, n_P=5, n_v=6, af=0.15, source_rank=20
+        )
+        ne = normal_equations(sep)
+
+        res64 = SeparatedPGD(ne, n_max=20, tol=1e-14, tol_fp=1e-8).solve()
+
+        ne32, tf = precondition_dim0(ne, dtype=np.float32)
+        res32 = SeparatedPGD(
+            ne32,
+            n_max=20,
+            tol=0.0,
+            tol_fp=1e-6,
+            solver="cg",
+            cg_iters=200,
+            residual_check=False,
+            scan_params=False,  # param dims here have non-uniform sizes
+        ).solve_fused()
+
+        def full(res, modes0_full):
+            u = np.zeros(tuple(sep.sizes))
+            m0 = np.asarray(modes0_full)
+            for k in range(res.n_modes):
+                t = m0[k]
+                for j in range(1, 4):
+                    t = np.multiply.outer(t, np.asarray(res.modes[j])[k])
+                u += t
+            return u
+
+        u64 = full(res64, res64.modes[0])
+        u32 = full(res32, tf.modes_to_full(res32.modes[0]))
+        err = np.linalg.norm(u32 - u64) / np.linalg.norm(u64)
+        print("minres fused-vs-host full-tensor err:", err, res32.n_modes)
+        assert res32.n_modes == res64.n_modes == 20
+        assert err < 5e-2
