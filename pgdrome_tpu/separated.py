@@ -150,6 +150,25 @@ def _cg_solve(A, b, iters):
     return y * (nb / s_A)
 
 
+def _chol_solve(A, b):
+    """Exact SPD solve via Cholesky + two triangular solves, scale-normalized
+    like :func:`_cg_solve` so every internal quantity is O(1) in f32.
+
+    Use when fixed-iteration CG is insufficient — e.g. normal-equations IRs
+    (:func:`normal_equations`) whose per-dim conditioning is SQUARED, where
+    CG needs ~200 iterations but Cholesky is exact.  Compiles and runs on
+    the TPU in f32, where generic pivoted LU does not (no f64 LU on-chip,
+    and the pivot cascade compiles poorly)."""
+    dt = b.dtype
+    s_A = jnp.mean(jnp.abs(jnp.diagonal(A))) + jnp.asarray(1e-30, dt)
+    nb = jnp.sqrt(jnp.einsum("i,i->", b, b, precision=_PREC))
+    safe_nb = jnp.where(nb > 0, nb, 1.0)
+    L = jnp.linalg.cholesky(A / s_A)
+    y = jax.scipy.linalg.solve_triangular(L, b / safe_nb, lower=True)
+    x = jax.scipy.linalg.solve_triangular(L.T, y, lower=False)
+    return x * (nb / s_A)
+
+
 def _solve_dim(problem, k, Fs, modes, mode_mask, rhs, solver="lu", cg_iters=30):
     """One alternating-direction solve for dim k given current factors Fs
     and the padded previous-mode buffers."""
@@ -186,6 +205,8 @@ def _solve_dim(problem, k, Fs, modes, mode_mask, rhs, solver="lu", cg_iters=30):
     A_k, b = _apply_bc_system(A_k, b, problem.bc_masks[k])
     if solver == "cg":
         return _cg_solve(A_k, b, cg_iters)
+    if solver == "chol":
+        return _chol_solve(A_k, b)
     return jnp.linalg.solve(A_k, b)
 
 
@@ -351,6 +372,8 @@ def make_enrich_step_scanned(problem: SeparatedProblem, max_fp_it=50,
         A, b = _apply_bc_system(A, b, mask)
         if solver == "cg":
             return _cg_solve(A, b, cg_iters)
+        if solver == "chol":
+            return _chol_solve(A, b)
         return jnp.linalg.solve(A, b)
 
     def param_weights(FP):
@@ -492,6 +515,13 @@ class SeparatedPGD:
     ``enrich_step`` call per mode — compiled once), matching the reference
     control flow: residual check → fixed point → 'stiff' norming →
     amplitude convergence (solver.py:306-506).
+
+    ``solver``: per-dim linear solve inside the fixed point —
+    ``"lu"`` (``jnp.linalg.solve``; host/f64 runs), ``"cg"``
+    (fixed-iteration scale-normalized CG; the TPU fast path for
+    energy-preconditioned systems, cond O(1)), or ``"chol"`` (exact SPD
+    Cholesky; TPU-safe in f32, for squared-conditioning systems such as
+    :func:`normal_equations` IRs where fixed-iteration CG stalls).
     """
 
     def __init__(

@@ -320,11 +320,11 @@ class TestMinresFusedPath:
         # the minres-on-TPU recipe: normal equations -> dim-0 energy
         # preconditioning -> f32 fused single-dispatch solve.  Two
         # calibration facts baked into the thresholds: (a) the normal
-        # equations SQUARE the time-dim conditioning, so the fixed-iteration
-        # CG needs ~200 its there (25 suffice for the plain elliptic IR);
+        # equations SQUARE the time-dim conditioning — fixed-iteration CG
+        # stalls (8e-1 @25 its, 3e-2 @200), so use the exact 'chol' solve;
         # (b) even f64-vs-f64, the preconditioned and plain solves differ
-        # ~0.7% at rank 20 (different greedy mode sequences), so full-tensor
-        # agreement at the few-percent level IS convergence.
+        # ~0.7% at rank 20 (different greedy mode sequences) — that drift
+        # floor, not f32, sets the achievable agreement.
         from pgdrome_tpu.separated import (
             SeparatedPGD,
             normal_equations,
@@ -344,8 +344,7 @@ class TestMinresFusedPath:
             n_max=20,
             tol=0.0,
             tol_fp=1e-6,
-            solver="cg",
-            cg_iters=200,
+            solver="chol",
             residual_check=False,
             scan_params=False,  # param dims here have non-uniform sizes
         ).solve_fused()
@@ -365,4 +364,4 @@ class TestMinresFusedPath:
         err = np.linalg.norm(u32 - u64) / np.linalg.norm(u64)
         print("minres fused-vs-host full-tensor err:", err, res32.n_modes)
         assert res32.n_modes == res64.n_modes == 20
-        assert err < 5e-2
+        assert err < 2e-2
