@@ -120,8 +120,12 @@ def verify(sep64, Vs, res, tf, n_check=4):
     return float(np.max(errs))
 
 
-def sweep_throughput(Vs, res, tf, n_samples=100_000):
-    """Vademecum inference: samples/s for the batched rank-1 sweep."""
+def sweep_throughput(Vs, res, tf, n_samples=524_288):
+    """Vademecum inference: samples/s for the batched rank-1 sweep.
+
+    Large batch: per-dispatch latency (~30 ms through the axon tunnel) masks
+    the compute rate below ~512k samples/call (measured 1.8M fields/s at
+    100k vs 3.0M at 512k — PERF.md)."""
     import jax
     import jax.numpy as jnp
     from pgdrome_tpu.parallel.vademecum import make_sweep_fn
@@ -130,7 +134,7 @@ def sweep_throughput(Vs, res, tf, n_samples=100_000):
     modes = [full0] + [jnp.asarray(m) for m in res.modes[1:]]
     sweep = make_sweep_fn(Vs, modes, res.n_modes)
     rng = np.random.default_rng(3)
-    reps = 5
+    reps = 4
     # distinct inputs per rep + per-call blocking: identical repeated calls
     # can be elided/cached by the runtime and give absurd rates
     batches = [

