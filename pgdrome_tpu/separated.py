@@ -269,12 +269,23 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
             )
         return tuple(Fs)
 
-    def enrich(modes, n_modes, rhs=None):
+    def enrich(modes, n_modes, rhs=None, init=None):
         rhs = tuple(problem.rhs) if rhs is None else tuple(rhs)
         mode_mask = (jnp.arange(modes[0].shape[0]) < n_modes).astype(
             problem.ops[0].dtype
         )
-        Fs0 = init_modes()
+        # optional explicit fixed-point init (reference get_Fsinit
+        # 'randomized', solver.py:158-304): used by the stall-retry path;
+        # masked + M-normalized like the default ones-init
+        if init is None:
+            Fs0 = init_modes()
+        else:
+            Fs0 = []
+            for d in range(nd):
+                f = jnp.asarray(init[d], dtype=problem.ops[d].dtype)
+                f = f * problem.bc_masks[d]
+                Fs0.append(f / _norm_d(problem, d, f))
+            Fs0 = tuple(Fs0)
         if residual_check:
             res = residual_norm(Fs0, modes, mode_mask, rhs)
         else:
@@ -379,7 +390,7 @@ def make_enrich_step_scanned(problem: SeparatedProblem, max_fp_it=50,
     def param_weights(FP):
         return jnp.einsum("ptij,pi,pj->pt", OPS_P, FP, FP, precision=_PREC)
 
-    def enrich(modes, n_modes, rhs=None):
+    def enrich(modes, n_modes, rhs=None, init=None):
         rhs = tuple(problem.rhs) if rhs is None else tuple(rhs)
         rhs0 = jnp.asarray(rhs[0])
         RHS_P = jnp.stack([jnp.asarray(rhs[d]) for d in range(1, nd)])
@@ -390,10 +401,15 @@ def make_enrich_step_scanned(problem: SeparatedProblem, max_fp_it=50,
         dt = ops0.dtype
         mode_mask = (jnp.arange(M) < n_modes).astype(dt)
 
-        # init factors (normalized masked ones)
-        F0 = jnp.ones(problem.sizes[0], dtype=dt) * mask0
+        # init factors (normalized masked ones, or an explicit init —
+        # reference get_Fsinit 'randomized', solver.py:158-304)
+        if init is None:
+            F0 = jnp.ones(problem.sizes[0], dtype=dt) * mask0
+            FP = jnp.ones((P, problem.sizes[1]), dtype=dt) * MASK_P
+        else:
+            F0 = jnp.asarray(init[0], dtype=dt) * mask0
+            FP = jnp.stack([jnp.asarray(f, dtype=dt) for f in init[1:]]) * MASK_P
         F0 = F0 / jnp.sqrt(jnp.abs(jnp.einsum("i,ij,j->", F0, mass0, F0, precision=_PREC)))
-        FP = jnp.ones((P, problem.sizes[1]), dtype=dt) * MASK_P
         FPn = jnp.sqrt(jnp.abs(jnp.einsum("pi,pij,pj->p", FP, MASS_P, FP, precision=_PREC)))
         FP = FP / FPn[:, None]
 
@@ -538,6 +554,8 @@ class SeparatedPGD:
         residual_check: bool = True,
         scan_params: bool = False,
         stop_fp: str = "norm",
+        fp_init: str = "ones",
+        stall_retries: int = 1,
     ):
         if isinstance(problem.ops[0], np.ndarray):
             problem = problem.as_device(dtype)
@@ -564,6 +582,22 @@ class SeparatedPGD:
             )
         self._enrich = jax.jit(step)
         self._stop_fp = stop_fp
+        # reference fp_init knob (solver.py get_Fsinit 'randomized') + a
+        # stall-recovery policy the reference lacks: a mode whose fixed
+        # point collapses (normU → 0/NaN, common for greedy Galerkin on
+        # non-symmetric operators) is retried with a randomized init
+        # before giving up
+        self._fp_init = fp_init
+        self._stall_retries = stall_retries
+
+    def _random_init(self, n, attempt):
+        rng = np.random.default_rng(3452 + 7919 * n + attempt)
+        return tuple(
+            rng.uniform(-1.0, 1.0, size=s).astype(
+                np.asarray(self.problem.ops[0]).dtype
+            )
+            for s in self.problem.sizes
+        )
 
     def init_buffers(self):
         return tuple(
@@ -599,15 +633,32 @@ class SeparatedPGD:
 
         self.metrics = EnrichmentMetrics()
         while n < self.n_max:
-            with self.metrics.step():
-                modes_new, normU, alpha, fp_its, res = self._enrich(modes, n)
-                jax.block_until_ready(modes_new)
-            res = float(res)
+            attempt = 0
+            while True:
+                init = (
+                    self._random_init(n, attempt)
+                    if (self._fp_init == "randomized" or attempt > 0)
+                    else None
+                )
+                with self.metrics.step():
+                    modes_new, normU, alpha, fp_its, res = (
+                        self._enrich(modes, n)
+                        if init is None
+                        else self._enrich(modes, n, init=init)
+                    )
+                    jax.block_until_ready(modes_new)
+                res = float(res)
+                stalled = not np.isfinite(float(normU)) or float(normU) <= 0
+                if not stalled or attempt >= self._stall_retries:
+                    break
+                attempt += 1
+                if verbose:
+                    print(f"mode {n} stalled: randomized retry {attempt}")
             if res < 1e-10:
                 if verbose:
                     print(f"residual {res:.3e} < 1e-10 at mode {n}: stop")
                 break
-            if not np.isfinite(float(normU)) or float(normU) <= 0:
+            if stalled:
                 if verbose:
                     print(f"mode {n} hit the fp noise floor: stop")
                 break

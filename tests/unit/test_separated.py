@@ -145,3 +145,38 @@ class TestDeltaStop:
         np.testing.assert_allclose(
             fast.amplitudes[:n], np.asarray(compat.amplitude)[:n], rtol=1e-8
         )
+
+
+class TestFpInitAndStallRetry:
+    def test_randomized_init_same_leading_modes(self):
+        # reference fp_init='randomized' (solver.py get_Fsinit): a different
+        # fixed-point init may pick a slightly different greedy sequence,
+        # but the dominant amplitudes must agree
+        from pgdrome_tpu.problems import parametric_elliptic
+
+        sep, Vs = parametric_elliptic(n_x=40, n_p=16, num_params=2)
+        r1 = SeparatedPGD(sep, n_max=6, tol=1e-13, tol_fp=1e-9).solve()
+        r2 = SeparatedPGD(
+            sep, n_max=6, tol=1e-13, tol_fp=1e-9, fp_init="randomized"
+        ).solve()
+        np.testing.assert_allclose(
+            r1.amplitudes[:4], r2.amplitudes[:4], rtol=1e-2
+        )
+
+    def test_structural_stall_not_hidden_by_retries(self):
+        # greedy Galerkin on the non-symmetric moving-source operator stalls
+        # structurally at mode 4 (randomized retries also collapse); the
+        # solver must stop and report rather than store a garbage mode
+        from pgdrome_tpu.problems import moving_heat_source
+
+        sep, Vs, factors, sep_err = moving_heat_source(
+            n_x=40, n_t=24, n_P=5, n_v=6, af=0.15, source_rank=15
+        )
+        r0 = SeparatedPGD(sep, n_max=12, tol=0.0, tol_fp=1e-7).solve()
+        r2 = SeparatedPGD(
+            sep, n_max=12, tol=0.0, tol_fp=1e-7, stall_retries=2
+        ).solve()
+        assert r0.n_modes <= 12 and r2.n_modes <= 12
+        assert np.all(np.isfinite(np.asarray(r2.amplitudes)))
+        # retries may legitimately recover extra modes, never lose any
+        assert r2.n_modes >= r0.n_modes
