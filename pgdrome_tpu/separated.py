@@ -557,6 +557,10 @@ class SeparatedPGD:
         fp_init: str = "ones",
         stall_retries: int = 1,
     ):
+        if solver not in ("lu", "cg", "chol"):
+            raise ValueError(
+                f"unknown solver {solver!r}: expected 'lu', 'cg' or 'chol'"
+            )
         if isinstance(problem.ops[0], np.ndarray):
             problem = problem.as_device(dtype)
         self.problem = problem

@@ -180,3 +180,11 @@ class TestFpInitAndStallRetry:
         assert np.all(np.isfinite(np.asarray(r2.amplitudes)))
         # retries may legitimately recover extra modes, never lose any
         assert r2.n_modes >= r0.n_modes
+
+    def test_unknown_solver_rejected(self):
+        # a typo'd solver name must raise, not silently fall back to LU
+        from pgdrome_tpu.problems import parametric_elliptic
+
+        sep, Vs = parametric_elliptic(n_x=10, n_p=6, num_params=2)
+        with np.testing.assert_raises(ValueError):
+            SeparatedPGD(sep, n_max=2, solver="cholesky")
