@@ -818,6 +818,86 @@ def galerkin_update(problem: SeparatedProblem, result: PGDResult) -> PGDResult:
     return out
 
 
+def compress_modes(result: PGDResult, mass, n_to: int, n_iters: int = 60,
+                   tol: float = 1e-13) -> PGDResult:
+    """PGD compression: replace the rank-K greedy separated solution by the
+    OPTIMAL rank-R (R < K) separated representation, via CP-ALS in the
+    mass-weighted inner product (host float64, milliseconds at solver
+    scales — all contractions are (R,K)/(R,R) Gram matrices).
+
+    Greedy enrichment is not rank-optimal: the tail error of K greedy
+    modes is typically reachable with fewer optimal modes.  Solving a few
+    extra greedy modes and compressing back gives strictly better accuracy
+    at the SAME deployed rank (measured on the bench problem: rank-64
+    greedy → rank-50 compressed beats rank-50 greedy).
+
+    ``mass``: per-dim mass matrices defining the inner product (use the
+    problem's — for a ``precondition_dim0``-transformed problem its
+    transformed mass reproduces exactly the original L2 product).  Each
+    ALS half-step solves  (⊙_{d≠j} B_d M_d B_dᵀ) B_j = (⊙_{d≠j} B_d M_d A_dᵀ) A_j.
+    """
+    K = result.n_modes
+    if not (0 < n_to < K):
+        raise ValueError(f"n_to must be in (0, {K}); got {n_to}")
+    nd = len(result.modes)
+    A = [np.asarray(m, dtype=np.float64)[:K] for m in result.modes]
+    M = [np.asarray(m, dtype=np.float64) for m in mass]
+    MA = [M[d] @ A[d].T for d in range(nd)]  # (n_d, K)
+
+    # init with the first n_to greedy modes (they are roughly ordered)
+    B = [A[d][:n_to].copy() for d in range(nd)]
+
+    def gram_pairs():
+        G = [B[d] @ (M[d] @ B[d].T) for d in range(nd)]  # (R, R)
+        H = [B[d] @ MA[d] for d in range(nd)]            # (R, K)
+        return G, H
+
+    # ||T||^2 is constant: Hadamard product of per-dim A-Grams
+    GA = np.ones((K, K))
+    for d in range(nd):
+        GA = GA * (A[d] @ MA[d])
+    normT2 = GA.sum()
+
+    prev_err2 = np.inf
+    for _ in range(n_iters):
+        for j in range(nd):
+            G = np.ones((n_to, n_to))
+            H = np.ones((n_to, K))
+            for d in range(nd):
+                if d != j:
+                    G = G * (B[d] @ (M[d] @ B[d].T))
+                    H = H * (B[d] @ MA[d])
+            # regularize: ALS factors can become collinear mid-iteration
+            G = G + 1e-14 * np.trace(G) / n_to * np.eye(n_to)
+            B[j] = np.linalg.solve(G, H @ A[j])
+        G, H = gram_pairs()
+        GS = np.ones((n_to, n_to))
+        TS = np.ones((n_to, K))
+        for d in range(nd):
+            GS = GS * G[d]
+            TS = TS * H[d]
+        err2 = normT2 - 2.0 * TS.sum() + GS.sum()
+        if abs(prev_err2 - err2) <= tol * abs(normT2):
+            break
+        prev_err2 = err2
+
+    dt = np.asarray(result.modes[0]).dtype
+    buf_n = np.asarray(result.modes[0]).shape[0]
+    new_modes = []
+    for d in range(nd):
+        buf = np.zeros((buf_n, B[d].shape[1]), dtype=np.float64)
+        buf[:n_to] = B[d]
+        new_modes.append(jnp.asarray(buf, dtype=dt))
+    return PGDResult(
+        modes=new_modes,
+        n_modes=n_to,
+        amplitudes=np.asarray(result.amplitudes)[:n_to],
+        alpha=np.asarray(result.alpha)[:n_to],
+        fp_its=np.asarray(result.fp_its)[:n_to],
+        normU0=result.normU0,
+    )
+
+
 def normal_equations(sep: SeparatedProblem) -> SeparatedProblem:
     """Minimal-residual PGD: transform to the normal equations AᵀA u = Aᵀf.
 

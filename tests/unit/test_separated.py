@@ -188,3 +188,58 @@ class TestFpInitAndStallRetry:
         sep, Vs = parametric_elliptic(n_x=10, n_p=6, num_params=2)
         with np.testing.assert_raises(ValueError):
             SeparatedPGD(sep, n_max=2, solver="cholesky")
+
+
+class TestCompression:
+    def test_compressed_rank_beats_greedy_rank(self):
+        # rank-R compression of a rank-K>R greedy solve must be at least as
+        # accurate as the greedy rank-R solve (it is the span-optimal rank-R)
+        from pgdrome_tpu.problems import parametric_elliptic
+        from pgdrome_tpu.separated import (
+            compress_modes,
+            galerkin_update,
+            evaluate_modes_1d,
+        )
+        from pgdrome_tpu.fem.assembly import stiffness_matrix, load_vector
+        from pgdrome_tpu.fem.bc import DirichletBC
+
+        sep, Vs = parametric_elliptic(n_x=128, n_p=32, num_params=3)
+        res20 = SeparatedPGD(sep, n_max=20, tol=0.0, tol_fp=1e-9).solve()
+        res12 = galerkin_update(
+            sep, SeparatedPGD(sep, n_max=12, tol=0.0, tol_fp=1e-9).solve()
+        )
+        cmp12 = compress_modes(galerkin_update(sep, res20), sep.mass, 12)
+        assert cmp12.n_modes == 12
+
+        def err(res, p=(0.85, 0.85, 0.85)):
+            kappa = lambda x: 1.0 + sum(
+                p[i] * np.sin((i + 1) * np.pi * x) ** 2 / 6 for i in range(3)
+            )
+            K = stiffness_matrix(Vs[0], weight=kappa)
+            b = load_vector(Vs[0], lambda x: np.ones_like(x))
+            bc = DirichletBC(Vs[0], 0.0, lambda x, onb: onb)
+            A2, b2 = bc.apply_system(K, b)
+            u_ref = np.linalg.solve(A2, b2)
+            fac = np.ones(res.n_modes)
+            for j, pj in enumerate(p):
+                vals = np.asarray(
+                    evaluate_modes_1d(
+                        Vs[1 + j], res.modes[1 + j], np.asarray([pj]), xp=np
+                    )
+                )[0]
+                fac *= vals[: res.n_modes]
+            u = fac @ np.asarray(res.modes[0])[: res.n_modes]
+            return np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref)
+
+        e_greedy, e_cmp = err(res12), err(cmp12)
+        print("greedy12:", e_greedy, "compressed12:", e_cmp)
+        assert e_cmp <= e_greedy * 1.05  # at least as good (measured ~1.7x better)
+
+    def test_invalid_target_rank(self):
+        from pgdrome_tpu.problems import parametric_elliptic
+        from pgdrome_tpu.separated import compress_modes
+
+        sep, Vs = parametric_elliptic(n_x=16, n_p=8, num_params=2)
+        res = SeparatedPGD(sep, n_max=4, tol=0.0, tol_fp=1e-8).solve()
+        with np.testing.assert_raises(ValueError):
+            compress_modes(res, sep.mass, res.n_modes + 1)
