@@ -23,10 +23,15 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
 if os.environ.get("PGDROME_BENCH_QUICK"):  # smoke mode for bench iteration
     N_X, N_P, N_MODES, CPU_BASELINE_CAP_S = 128, 32, 10, 20.0
+    N_MODES_SOLVE = 14
 else:
     N_X = 1024      # P2 → 2049 space dofs (2047 interior)
     N_P = 128       # per parameter dim (× 3)
-    N_MODES = 50
+    N_MODES = 50    # deployed rank (the BASELINE.json north-star rank)
+    # solve a few extra greedy modes and CP-ALS-compress back to N_MODES:
+    # greedy enrichment is not rank-optimal — rank-50 compressed from 64
+    # measured 0.5-0.7e-6 at the corners where greedy-50 sat at 2.0-2.3e-6
+    N_MODES_SOLVE = 64
     CPU_BASELINE_CAP_S = 90.0
 NUM_PARAMS = 3
 TOL = 1e-6
@@ -64,8 +69,11 @@ def tpu_solve(sep32):
     import jax as _jax
 
     _jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax")
+    # tol=0: run the full N_MODES_SOLVE greedy budget — the sub-1e-7
+    # amplitude tail still carries signal the rank-50 compression uses
+    # (59 modes compressed → 1.16e-6 max; all 64 → 0.66-0.69e-6 at corners)
     solver = SeparatedPGD(
-        sep32, n_max=N_MODES, tol=TOL / 10, tol_fp=1e-7, max_fp_it=40,
+        sep32, n_max=N_MODES_SOLVE, tol=0.0, tol_fp=1e-7, max_fp_it=40,
         solver="cg", cg_iters=25, residual_check=False,
     )
 
@@ -249,13 +257,28 @@ def main():
 
     res, t_solve = tpu_solve(sep_pc64)
 
-    # span-optimal coefficients in f64 against the transformed problem —
-    # host-side, one optimized einsum chain
-    from pgdrome_tpu.separated import galerkin_update
+    # the baseline thread must be done before the TIMED host postprocess:
+    # this box has one CPU core and an overlapping baseline would inflate
+    # postprocess_s several-fold
+    bl_thread.join(timeout=CPU_BASELINE_CAP_S + 120)
+
+    # postprocess to the deployed rank-N_MODES vademecum (host f64):
+    # span-optimal coefficients, then CP-ALS compression of the extra
+    # greedy modes back to N_MODES (optimal rank-50 beats greedy rank-50),
+    # then re-optimal coefficients on the compressed span
+    from pgdrome_tpu.separated import compress_modes, galerkin_update
 
     t0 = time.perf_counter()
+    n_solved = int(res.n_modes)
     res = galerkin_update(sep_pc64, res)
-    log(f"galerkin update: {time.perf_counter() - t0:.2f}s")
+    if res.n_modes > N_MODES:
+        res = compress_modes(res, sep_pc64.mass, N_MODES)
+        res = galerkin_update(sep_pc64, res)
+    t_post = time.perf_counter() - t0
+    log(
+        f"postprocess (galerkin + compress {n_solved}->{res.n_modes} + "
+        f"galerkin): {t_post:.2f}s"
+    )
     max_err = verify(sep64, Vs, res, tf)
     try:
         sweep_rate = sweep_throughput(Vs, res, tf)
@@ -265,13 +288,17 @@ def main():
     bl_thread.join(timeout=CPU_BASELINE_CAP_S + 120)
     cpu_t, extrapolated = baseline_out.get("result", (float("nan"), True))
 
+    t_total = t_solve + t_post  # operators-ready → deployable vademecum
     out = {
         "metric": "time-to-1e-6 rel. error, 50-mode parametric-elliptic vademecum (space x 3 params)",
-        "value": round(t_solve, 4),
+        "value": round(t_total, 4),
         "unit": "s",
-        "vs_baseline": round(cpu_t / t_solve, 2) if np.isfinite(cpu_t) else None,
+        "vs_baseline": round(cpu_t / t_total, 2) if np.isfinite(cpu_t) else None,
         "modes": int(res.n_modes),
-        "modes_per_s": round(res.n_modes / t_solve, 2),
+        "modes_solved": n_solved,
+        "solve_s": round(t_solve, 4),
+        "postprocess_s": round(t_post, 4),
+        "modes_per_s": round(n_solved / t_solve, 2),
         "max_rel_error_vs_fem": float(f"{max_err:.3e}"),
         "cpu_baseline_s": round(cpu_t, 2) if np.isfinite(cpu_t) else None,
         "cpu_baseline_extrapolated": extrapolated,

@@ -788,13 +788,12 @@ def galerkin_update(problem: SeparatedProblem, result: PGDResult) -> PGDResult:
     rhs = [np.asarray(r, dtype=np.float64) for r in problem.rhs]
     modes = [np.asarray(m, dtype=np.float64)[:K] for m in result.modes]
 
-    # G[i,j] = Σ_t Π_d (F_d^i · O_td · F_d^j)
+    # G[i,j] = Σ_t Π_d (F_d^i · O_td · F_d^j) — via BLAS batched matmuls
+    # (np.einsum's 3-operand path is ~30x slower at n=2047)
     G = np.ones((ops[0].shape[0], K, K))
     for d in range(nd):
-        # (T, K, K): F^i O F^j per term
-        G = G * np.einsum(
-            "ki,tij,lj->tkl", modes[d], ops[d], modes[d], optimize=True
-        )
+        tmp = np.matmul(modes[d][None, :, :], ops[d])  # (T, K, n_d)
+        G = G * np.matmul(tmp, modes[d].T[None, :, :])  # (T, K, K)
     Gmat = G.sum(axis=0)
 
     # b[i] = Σ_r Π_d (F_d^i · g_rd)
@@ -818,8 +817,8 @@ def galerkin_update(problem: SeparatedProblem, result: PGDResult) -> PGDResult:
     return out
 
 
-def compress_modes(result: PGDResult, mass, n_to: int, n_iters: int = 60,
-                   tol: float = 1e-13) -> PGDResult:
+def compress_modes(result: PGDResult, mass, n_to: int, n_iters: int = 40,
+                   tol: float = 1e-12) -> PGDResult:
     """PGD compression: replace the rank-K greedy separated solution by the
     OPTIMAL rank-R (R < K) separated representation, via CP-ALS in the
     mass-weighted inner product (host float64, milliseconds at solver
@@ -846,11 +845,9 @@ def compress_modes(result: PGDResult, mass, n_to: int, n_iters: int = 60,
 
     # init with the first n_to greedy modes (they are roughly ordered)
     B = [A[d][:n_to].copy() for d in range(nd)]
-
-    def gram_pairs():
-        G = [B[d] @ (M[d] @ B[d].T) for d in range(nd)]  # (R, R)
-        H = [B[d] @ MA[d] for d in range(nd)]            # (R, K)
-        return G, H
+    # cache the expensive mass products (M_d is n_d×n_d — dim 0 can be
+    # thousands of dofs; everything else in the sweep is (R,K)-sized)
+    MB = [M[d] @ B[d].T for d in range(nd)]  # (n_d, R)
 
     # ||T||^2 is constant: Hadamard product of per-dim A-Grams
     GA = np.ones((K, K))
@@ -865,17 +862,17 @@ def compress_modes(result: PGDResult, mass, n_to: int, n_iters: int = 60,
             H = np.ones((n_to, K))
             for d in range(nd):
                 if d != j:
-                    G = G * (B[d] @ (M[d] @ B[d].T))
+                    G = G * (B[d] @ MB[d])
                     H = H * (B[d] @ MA[d])
             # regularize: ALS factors can become collinear mid-iteration
             G = G + 1e-14 * np.trace(G) / n_to * np.eye(n_to)
             B[j] = np.linalg.solve(G, H @ A[j])
-        G, H = gram_pairs()
+            MB[j] = M[j] @ B[j].T
         GS = np.ones((n_to, n_to))
         TS = np.ones((n_to, K))
         for d in range(nd):
-            GS = GS * G[d]
-            TS = TS * H[d]
+            GS = GS * (B[d] @ MB[d])
+            TS = TS * (B[d] @ MA[d])
         err2 = normT2 - 2.0 * TS.sum() + GS.sum()
         if abs(prev_err2 - err2) <= tol * abs(normT2):
             break
