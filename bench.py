@@ -270,10 +270,12 @@ def main():
 
     t0 = time.perf_counter()
     n_solved = int(res.n_modes)
-    res = galerkin_update(sep_pc64, res)
     if res.n_modes > N_MODES:
-        res = compress_modes(res, sep_pc64.mass, N_MODES)
-        res = galerkin_update(sep_pc64, res)
+        # compress the raw greedy modes directly; the post-compression
+        # Galerkin re-derives span-optimal coefficients against the PDE,
+        # so a pre-compression coefficient update buys nothing measurable
+        res = compress_modes(res, sep_pc64.mass, N_MODES, n_iters=20)
+    res = galerkin_update(sep_pc64, res)
     t_post = time.perf_counter() - t0
     log(
         f"postprocess (galerkin + compress {n_solved}->{res.n_modes} + "
