@@ -43,7 +43,7 @@ def log(*a):
 
 
 def build():
-    from pgdrome_tpu.problems import parametric_elliptic
+    from pgdrome_tpu.models.problems import parametric_elliptic
     from pgdrome_tpu.separated import precondition_dim0
 
     t0 = time.perf_counter()
@@ -167,7 +167,7 @@ def cpu_baseline(sep64, Vs, n_modes_target):
     """Reference-architecture baseline: host Python orchestration with
     per-dim dense solves (pgd_problem_from_separated), capped + per-mode
     extrapolated."""
-    from pgdrome_tpu.problems import pgd_problem_from_separated
+    from pgdrome_tpu.models.problems import pgd_problem_from_separated
 
     prob = pgd_problem_from_separated(sep64, Vs)
     prob.tol_fp_it = 1e-6

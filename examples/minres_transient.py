@@ -24,7 +24,7 @@ import pgdrome_tpu.config as cfg
 
 cfg.use_full_f32_matmul()
 
-from pgdrome_tpu.problems import moving_heat_source
+from pgdrome_tpu.models.problems import moving_heat_source
 from pgdrome_tpu.separated import (
     SeparatedPGD,
     normal_equations,

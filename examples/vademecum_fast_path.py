@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 import pgdrome_tpu.config as cfg
-from pgdrome_tpu.problems import parametric_elliptic
+from pgdrome_tpu.models.problems import parametric_elliptic
 from pgdrome_tpu.separated import SeparatedPGD, precondition_dim0, galerkin_update
 from pgdrome_tpu.parallel.vademecum import make_sweep_fn
 

@@ -43,7 +43,7 @@ from pgdrome_tpu.separated import (
     galerkin_update,
     normal_equations,
 )
-from pgdrome_tpu.pgd_config import PGDConfig
+from pgdrome_tpu.utils.pgd_config import PGDConfig
 
 __version__ = "0.1.0"
 

@@ -57,7 +57,7 @@ def _scatter_matrix(V: FunctionSpace, Ae):
 
     Uses the native C++ scatter kernel when available (np.add.at is ~10x
     slower); see pgdrome_tpu/native.py."""
-    from pgdrome_tpu import native
+    from pgdrome_tpu.utils import native
 
     ed = V.element_dofs
     n = V.ndofs
@@ -81,7 +81,7 @@ def _scatter_matrix_sparse(V: FunctionSpace, Ae):
 
 
 def _scatter_vector(V: FunctionSpace, be):
-    from pgdrome_tpu import native
+    from pgdrome_tpu.utils import native
 
     b = np.zeros(V.ndofs)
     native.scatter_add_vector(b, V.element_dofs, be)
@@ -225,7 +225,7 @@ def elasticity_matrix_3d(V: FunctionSpace, C, sparse: bool = False):
             (Ae.ravel(), (rows.ravel(), cols.ravel())), shape=(n, n)
         ).tocsr()
     A = np.zeros((n, n))
-    from pgdrome_tpu import native
+    from pgdrome_tpu.utils import native
 
     native.scatter_add_dense(A, rows, cols, Ae)
     return A

@@ -44,14 +44,19 @@ def write_hdf5(pgd, folder):
                 g.attrs["diagonal"] = fmesh.diagonal
             else:
                 g.attrs["mesh_class"] = "interval"
-            for att in mesh.attributes:
+            for a, att in enumerate(mesh.attributes):
                 f0 = att.interpolationfct[0]
                 V = f0.function_space()
-                f.attrs["family"] = V.family
-                f.attrs["degree"] = V.degree
-                f.attrs["value_size"] = V.value_size
+                # attribute 0 keeps the reference's root-level layout
+                # (model.py:162-181); further attributes are namespaced
+                # under ATTR_{a} so multiple fields on one mesh don't
+                # collide on the MODE_k dataset names
+                dest = f if a == 0 else f.create_group(f"ATTR_{a}")
+                dest.attrs["family"] = V.family
+                dest.attrs["degree"] = V.degree
+                dest.attrs["value_size"] = V.value_size
                 for mode in range(pgd.numModes):
-                    f.create_dataset(
+                    dest.create_dataset(
                         "MODE_" + str(mode),
                         data=np.asarray(att.interpolationfct[mode].array),
                     )
@@ -72,25 +77,27 @@ def _rebuild_mesh(g):
     )
 
 
-def read_modes_hdf5(filepath, info=None):
+def read_modes_hdf5(filepath, info=None, attri=0):
     """Rebuild (space, [Function per mode]) from a `_data.h5` checkpoint
     (reference model.py:641-714).  `info` may override family/degree/_type
-    like the reference's interpolationInfo dict."""
+    like the reference's interpolationInfo dict; ``attri`` selects the
+    attribute (0 = root-level MODE_k layout, ≥1 = the ATTR_{a} group)."""
     info = info or {}
     with h5py.File(filepath, "r") as f:
         mesh = _rebuild_mesh(f["mesh"])
-        family = info.get("family", str(f.attrs.get("family", "P")))
-        degree = int(info.get("degree", f.attrs.get("degree", 1)))
+        src = f if attri == 0 else f[f"ATTR_{attri}"]
+        family = info.get("family", str(src.attrs.get("family", "P")))
+        degree = int(info.get("degree", src.attrs.get("degree", 1)))
         fs_type = str(info.get("_type", "scalar")).lower()
-        vs_stored = int(f.attrs.get("value_size", 1))
+        vs_stored = int(src.attrs.get("value_size", 1))
         if fs_type == "vector" or vs_stored > 1:
             V = VectorFunctionSpace(mesh, family, degree)
         else:
             V = FunctionSpace(mesh, family, degree)
         fcts = []
         k = 0
-        while f"MODE_{k}" in f:
-            fcts.append(Function(V, np.asarray(f[f"MODE_{k}"])))
+        while f"MODE_{k}" in src:
+            fcts.append(Function(V, np.asarray(src[f"MODE_{k}"])))
             k += 1
     return V, fcts
 
@@ -196,21 +203,25 @@ def write_pxdmf(pgd, folder):
     pgd.folder = folder
 
 
+def _attr_base_name(fullname):
+    """'Temp_12' → 'Temp': pxdmf attribute names carry a _<mode> suffix."""
+    return fullname.rsplit("_", 1)[0]
+
+
+def _parse_xml_item(text, as_int=False):
+    """Whitespace-separated inline XML DataItem body → list of rows."""
+    conv = int if as_int else float
+    return [
+        [conv(tok) for tok in line.split()]
+        for line in text.strip().splitlines()
+        if line.strip()
+    ]
+
+
 def load_pxdmf(pgd, filepath):
     """Parse a pxdmf file + its h5 data back into a PGD instance
     (reference model.py:399-575)."""
     from pgdrome_tpu.model import PGDMesh, PGDAttribute
-
-    get_name = lambda fullname: "_".join(fullname.split("_")[:-1])
-
-    def data_to_array(text, _type):
-        conv = int if _type == "int" else float
-        rows = []
-        for line in text.strip().split("\n"):
-            vals = [conv(a) for a in line.split() if a]
-            if vals:
-                rows.append(vals)
-        return rows
 
     folder = os.path.dirname(os.path.abspath(filepath))
     xmlroot = et.parse(filepath).getroot()
@@ -238,7 +249,7 @@ def load_pxdmf(pgd, filepath):
             pm.numElements = int(elems.attrib.get("NumberOfElements"))
             pm.typElements = elems.attrib.get("TopologyType")
             if elems[0].get("Format") == "XML":
-                pm.topology = np.array(data_to_array(elems[0].text, "int"))
+                pm.topology = np.array(_parse_xml_item(elems[0].text, as_int=True))
             else:
                 with h5py.File(folder + "/" + elems[0].text.split(":")[0], "r") as hf:
                     pm.topology = np.array(hf.get(elems[0].text.split(":")[1]))
@@ -246,7 +257,7 @@ def load_pxdmf(pgd, filepath):
         for elems in grid.iter("Geometry"):
             if elems[0].get("Format") == "XML":
                 pm.typGeometry = elems.attrib.get("GeometryType")
-                geom = np.array(data_to_array(elems[0].text, "float"))
+                geom = np.array(_parse_xml_item(elems[0].text))
             else:
                 with h5py.File(folder + "/" + elems[0].text.split(":")[0], "r") as hf:
                     geom = np.array(hf.get(elems[0].text.split(":")[1]))
@@ -257,13 +268,13 @@ def load_pxdmf(pgd, filepath):
 
         pm.attributes = list()
         for elems in grid.iter("Attribute"):
-            name = get_name(elems.attrib.get("Name"))
+            name = _attr_base_name(elems.attrib.get("Name"))
             position = None
             for i, att in enumerate(pm.attributes):
                 if att.name == name:
                     position = i
             if elems[0].get("Format") == "XML":
-                arr = np.array(data_to_array(elems[0].text, "float"))
+                arr = np.array(_parse_xml_item(elems[0].text))
             else:
                 with h5py.File(folder + "/" + elems[0].text.split(":")[0], "r") as hf:
                     arr = np.array(hf.get(elems[0].text.split(":")[1]))

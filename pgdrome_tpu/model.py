@@ -33,10 +33,16 @@ class _Interp1D:
         order = np.argsort(x)
         self.x = np.asarray(x, dtype=np.float64)[order]
         self.y = np.asarray(y, dtype=np.float64)[order]
-        if kind not in ("linear", "nearest"):
-            # quadratic/cubic would need splines; linear covers the tests
-            kind = "linear"
         self.kind = kind
+        if kind in ("linear", "nearest"):
+            self._spline = None
+        else:
+            # spline kinds ('quadratic', 'cubic', integer orders, ...):
+            # delegate to scipy like the reference (model.py:628-636) —
+            # unknown kinds raise there instead of silently degrading
+            from scipy.interpolate import interp1d
+
+            self._spline = interp1d(self.x, self.y, kind=kind)
 
     def __call__(self, xq):
         xq = np.asarray(xq, dtype=np.float64)
@@ -45,6 +51,8 @@ class _Interp1D:
                 f"A value in x_new is out of the interpolation range "
                 f"[{self.x[0]}, {self.x[-1]}]"
             )
+        if self._spline is not None:
+            return self._spline(np.clip(xq, self.x[0], self.x[-1]))
         if self.kind == "nearest":
             idx = np.clip(np.searchsorted(self.x, xq), 0, len(self.x) - 1)
             return self.y[idx]
@@ -308,7 +316,7 @@ class PGD:
                 filepath = os.path.join(
                     self.folder, self.mesh[free_dim[i]].name + "_data.h5"
                 )
-                V, fcts = pgd_io.read_modes_hdf5(filepath, info)
+                V, fcts = pgd_io.read_modes_hdf5(filepath, info, attri=attri)
                 att.interpolationfct = fcts
                 self.mesh[free_dim[i]].fenics_mesh = V.mesh()
             else:
@@ -392,8 +400,10 @@ class PGD:
         Returns (npoints, numModes) for scalar fields, (npoints, vs,
         numModes) for vector fields."""
         sensor_points = np.asarray(sensor_points, dtype=np.float64)
-        _hash = float(np.sum(sensor_points.flatten()))
-        key = (_hash, fixed_dim, attri)
+        # collision-free cache key (the reference hashes by sum(points),
+        # model.py:116, which collides for permuted / sum-equal point sets;
+        # deliberately fixed here)
+        key = (sensor_points.tobytes(), sensor_points.shape, fixed_dim, attri)
         if key in self._eval_fixed_modes:
             return self._eval_fixed_modes[key]
 

@@ -1,6 +1,6 @@
 """Model-problem families (the BASELINE.json configs).
 
-Canonical builders live in :mod:`pgdrome_tpu.problems`; this package gives
+Canonical builders live in :mod:`pgdrome_tpu.models.problems`; this package gives
 them their model-zoo home:
 
 - :func:`poisson_xy` — 2D Poisson separated as x⊗y
@@ -12,7 +12,7 @@ them their model-zoo home:
   space ⊗ time ⊗ power ⊗ velocity (greedy CP-separated source)
 """
 
-from pgdrome_tpu.problems import (
+from pgdrome_tpu.models.problems import (
     poisson_xy,
     transient_heat_2d,
     parametric_elliptic,

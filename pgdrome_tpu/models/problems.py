@@ -309,7 +309,7 @@ def moving_heat_source(
 
     Returns (problem, spaces, source_factors, separation_rel_error)."""
     from pgdrome_tpu.ops.fd import FD_matrices
-    from pgdrome_tpu.separation import (
+    from pgdrome_tpu.utils.separation import (
         separate,
         separate_hierarchical,
         separation_error,

@@ -75,12 +75,18 @@ def dryrun(n_devices: int, n_max: int = 4, verbose: bool = False, devices=None):
 
     Exercised by the driver via __graft_entry__.dryrun_multichip with
     virtual CPU devices (xla_force_host_platform_device_count)."""
-    from pgdrome_tpu.problems import parametric_elliptic
+    from pgdrome_tpu.models.problems import parametric_elliptic
 
     if devices is None:
-        devices = jax.devices()
-        if len(devices) < n_devices:
+        # prefer the CPU backend: querying the default backend first would
+        # initialize the axon TPU plugin (which ignores JAX_PLATFORMS) and
+        # can hard-fail in driver environments (MULTICHIP_r01 postmortem)
+        try:
             devices = jax.devices("cpu")
+        except RuntimeError:
+            devices = []
+        if len(devices) < n_devices:
+            devices = jax.devices()
     if len(devices) < n_devices:
         raise RuntimeError(
             f"need {n_devices} devices, have {len(devices)} "
@@ -90,27 +96,33 @@ def dryrun(n_devices: int, n_max: int = 4, verbose: bool = False, devices=None):
     dp, sp = _mesh_axes(n_devices)
     mesh = Mesh(np.array(devs).reshape(dp, sp), ("dp", "sp"))
 
-    # tiny problem; space dofs divisible by sp (P1 on n_x elems → n_x+1
-    # dofs; pick n_x = 16*sp - 1)
-    n_x = 16 * sp - 1
-    sep, Vs = parametric_elliptic(n_x=n_x, n_p=8, num_params=2, degree_x=1)
-    sep = sep.as_device(
-        np.float64 if jax.config.jax_enable_x64 else np.float32
-    )
+    # pin uncommitted-array placement to the mesh's backend: the default
+    # backend may be a (possibly broken) remote TPU while the mesh is the
+    # virtual-CPU one
+    with jax.default_device(devs[0]):
+        # tiny problem; space dofs divisible by sp (P1 on n_x elems → n_x+1
+        # dofs; pick n_x = 16*sp - 1)
+        n_x = 16 * sp - 1
+        sep, Vs = parametric_elliptic(n_x=n_x, n_p=8, num_params=2, degree_x=1)
+        sep = sep.as_device(
+            np.float64 if jax.config.jax_enable_x64 else np.float32
+        )
 
-    B = dp  # one load case per dp shard
-    n0 = sep.sizes[0]
-    # distinct load cases: scaled copies of the base space rhs
-    scales = (1.0 + jnp.arange(B, dtype=sep.rhs[0].dtype))[:, None, None]
-    rhs0_batch = jnp.broadcast_to(sep.rhs[0][None], (B,) + sep.rhs[0].shape) * scales
+        B = dp  # one load case per dp shard
+        n0 = sep.sizes[0]
+        # distinct load cases: scaled copies of the base space rhs
+        scales = (1.0 + jnp.arange(B, dtype=sep.rhs[0].dtype))[:, None, None]
+        rhs0_batch = (
+            jnp.broadcast_to(sep.rhs[0][None], (B,) + sep.rhs[0].shape) * scales
+        )
 
-    modes_batch = tuple(
-        jnp.zeros((B, n_max, n), dtype=sep.ops[0].dtype) for n in sep.sizes
-    )
+        modes_batch = tuple(
+            jnp.zeros((B, n_max, n), dtype=sep.ops[0].dtype) for n in sep.sizes
+        )
 
-    step = make_multichip_train_step(sep, mesh)
-    new_modes, normU, alpha, fp_its, res = step(modes_batch, 0, rhs0_batch)
-    jax.block_until_ready(new_modes)
+        step = make_multichip_train_step(sep, mesh)
+        new_modes, normU, alpha, fp_its, res = step(modes_batch, 0, rhs0_batch)
+        jax.block_until_ready(new_modes)
 
     assert np.all(np.isfinite(np.asarray(normU))), "non-finite amplitudes"
     assert np.all(np.asarray(normU) > 0), "zero-amplitude enrichment"

@@ -63,7 +63,11 @@ def sharded_sweep(spaces, modes, n_modes, samples, mesh=None):
     B = samples.shape[0]
     pad = (-B) % ndev
     if pad:
-        samples = jnp.concatenate([samples, samples[:pad]], axis=0)
+        # repeat the first sample (NOT samples[:pad]: when B < pad that
+        # yields fewer than pad rows and the batch stays indivisible by the
+        # dp axis; zeros could fall outside the parameter meshes)
+        filler = jnp.broadcast_to(samples[:1], (pad, samples.shape[1]))
+        samples = jnp.concatenate([samples, filler], axis=0)
     samples = jax.device_put(samples, sharding)
     out = sweep(samples)
     return out[:B]

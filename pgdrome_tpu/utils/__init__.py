@@ -1,10 +1,10 @@
 """Utilities: configuration, profiling/metrics, load separation, native
 host kernels."""
 
-from pgdrome_tpu.pgd_config import PGDConfig
-from pgdrome_tpu.profiling import trace, EnrichmentMetrics
-from pgdrome_tpu.separation import separate, separate_rank1, separation_error
-from pgdrome_tpu import native
+from pgdrome_tpu.utils.pgd_config import PGDConfig
+from pgdrome_tpu.utils.profiling import trace, EnrichmentMetrics
+from pgdrome_tpu.utils.separation import separate, separate_rank1, separation_error
+from pgdrome_tpu.utils import native
 
 __all__ = [
     "PGDConfig",

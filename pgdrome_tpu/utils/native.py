@@ -19,12 +19,15 @@ _LIB = None
 _TRIED = False
 
 
+_PKG_DIR = os.path.dirname(os.path.dirname(__file__))  # pgdrome_tpu/
+
+
 def _lib_path():
-    return os.path.join(os.path.dirname(__file__), "_libpgdrome_native.so")
+    return os.path.join(_PKG_DIR, "_libpgdrome_native.so")
 
 
 def _src_dir():
-    return os.path.join(os.path.dirname(os.path.dirname(__file__)), "csrc")
+    return os.path.join(os.path.dirname(_PKG_DIR), "csrc")
 
 
 def _load():

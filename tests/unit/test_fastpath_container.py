@@ -6,7 +6,7 @@ import tempfile
 
 import numpy as np
 
-from pgdrome_tpu.problems import parametric_elliptic
+from pgdrome_tpu.models.problems import parametric_elliptic
 from pgdrome_tpu.separated import SeparatedPGD, precondition_dim0, evaluate_modes_1d
 from pgdrome_tpu.model import pgd_from_result, PGDErrorComputation
 

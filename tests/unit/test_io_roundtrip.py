@@ -116,3 +116,39 @@ class TestPGD(unittest.TestCase):
 
 if __name__ == "__main__":
     unittest.main()
+
+
+class TestMultiAttributeHdf5(unittest.TestCase):
+    def test_two_attributes_roundtrip(self):
+        # >1 attribute per mesh: MODE_k datasets must not collide
+        # (attribute 0 at root, further attributes under ATTR_{a})
+        from pgdrome_tpu.io import read_modes_hdf5
+        from pgdrome_tpu.model import PGDAttribute
+
+        mesh_x = IntervalMesh(20, 0.0, 1.0)
+        V_x = FunctionSpace(mesh_x, "CG", 1)
+        modes = [[interpolate(lambda x: x, V_x)], [interpolate(lambda x: x, V_x)]]
+        pgd = PGD(
+            name="Two",
+            n_modes=1,
+            fmeshes=[mesh_x, mesh_x],
+            pgd_modes=modes,
+            name_coord=["X", "P"],
+            modes_info=["U", "Node", "Scalar"],
+            verbose=False,
+        )
+        # second field on the first mesh
+        att2 = PGDAttribute(1, pgd.mesh[0], [interpolate(lambda x: 2.0 * x, V_x)],
+                            ["V", "Node", "Scalar"])
+        pgd.mesh[0].attributes.append(att2)
+
+        folder = tempfile.mkdtemp()
+        try:
+            pgd.write_hdf5(folder)
+            path = os.path.join(folder, pgd.mesh[0].name + "_data.h5")
+            _, fcts0 = read_modes_hdf5(path, attri=0)
+            _, fcts1 = read_modes_hdf5(path, attri=1)
+            self.assertAlmostEqual(fcts0[0](0.3), 0.3, places=12)
+            self.assertAlmostEqual(fcts1[0](0.3), 0.6, places=12)
+        finally:
+            shutil.rmtree(folder)

@@ -143,7 +143,7 @@ class TestSplit3D:
 
 class TestNormalizationInvariance:
     def _solve(self, norm_modes, fp_init=""):
-        from pgdrome_tpu.problems import elastic_truss, pgd_problem_from_separated
+        from pgdrome_tpu.models.problems import elastic_truss, pgd_problem_from_separated
 
         sep, Vs = elastic_truss(n_x=30, n_E=20)
         prob = pgd_problem_from_separated(sep, Vs)

@@ -55,12 +55,22 @@ class TestSensorResponse(unittest.TestCase):
     def test_cache_hit(self):
         pts = np.array([0.25, 0.5])
         self.pgd.evaluate_sensor_response(0, [1, 2], [self.p, self.E], 0, pts)
-        key = (float(pts.sum()), 0, 0)
+        key = (pts.astype(np.float64).tobytes(), pts.shape, 0, 0)
         assert key in self.pgd._eval_fixed_modes
         # second call must reuse the cache (same object)
         cached = self.pgd._eval_fixed_modes[key]
         self.pgd.evaluate_sensor_response(0, [1, 2], [1.0, 1.0], 0, pts)
         assert self.pgd._eval_fixed_modes[key] is cached
+
+    def test_cache_no_sum_collision(self):
+        # the reference hashes by sum(points) (model.py:116) so [0.25, 0.5]
+        # and [0.5, 0.25] collide; the rebuild's key must not
+        a = np.array([0.25, 0.5])
+        b = np.array([0.5, 0.25])
+        va = self.pgd.evaluate_sensor_response(0, [1, 2], [self.p, self.E], 0, a)
+        vb = self.pgd.evaluate_sensor_response(0, [1, 2], [self.p, self.E], 0, b)
+        np.testing.assert_allclose(va, exact(a, self.p, self.E), atol=1e-12)
+        np.testing.assert_allclose(vb, exact(b, self.p, self.E), atol=1e-12)
 
     def test_used_num_modes_truncation(self):
         pts = np.array([0.5])
@@ -164,3 +174,38 @@ class TestReconstructTensor(unittest.TestCase):
         Es = pgd.mesh[2].dataX
         X, P, E = np.meshgrid(xs, ps, Es, indexing="ij")
         np.testing.assert_allclose(T, exact(X, P, E), atol=1e-12)
+
+
+class TestInterp1DKinds(unittest.TestCase):
+    def test_cubic_matches_scipy(self):
+        from pgdrome_tpu.model import _Interp1D
+        from scipy.interpolate import interp1d
+
+        x = np.linspace(0.0, 1.0, 11)
+        y = np.sin(2.0 * x) + x**3
+        ours = _Interp1D(x, y, kind="cubic")
+        ref = interp1d(x, y, kind="cubic")
+        q = np.array([0.05, 0.33, 0.77, 1.0])
+        np.testing.assert_allclose(ours(q), ref(q), rtol=1e-12)
+
+    def test_quadratic_accepted(self):
+        from pgdrome_tpu.model import _Interp1D
+
+        x = np.linspace(0.0, 1.0, 9)
+        f = _Interp1D(x, x**2, kind="quadratic")
+        # quadratic spline reproduces a quadratic exactly
+        np.testing.assert_allclose(f(np.array([0.21, 0.6])), [0.21**2, 0.36],
+                                   rtol=1e-10)
+
+    def test_unknown_kind_raises(self):
+        from pgdrome_tpu.model import _Interp1D
+
+        with self.assertRaises((ValueError, NotImplementedError)):
+            _Interp1D(np.linspace(0, 1, 5), np.zeros(5), kind="nope")
+
+    def test_out_of_range_still_raises(self):
+        from pgdrome_tpu.model import _Interp1D
+
+        f = _Interp1D(np.linspace(0, 1, 5), np.zeros(5), kind="cubic")
+        with self.assertRaises(ValueError):
+            f(1.5)

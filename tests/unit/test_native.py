@@ -2,7 +2,7 @@
 
 import numpy as np
 
-from pgdrome_tpu import native
+from pgdrome_tpu.utils import native
 from pgdrome_tpu.ops.fd import FD_matrices
 
 

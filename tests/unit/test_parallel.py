@@ -5,7 +5,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from pgdrome_tpu.problems import parametric_elliptic
+from pgdrome_tpu.models.problems import parametric_elliptic
 from pgdrome_tpu.separated import SeparatedPGD
 
 
@@ -124,3 +124,20 @@ class TestSweepPadding:
         np.testing.assert_allclose(
             np.asarray(wide(samples)), np.asarray(small(samples)), rtol=1e-12
         )
+
+
+class TestSmallBatchPadding:
+    def test_batch_smaller_than_mesh(self, solved):
+        # B=3 on the 8-device mesh: pad (5) exceeds B, so padding by
+        # repeating samples[:pad] would under-fill — the sweep must still
+        # shard and return exactly B rows
+        sep, Vs, res = solved
+        from pgdrome_tpu.parallel.vademecum import sharded_sweep, make_sweep_fn
+
+        samples = np.random.default_rng(2).uniform(0.1, 0.9, size=(3, 2))
+        out = np.asarray(
+            sharded_sweep(Vs, [jnp.asarray(m) for m in res.modes], res.n_modes, samples)
+        )
+        assert out.shape == (3, sep.sizes[0])
+        sweep = make_sweep_fn(Vs, [jnp.asarray(m) for m in res.modes], res.n_modes)
+        np.testing.assert_allclose(out, np.asarray(sweep(jnp.asarray(samples))), rtol=1e-12)

@@ -4,7 +4,7 @@ amplitude invariance + float32 accuracy (the TPU bench precision story)."""
 import numpy as np
 import jax.numpy as jnp
 
-from pgdrome_tpu.problems import parametric_elliptic
+from pgdrome_tpu.models.problems import parametric_elliptic
 from pgdrome_tpu.separated import SeparatedPGD, precondition_dim0, evaluate_modes_1d
 
 

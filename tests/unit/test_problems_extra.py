@@ -6,9 +6,9 @@ import pytest
 from scipy import sparse as sps
 from scipy.sparse import linalg as spla
 
-from pgdrome_tpu.problems import transient_heat_2d, moving_heat_source
+from pgdrome_tpu.models.problems import transient_heat_2d, moving_heat_source
 from pgdrome_tpu.separated import SeparatedPGD, evaluate_modes_1d, galerkin_update
-from pgdrome_tpu.separation import separate, separation_error
+from pgdrome_tpu.utils.separation import separate, separation_error
 
 
 class TestSeparation:
@@ -223,7 +223,7 @@ class TestMinimalResidualPGD:
         # on an SPD problem minres converges to the same limit (mode
         # sequences differ, so compare both against the per-sample solve)
         from pgdrome_tpu.separated import normal_equations
-        from pgdrome_tpu.problems import parametric_elliptic
+        from pgdrome_tpu.models.problems import parametric_elliptic
         from pgdrome_tpu.fem.assembly import stiffness_matrix, load_vector
         from pgdrome_tpu.fem.bc import DirichletBC
 
@@ -259,7 +259,7 @@ class TestElasticityVademecum:
         # fast path with a VECTOR 2D space dimension (config 4): PGD
         # separates trivially (single term, load linear in params), so it
         # must match the per-sample FEM solve almost exactly
-        from pgdrome_tpu.problems import elasticity_vademecum
+        from pgdrome_tpu.models.problems import elasticity_vademecum
         from pgdrome_tpu.fem.bc import DirichletBC
 
         # the 1/lam_E dependence carries an O(h_E²) parameter-grid floor
@@ -289,7 +289,7 @@ class TestElasticityVademecum:
 
 class TestHierarchicalSeparation:
     def test_better_than_greedy_per_budget(self):
-        from pgdrome_tpu.separation import (
+        from pgdrome_tpu.utils.separation import (
             separate,
             separate_hierarchical,
             separation_error,

@@ -6,7 +6,7 @@ import tempfile
 
 import numpy as np
 
-from pgdrome_tpu.problems import parametric_elliptic, elastic_truss, pgd_problem_from_separated
+from pgdrome_tpu.models.problems import parametric_elliptic, elastic_truss, pgd_problem_from_separated
 from pgdrome_tpu.separated import SeparatedPGD
 from pgdrome_tpu.io import save_result, load_result
 
@@ -62,8 +62,8 @@ class TestCompatResume:
 
 class TestConfigAndMetrics:
     def test_pgd_config(self):
-        from pgdrome_tpu.pgd_config import PGDConfig
-        from pgdrome_tpu.problems import elastic_truss, pgd_problem_from_separated
+        from pgdrome_tpu.utils.pgd_config import PGDConfig
+        from pgdrome_tpu.models.problems import elastic_truss, pgd_problem_from_separated
 
         cfg = PGDConfig().with_(PGD_nmax=4, tol_fp_it=1e-7)
         sep, Vs = elastic_truss(n_x=30, n_E=20)
@@ -76,7 +76,7 @@ class TestConfigAndMetrics:
         assert r.n_modes <= 4
 
     def test_metrics_collected(self):
-        from pgdrome_tpu.problems import parametric_elliptic
+        from pgdrome_tpu.models.problems import parametric_elliptic
 
         sep, _ = parametric_elliptic(n_x=30, n_p=8, num_params=2)
         s = SeparatedPGD(sep, n_max=3, tol=1e-12, tol_fp=1e-7)

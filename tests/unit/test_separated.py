@@ -7,7 +7,7 @@ relative."""
 import numpy as np
 import pytest
 
-from pgdrome_tpu.problems import (
+from pgdrome_tpu.models.problems import (
     parametric_elliptic,
     poisson_xy,
     elastic_truss,
@@ -152,7 +152,7 @@ class TestFpInitAndStallRetry:
         # reference fp_init='randomized' (solver.py get_Fsinit): a different
         # fixed-point init may pick a slightly different greedy sequence,
         # but the dominant amplitudes must agree
-        from pgdrome_tpu.problems import parametric_elliptic
+        from pgdrome_tpu.models.problems import parametric_elliptic
 
         sep, Vs = parametric_elliptic(n_x=40, n_p=16, num_params=2)
         r1 = SeparatedPGD(sep, n_max=6, tol=1e-13, tol_fp=1e-9).solve()
@@ -167,7 +167,7 @@ class TestFpInitAndStallRetry:
         # greedy Galerkin on the non-symmetric moving-source operator stalls
         # structurally at mode 4 (randomized retries also collapse); the
         # solver must stop and report rather than store a garbage mode
-        from pgdrome_tpu.problems import moving_heat_source
+        from pgdrome_tpu.models.problems import moving_heat_source
 
         sep, Vs, factors, sep_err = moving_heat_source(
             n_x=40, n_t=24, n_P=5, n_v=6, af=0.15, source_rank=15
@@ -183,7 +183,7 @@ class TestFpInitAndStallRetry:
 
     def test_unknown_solver_rejected(self):
         # a typo'd solver name must raise, not silently fall back to LU
-        from pgdrome_tpu.problems import parametric_elliptic
+        from pgdrome_tpu.models.problems import parametric_elliptic
 
         sep, Vs = parametric_elliptic(n_x=10, n_p=6, num_params=2)
         with np.testing.assert_raises(ValueError):
@@ -194,7 +194,7 @@ class TestCompression:
     def test_compressed_rank_beats_greedy_rank(self):
         # rank-R compression of a rank-K>R greedy solve must be at least as
         # accurate as the greedy rank-R solve (it is the span-optimal rank-R)
-        from pgdrome_tpu.problems import parametric_elliptic
+        from pgdrome_tpu.models.problems import parametric_elliptic
         from pgdrome_tpu.separated import (
             compress_modes,
             galerkin_update,
@@ -236,10 +236,27 @@ class TestCompression:
         assert e_cmp <= e_greedy * 1.05  # at least as good (measured ~1.7x better)
 
     def test_invalid_target_rank(self):
-        from pgdrome_tpu.problems import parametric_elliptic
+        from pgdrome_tpu.models.problems import parametric_elliptic
         from pgdrome_tpu.separated import compress_modes
 
         sep, Vs = parametric_elliptic(n_x=16, n_p=8, num_params=2)
         res = SeparatedPGD(sep, n_max=4, tol=0.0, tol_fp=1e-8).solve()
         with np.testing.assert_raises(ValueError):
             compress_modes(res, sep.mass, res.n_modes + 1)
+
+
+class TestFusedBudgetCache:
+    def test_solve_fused_rekeys_on_n_enrich(self):
+        # the jitted fused program bakes in the fori_loop bound; a second
+        # call with a different n_enrich must rebuild, not silently reuse
+        from pgdrome_tpu.models.problems import parametric_elliptic
+
+        sep, _ = parametric_elliptic(n_x=24, n_p=8, num_params=2)
+        s = SeparatedPGD(sep, n_max=8, tol=0.0, tol_fp=1e-8, residual_check=False)
+        r3 = s.solve_fused(n_enrich=3)
+        r6 = s.solve_fused(n_enrich=6)
+        assert r3.n_modes == 3
+        assert r6.n_modes == 6
+        np.testing.assert_allclose(
+            np.asarray(r6.amplitudes)[:3], np.asarray(r3.amplitudes), rtol=1e-12
+        )
