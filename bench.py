@@ -20,6 +20,11 @@ import numpy as np
 
 os.makedirs("/root/.cache/jax", exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+# persistent AOT-executable cache: jax's compilation cache does not
+# intercept the axon remote compile; serialized PJRT executables do reload
+# through the tunnel in ~1 s (utils/aot_cache.py), keyed by program +
+# libtpu build so upgrades recompile instead of loading stale binaries
+os.environ.setdefault("PGDROME_AOT_CACHE", "/root/.cache/pgdrome_aot")
 
 if os.environ.get("PGDROME_BENCH_QUICK"):  # smoke mode for bench iteration
     N_X, N_P, N_MODES, CPU_BASELINE_CAP_S = 128, 32, 10, 20.0
@@ -78,7 +83,7 @@ def tpu_solve(sep32):
     )
 
     t0 = time.perf_counter()
-    res = solver.solve_fused()  # includes compile
+    res = solver.solve_fused()  # includes compile or AOT-cache load
     t_total = time.perf_counter() - t0
     t0 = time.perf_counter()
     res = solver.solve_fused()  # compiled steady-state
@@ -86,9 +91,10 @@ def tpu_solve(sep32):
     log(
         f"tpu solve: {t_solve:.3f}s ({res.n_modes} modes, "
         f"{res.n_modes / t_solve:.1f} modes/s; first call incl. compile "
-        f"{t_total:.1f}s) final rel amplitude {res.amplitudes[-1]:.2e}"
+        f"{t_total:.1f}s, aot cache {solver.last_compile_status}) "
+        f"final rel amplitude {res.amplitudes[-1]:.2e}"
     )
-    return res, t_solve
+    return res, t_solve, t_total, solver.last_compile_status
 
 
 def verify(sep64, Vs, res, tf, n_check=4):
@@ -255,7 +261,7 @@ def main():
     bl_thread = threading.Thread(target=_baseline, daemon=True)
     bl_thread.start()
 
-    res, t_solve = tpu_solve(sep_pc64)
+    res, t_solve, t_first_call, aot_status = tpu_solve(sep_pc64)
 
     # the baseline thread must be done before the TIMED host postprocess:
     # this box has one CPU core and an overlapping baseline would inflate
@@ -307,6 +313,8 @@ def main():
         "space_dofs": int(sep64.sizes[0]),
         "param_dofs": int(sep64.sizes[1]),
         "sweep_fields_per_s": round(sweep_rate) if sweep_rate else None,
+        "first_call_s": round(t_first_call, 2),
+        "aot_cache": aot_status,
     }
     print(json.dumps(out), flush=True)
 

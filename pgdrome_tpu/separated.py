@@ -556,6 +556,7 @@ class SeparatedPGD:
         stop_fp: str = "norm",
         fp_init: str = "ones",
         stall_retries: int = 1,
+        aot_cache_dir: str | None = None,
     ):
         if solver not in ("lu", "cg", "chol"):
             raise ValueError(
@@ -593,6 +594,12 @@ class SeparatedPGD:
         # before giving up
         self._fp_init = fp_init
         self._stall_retries = stall_retries
+        # persistent AOT-executable cache (utils/aot_cache.py): on remote
+        # TPU backends the 100-1000 s server-side compile of the fused
+        # program is the real time-to-first-solution; None defers to the
+        # $PGDROME_AOT_CACHE env var (unset = off)
+        self._aot_cache_dir = aot_cache_dir
+        self.last_compile_status = None  # 'hit' | 'miss' | 'off' | None
 
     def _random_init(self, n, attempt):
         rng = np.random.default_rng(3452 + 7919 * n + attempt)
@@ -752,7 +759,18 @@ class SeparatedPGD:
                 )
                 return jax.lax.fori_loop(0, n_enrich, body, init)
 
-            self._fused_cache[n_enrich] = jax.jit(fused)
+            from pgdrome_tpu.utils.aot_cache import compile_cached, default_cache_dir
+
+            jitted = jax.jit(fused)
+            if self._aot_cache_dir or default_cache_dir():
+                compiled, status = compile_cached(
+                    jitted, (self.init_buffers(),), self._aot_cache_dir
+                )
+                self._fused_cache[n_enrich] = compiled
+                self.last_compile_status = status
+            else:
+                self._fused_cache[n_enrich] = jitted
+                self.last_compile_status = "off"
 
         modes, normUs, alphas, fps = self._fused_cache[n_enrich](
             self.init_buffers()

@@ -1,0 +1,114 @@
+"""Persistent AOT-executable cache for remote/tunneled TPU backends.
+
+Why this exists: the axon TPU plugin compiles remotely and jax's built-in
+persistent compilation cache does not intercept it, so every fresh process
+pays the full 100-1000 s server-side XLA compile of the fused PGD program
+(PERF.md "Compile time").  PJRT executables ARE serializable, and loading
+one through the tunnel takes ~1 s — so we persist the compiled executable
+keyed by (program StableHLO, jax version, backend platform_version) and
+reload it on the next run.
+
+The backend fingerprint includes the libtpu build string, so a rolling
+libtpu upgrade changes the key instead of loading a stale (and possibly
+divergent) executable; any deserialization failure falls back to a fresh
+compile.  This is the capability the reference gets from FFC's on-disk
+form cache (reference solver.py relies on dolfin/FFC JIT caching), rebuilt
+for the XLA compilation model.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import logging
+import os
+import pickle
+import tempfile
+
+LOGGER = logging.getLogger(__name__)
+
+_ENV_DIR = "PGDROME_AOT_CACHE"
+
+
+def default_cache_dir():
+    """Cache dir from $PGDROME_AOT_CACHE, or None (caching disabled)."""
+    return os.environ.get(_ENV_DIR) or None
+
+
+def _backend_fingerprint():
+    import jax
+
+    dev = jax.devices()[0]
+    pv = getattr(dev.client, "platform_version", dev.platform)
+    fp = f"jax={jax.__version__};{dev.platform};{pv}"
+    if dev.platform == "cpu":
+        # CPU AOT executables are ISA-specific and platform_version does
+        # not capture the machine; key on the host identity too
+        u = os.uname()
+        fp += f";{u.nodename};{u.machine};{u.release}"
+    return fp
+
+
+def _key(lowered):
+    h = hashlib.sha256()
+    h.update(_backend_fingerprint().encode())
+    h.update(lowered.as_text().encode())
+    return h.hexdigest()[:32]
+
+
+def compile_cached(jitted, args, cache_dir=None, verbose=False):
+    """``jitted.lower(*args).compile()`` with a persistent executable cache.
+
+    Returns (compiled, status) where status is 'hit', 'miss' or 'off'.
+    The compiled object is called with the same positional args as the
+    jitted function.  Pass the traced-shape args (values are ignored
+    beyond shape/dtype).  cache_dir=None (and no $PGDROME_AOT_CACHE)
+    disables caching and just compiles."""
+    cache_dir = cache_dir or default_cache_dir()
+    lowered = jitted.lower(*args)
+    if cache_dir is None:
+        return lowered.compile(), "off"
+
+    from jax.experimental.serialize_executable import (
+        deserialize_and_load,
+        serialize,
+    )
+
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, _key(lowered) + ".pjrt")
+    if os.path.exists(path):
+        try:
+            import jax
+
+            with open(path, "rb") as f:
+                payload, in_tree, out_tree = pickle.load(f)
+            # cached programs are single-device (the fused solver): pin the
+            # execution devices, else deserialization binds ALL backend
+            # devices and execution demands an N-shard arg layout
+            compiled = deserialize_and_load(
+                payload, in_tree, out_tree,
+                execution_devices=jax.devices()[:1],
+            )
+            if verbose:
+                LOGGER.info("aot cache hit: %s", path)
+            return compiled, "hit"
+        except Exception as e:  # stale/foreign/corrupt: recompile
+            LOGGER.warning("aot cache load failed (%s); recompiling", e)
+            try:
+                os.unlink(path)
+            except OSError:
+                pass
+
+    compiled = lowered.compile()
+    try:
+        payload, in_tree, out_tree = serialize(compiled)
+        # atomic publish: a concurrent reader must never see a short file
+        fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump((payload, in_tree, out_tree), f)
+        os.replace(tmp, path)
+        if verbose:
+            LOGGER.info("aot cache store: %s (%.1f MB)", path,
+                        len(payload) / 1e6)
+    except Exception as e:  # backends without executable serialization
+        LOGGER.warning("aot cache store failed (%s); caching disabled", e)
+    return compiled, "miss"
