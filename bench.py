@@ -5,8 +5,9 @@ BASELINE.json targets: < 10 s on a v5e, ≥ 20× the CPU reference.  The CPU
 baseline here is this framework's own reference-parity orchestration layer
 (Python loop + per-dim host solves — architecturally the reference's
 design, minus FEniCS' per-form JIT/assembly overhead, so it flatters the
-baseline), run on the same problem and extrapolated per-mode if it exceeds
-the time cap.
+baseline): a FIXED mode count is measured (deterministic, reported as
+cpu_baseline_measured_s) and the remaining modes are extrapolated
+per-mode (reported separately as cpu_baseline_s, extrapolated=true).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -27,20 +28,23 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 os.environ.setdefault("PGDROME_AOT_CACHE", "/root/.cache/pgdrome_aot")
 
 if os.environ.get("PGDROME_BENCH_QUICK"):  # smoke mode for bench iteration
-    N_X, N_P, N_MODES, CPU_BASELINE_CAP_S = 128, 32, 10, 20.0
+    N_X, N_P, N_MODES = 128, 32, 10
     N_MODES_SOLVE = 14
+    CPU_BASELINE_MODES = 10
 else:
     N_X = 1024      # P2 → 2049 space dofs (2047 interior)
     N_P = 128       # per parameter dim (× 3)
     N_MODES = 50    # deployed rank (the BASELINE.json north-star rank)
     # solve a few extra greedy modes and CP-ALS-compress back to N_MODES:
-    # greedy enrichment is not rank-optimal — rank-50 compressed from 64
-    # measured 0.5-0.7e-6 at the corners where greedy-50 sat at 2.0-2.3e-6
+    # greedy enrichment is not rank-optimal — the compressed rank-50
+    # beats greedy rank-50 at the same deployed size
     N_MODES_SOLVE = 64
-    CPU_BASELINE_CAP_S = 90.0
+    # fixed measured baseline budget: exactly this many modes are timed
+    # (deterministic, ~90 s on the 1-core host), the rest extrapolated
+    # per-mode — both numbers are reported
+    CPU_BASELINE_MODES = 8
 NUM_PARAMS = 3
 TOL = 1e-6
-CPU_BASELINE_MIN_MODES = 4
 
 
 def log(*a):
@@ -97,28 +101,52 @@ def tpu_solve(sep32):
     return res, t_solve, t_total, solver.last_compile_status
 
 
-def verify(sep64, Vs, res, tf, n_check=4):
-    """Max relative L2 error vs per-sample f64 FEM at on-grid parameters."""
+def verify(sep64, Vs, res, tf, n_check=32):
+    """Max relative L2 error vs per-sample f64 FEM over a dense held-out
+    set: all 2^NUM_PARAMS corners of the parameter box PLUS n_check random
+    on-grid samples.  The FEM reference is assembled independently per
+    sample and solved banded (P2 stiffness is pentadiagonal), so the dense
+    sweep costs ~10 ms/sample — matches the error-sampling discipline of
+    the reference (model.py:1768-1825) at FOM accuracy."""
+    from scipy.linalg import solve_banded
+
     from pgdrome_tpu.fem.assembly import stiffness_matrix, load_vector
-    from pgdrome_tpu.fem.bc import DirichletBC
     from pgdrome_tpu.separated import evaluate_modes_1d
 
     Vx = Vs[0]
     full0 = tf.modes_to_full(res.modes[0]).astype(np.float64)
     rng = np.random.default_rng(7)
     grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+    # corners: extreme on-grid interior values per parameter, all combos
+    lo, hi = grid[1], grid[-2]
+    corners = np.array(
+        [[lo if (c >> i) & 1 == 0 else hi for i in range(NUM_PARAMS)]
+         for c in range(2 ** NUM_PARAMS)]
+    )
+    randoms = grid[rng.integers(1, len(grid) - 1, size=(n_check, NUM_PARAMS))]
+    samples = np.vstack([corners, randoms])
+
+    b_full = load_vector(Vx, lambda x: np.ones_like(x))
+    bw = 2  # P2 on an interval: pentadiagonal
     errs = []
-    for _ in range(n_check):
-        p = grid[rng.integers(1, len(grid) - 1, size=NUM_PARAMS)]
+    for p in samples:
         kappa = lambda x: 1.0 + sum(
             p[i] * np.sin((i + 1) * np.pi * x) ** 2 / (2 * NUM_PARAMS)
             for i in range(NUM_PARAMS)
         )
         K = stiffness_matrix(Vx, weight=kappa)
-        b = load_vector(Vx, lambda x: np.ones_like(x))
-        bc = DirichletBC(Vx, 0.0, lambda x, onb: onb)
-        A2, b2 = bc.apply_system(K, b)
-        u_ref = np.linalg.solve(A2, b2)
+        # homogeneous Dirichlet ends -> banded interior system, built from
+        # the diagonals (never touching the O(n^2) dense system)
+        n = K.shape[0] - 2
+        ab = np.zeros((2 * bw + 1, n))
+        for k in range(-bw, bw + 1):
+            d = np.diagonal(K, k)[1 : 1 + n - abs(k)]
+            if k >= 0:
+                ab[bw - k, k:] = d
+            else:
+                ab[bw - k, : n + k] = d
+        u_ref = np.zeros(K.shape[0])
+        u_ref[1:-1] = solve_banded((bw, bw), ab, b_full[1:-1])
 
         fac = np.ones(res.n_modes)
         for j in range(NUM_PARAMS):
@@ -130,8 +158,14 @@ def verify(sep64, Vs, res, tf, n_check=4):
             fac *= vals[: res.n_modes].astype(np.float64)
         u = fac @ full0[: res.n_modes]
         errs.append(np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref))
-    log(f"verification errors vs per-sample f64 FEM: {errs}")
-    return float(np.max(errs))
+    errs = np.asarray(errs)
+    log(
+        f"verification vs per-sample f64 FEM over {len(errs)} samples "
+        f"({len(corners)} corners + {n_check} random): max {errs.max():.3e} "
+        f"(corners max {errs[:len(corners)].max():.3e}, "
+        f"random max {errs[len(corners):].max():.3e})"
+    )
+    return float(errs.max())
 
 
 def sweep_throughput(Vs, res, tf, n_samples=524_288):
@@ -171,8 +205,12 @@ def sweep_throughput(Vs, res, tf, n_samples=524_288):
 
 def cpu_baseline(sep64, Vs, n_modes_target):
     """Reference-architecture baseline: host Python orchestration with
-    per-dim dense solves (pgd_problem_from_separated), capped + per-mode
-    extrapolated."""
+    per-dim dense solves (pgd_problem_from_separated).
+
+    Measures a FIXED number of modes (CPU_BASELINE_MODES — deterministic,
+    directly comparable run to run) and extrapolates the remaining modes
+    per-mode; returns (total_estimate_s, measured_s, measured_modes,
+    extrapolated?)."""
     from pgdrome_tpu.models.problems import pgd_problem_from_separated
 
     prob = pgd_problem_from_separated(sep64, Vs)
@@ -181,7 +219,7 @@ def cpu_baseline(sep64, Vs, n_modes_target):
     prob.PGD_tol = TOL
 
     times = []
-    t_start = time.perf_counter()
+    budget = min(CPU_BASELINE_MODES, n_modes_target)
 
     # run the orchestration enrichment loop manually so we can cap it
     import pgdrome_tpu.solver as slv
@@ -190,7 +228,7 @@ def cpu_baseline(sep64, Vs, n_modes_target):
     prob.PGD_func = [list() for _ in range(prob.num_pgd_var)]
     normConv = []
     bcs = prob.bc
-    while n_done < n_modes_target:
+    while n_done < budget:
         t0 = time.perf_counter()
         Fs_init = prob.get_Fsinit(prob.V, bcs, None)
         norm_Fs = np.ones(prob.num_pgd_var)
@@ -218,11 +256,6 @@ def cpu_baseline(sep64, Vs, n_modes_target):
         n_done += 1
         if normConv[-1] / normConv[0] < TOL:
             break
-        if (
-            time.perf_counter() - t_start > CPU_BASELINE_CAP_S
-            and n_done >= CPU_BASELINE_MIN_MODES
-        ):
-            break
 
     measured = sum(times)
     if n_done < n_modes_target:
@@ -231,12 +264,12 @@ def cpu_baseline(sep64, Vs, n_modes_target):
         per_mode = measured / n_done
         est = measured + per_mode * (n_modes_target - n_done)
         log(
-            f"cpu baseline: {n_done}/{n_modes_target} modes in {measured:.1f}s "
-            f"→ extrapolated {est:.1f}s"
+            f"cpu baseline: {n_done} modes measured in {measured:.1f}s "
+            f"→ {n_modes_target} modes extrapolated {est:.1f}s"
         )
-        return est, True
+        return est, measured, n_done, True
     log(f"cpu baseline: {n_done} modes in {measured:.1f}s")
-    return measured, False
+    return measured, measured, n_done, False
 
 
 def main():
@@ -256,7 +289,7 @@ def main():
             baseline_out["result"] = cpu_baseline(sep64, Vs, N_MODES)
         except Exception as e:
             log(f"cpu baseline failed: {e}")
-            baseline_out["result"] = (float("nan"), True)
+            baseline_out["result"] = (float("nan"), float("nan"), 0, True)
 
     bl_thread = threading.Thread(target=_baseline, daemon=True)
     bl_thread.start()
@@ -266,7 +299,7 @@ def main():
     # the baseline thread must be done before the TIMED host postprocess:
     # this box has one CPU core and an overlapping baseline would inflate
     # postprocess_s several-fold
-    bl_thread.join(timeout=CPU_BASELINE_CAP_S + 120)
+    bl_thread.join(timeout=600)
 
     # postprocess to the deployed rank-N_MODES vademecum (host f64):
     # span-optimal coefficients, then CP-ALS compression of the extra
@@ -293,8 +326,10 @@ def main():
     except Exception as e:  # never block the headline metric
         log(f"sweep throughput skipped: {e}")
         sweep_rate = None
-    bl_thread.join(timeout=CPU_BASELINE_CAP_S + 120)
-    cpu_t, extrapolated = baseline_out.get("result", (float("nan"), True))
+    bl_thread.join(timeout=600)
+    cpu_t, cpu_measured, cpu_measured_modes, extrapolated = baseline_out.get(
+        "result", (float("nan"), float("nan"), 0, True)
+    )
 
     t_total = t_solve + t_post  # operators-ready → deployable vademecum
     out = {
@@ -309,6 +344,9 @@ def main():
         "modes_per_s": round(n_solved / t_solve, 2),
         "max_rel_error_vs_fem": float(f"{max_err:.3e}"),
         "cpu_baseline_s": round(cpu_t, 2) if np.isfinite(cpu_t) else None,
+        "cpu_baseline_measured_s": round(cpu_measured, 2)
+        if np.isfinite(cpu_measured) else None,
+        "cpu_baseline_measured_modes": cpu_measured_modes,
         "cpu_baseline_extrapolated": extrapolated,
         "space_dofs": int(sep64.sizes[0]),
         "param_dofs": int(sep64.sizes[1]),

@@ -36,6 +36,7 @@ def parametric_elliptic(
     p_range=(0.0, 1.0),
     degree_x: int = 2,
     dtype=None,
+    param_discretization: str = "collocation",
 ):
     """Parametric elliptic vademecum: −∇·(κ ∇u) = f on [0,1], homogeneous
     Dirichlet, with affine separated diffusion
@@ -45,7 +46,26 @@ def parametric_elliptic(
     (κ ≥ 1/2 on the parameter box).  Separated terms: K_base ⊗ M ⊗ … ⊗ M
     plus one K_{w_i} ⊗ … ⊗ M_{p·} ⊗ … per parameter.  This is the
     BASELINE.json north-star config ("space × 3 params").
+
+    param_discretization:
+      * ``"collocation"`` (default) — LUMPED parameter mass matrices.  The
+        tensor system then decouples into one FEM system per parameter
+        grid point (the diagonal weights cancel), so the converged
+        vademecum equals the per-sample FEM solution EXACTLY at every grid
+        point (lumping of a linear weight over P1 hats is exact).  This is
+        the honest "vademecum = lookup table" semantics, and the same
+        device programs solve it (diagonal matrices are just a special
+        operator stack).
+      * ``"galerkin"`` — consistent P1 parameter mass.  The solution is
+        the L2(p)-Galerkin projection: smoother in p but biased O(h_p²)
+        vs per-sample FEM even ON the grid (measured 1.1e-5 at the
+        parameter-box corners at n_p=128 — the round-1 corner-error
+        mystery was exactly this bias, not solver error).
     """
+    if param_discretization not in ("collocation", "galerkin"):
+        raise ValueError(
+            f"unknown param_discretization {param_discretization!r}"
+        )
     mesh_x = IntervalMesh(n_x, 0.0, 1.0)
     Vx = FunctionSpace(mesh_x, "P", degree_x)
     Vp = [
@@ -65,6 +85,17 @@ def parametric_elliptic(
     Mx = mass_matrix(Vx)
     Mp = [mass_matrix(v) for v in Vp]
     Mp_w = [mass_matrix(v, weight=lambda p: p) for v in Vp]
+    Mp_op, Mp_w_op = Mp, Mp_w
+    if param_discretization == "collocation":
+        # row-sum lumping of the OPERATOR stacks only: diag(∫φ_a) and
+        # diag(∫p·φ_a) = diag(w_a·p_a) (exact for a linear weight over P1
+        # hats) — block-diagonalizes the tensor system over the parameter
+        # grid.  The norm matrices (`mass`) stay consistent: they only
+        # define normalization bookkeeping, and the orchestration layer's
+        # reference-parity norms are consistent-mass
+        # (solver.py:747-752 / dolfin.norm).
+        Mp_op = [np.diag(m.sum(axis=1)) for m in Mp]
+        Mp_w_op = [np.diag(m.sum(axis=1)) for m in Mp_w]
 
     T = 1 + num_params
     ops = []
@@ -74,7 +105,7 @@ def parametric_elliptic(
     for j in range(num_params):
         mats = []
         for t in range(T):
-            mats.append(Mp_w[j] if t == j + 1 else Mp[j])
+            mats.append(Mp_w_op[j] if t == j + 1 else Mp_op[j])
         ops.append(np.stack(mats))
 
     # rhs: f = 1 on space, ones on params (single rank-1 term)

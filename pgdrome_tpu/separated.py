@@ -220,7 +220,8 @@ def _inner_d(problem, d, u, v):
 
 def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
                      tol_fp=1e-5, solver="lu", cg_iters=30,
-                     residual_check=True, stop_fp="norm"):
+                     residual_check=True, stop_fp="norm",
+                     norm_modes="stiff"):
     """Build the jitted enrichment step: (mode buffers, n) → new mode set.
 
     Returns a function of (modes, n_modes) producing
@@ -228,6 +229,10 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
     solver.py FP_solve with the 'norm' stop."""
     nd = problem.num_dims
     seq = list(seq_fp) if seq_fp is not None else list(range(nd))
+    if norm_modes not in ("stiff", "l2", "no"):
+        raise ValueError(
+            f"unknown norm_modes {norm_modes!r}: expected 'stiff', 'l2' or 'no'"
+        )
 
     def init_modes():
         Fs = []
@@ -326,22 +331,38 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
         )
 
         norm_Fs = jnp.stack([_norm_d(problem, d, Fs[d]) for d in range(nd)])
-
-        # 'stiff' normalization (solver.py:413-456): evaluate the full lhs
-        # Gram on L2-normalized factors
-        Fn = [Fs[d] / norm_Fs[d] for d in range(nd)]
-        wprod = jnp.ones((problem.num_terms,), dtype=norm_Fs.dtype)
-        for d in range(nd):
-            wprod = wprod * _term_weights(problem.ops[d], Fn[d])
-        norm_aux = jnp.sum(wprod)
-        norm_fac = jnp.sqrt(jnp.abs(norm_aux)) ** (1.0 / nd)
-        alpha = jnp.prod(norm_Fs) * norm_fac ** nd
-        # guard the f32 noise floor: a vanishing mode must not poison the
-        # buffers with NaN (0/0); it is reported with normU = 0 instead
-        scale = jnp.where(norm_fac > 0, alpha ** (1.0 / nd) / norm_fac, 0.0)
-        Fstored = tuple(Fn[d] * scale for d in range(nd))
-
         normU = jnp.prod(norm_Fs)
+
+        # all three reference normalizations (solver.py:404-470) store the
+        # SAME rank-1 function — they only redistribute scale across the
+        # factors (Π_d F_d is invariant); amplitudes are therefore
+        # identical across modes
+        if norm_modes == "no":
+            # store as solved (solver.py:407-411); alpha fixed to 1
+            alpha = jnp.ones((), dtype=norm_Fs.dtype)
+            Fstored = tuple(Fs)
+        elif norm_modes == "l2":
+            # equidistribute the product of norms (solver.py:458-470)
+            alpha = normU
+            norm_all = normU ** (1.0 / nd)
+            Fstored = tuple(
+                jnp.where(norm_Fs[d] > 0, norm_all / norm_Fs[d], 0.0) * Fs[d]
+                for d in range(nd)
+            )
+        else:
+            # 'stiff' (solver.py:413-456): evaluate the full lhs Gram on
+            # L2-normalized factors
+            Fn = [Fs[d] / norm_Fs[d] for d in range(nd)]
+            wprod = jnp.ones((problem.num_terms,), dtype=norm_Fs.dtype)
+            for d in range(nd):
+                wprod = wprod * _term_weights(problem.ops[d], Fn[d])
+            norm_aux = jnp.sum(wprod)
+            norm_fac = jnp.sqrt(jnp.abs(norm_aux)) ** (1.0 / nd)
+            alpha = normU * norm_fac ** nd
+            # guard the f32 noise floor: a vanishing mode must not poison
+            # the buffers with NaN (0/0); it is reported with normU = 0
+            scale = jnp.where(norm_fac > 0, alpha ** (1.0 / nd) / norm_fac, 0.0)
+            Fstored = tuple(Fn[d] * scale for d in range(nd))
         new_modes = tuple(
             modes[d].at[n_modes].set(Fstored[d]) for d in range(nd)
         )
@@ -351,7 +372,8 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
 
 
 def make_enrich_step_scanned(problem: SeparatedProblem, max_fp_it=50,
-                             tol_fp=1e-5, solver="cg", cg_iters=30):
+                             tol_fp=1e-5, solver="cg", cg_iters=30,
+                             norm_modes="stiff"):
     """Enrichment step with the parameter dimensions folded into ONE
     ``lax.scan`` — exact Gauss-Seidel semantics via the prefix-new /
     suffix-old product trick.
@@ -370,6 +392,10 @@ def make_enrich_step_scanned(problem: SeparatedProblem, max_fp_it=50,
     P = nd - 1
     if len({problem.sizes[d] for d in range(1, nd)}) != 1:
         raise ValueError("scanned enrich needs uniform parameter-dim shapes")
+    if norm_modes not in ("stiff", "l2", "no"):
+        raise ValueError(
+            f"unknown norm_modes {norm_modes!r}: expected 'stiff', 'l2' or 'no'"
+        )
 
     OPS_P = jnp.stack([jnp.asarray(problem.ops[d]) for d in range(1, nd)])
     MASS_P = jnp.stack([jnp.asarray(problem.mass[d]) for d in range(1, nd)])
@@ -505,18 +531,31 @@ def make_enrich_step_scanned(problem: SeparatedProblem, max_fp_it=50,
         np_ = jnp.sqrt(jnp.abs(jnp.einsum("pi,pij,pj->p", FP, MASS_P, FP, precision=_PREC)))
         F0n = F0 / n0
         FPn = FP / np_[:, None]
-
-        # 'stiff' normalization on L2-normalized factors
-        wprod = jnp.einsum("tij,i,j->t", ops0, F0n, F0n, precision=_PREC)
-        wprod = wprod * jnp.prod(param_weights(FPn), axis=0)
-        norm_aux = jnp.sum(wprod)
-        norm_fac = jnp.sqrt(jnp.abs(norm_aux)) ** (1.0 / nd)
         normU = n0 * jnp.prod(np_)
-        alpha = normU * norm_fac ** nd
-        scale = jnp.where(norm_fac > 0, alpha ** (1.0 / nd) / norm_fac, 0.0)
 
-        new_modes = (modes[0].at[n_modes].set(F0n * scale),) + tuple(
-            modes[d].at[n_modes].set(FPn[d - 1] * scale) for d in range(1, nd)
+        # reference normalizations (solver.py:404-470) — scale
+        # redistribution only, Π_d F_d invariant (see make_enrich_step)
+        if norm_modes == "no":
+            alpha = jnp.ones((), dtype=normU.dtype)
+            F0_store, FP_store = F0, FP
+        elif norm_modes == "l2":
+            alpha = normU
+            norm_all = normU ** (1.0 / nd)
+            F0_store = F0n * norm_all
+            FP_store = FPn * norm_all
+        else:
+            # 'stiff' on L2-normalized factors
+            wprod = jnp.einsum("tij,i,j->t", ops0, F0n, F0n, precision=_PREC)
+            wprod = wprod * jnp.prod(param_weights(FPn), axis=0)
+            norm_aux = jnp.sum(wprod)
+            norm_fac = jnp.sqrt(jnp.abs(norm_aux)) ** (1.0 / nd)
+            alpha = normU * norm_fac ** nd
+            scale = jnp.where(norm_fac > 0, alpha ** (1.0 / nd) / norm_fac, 0.0)
+            F0_store = F0n * scale
+            FP_store = FPn * scale
+
+        new_modes = (modes[0].at[n_modes].set(F0_store),) + tuple(
+            modes[d].at[n_modes].set(FP_store[d - 1]) for d in range(1, nd)
         )
         res = jnp.asarray(1.0, dtype=dt)  # residual check not supported here
         return new_modes, normU, alpha, fp_its, res
@@ -557,12 +596,31 @@ class SeparatedPGD:
         fp_init: str = "ones",
         stall_retries: int = 1,
         aot_cache_dir: str | None = None,
+        norm_modes: str = "stiff",
     ):
         if solver not in ("lu", "cg", "chol"):
             raise ValueError(
                 f"unknown solver {solver!r}: expected 'lu', 'cg' or 'chol'"
             )
+        # content fingerprint for the AOT-executable cache, taken while the
+        # arrays are still host numpy (hashing device arrays would pull
+        # them back through the TPU tunnel); zero-copy via the buffer
+        # protocol.  The fused program embeds the problem data as
+        # constants, so the key MUST cover values, not just shapes.
+        self._problem_fingerprint = None
         if isinstance(problem.ops[0], np.ndarray):
+            import hashlib
+
+            h = hashlib.sha256()
+            for arrs in (problem.ops, problem.rhs, problem.mass):
+                for a in arrs:
+                    a = np.ascontiguousarray(a)
+                    h.update(f"{a.shape}{a.dtype}".encode())
+                    h.update(a.data)
+            for b in problem.bc_dofs:
+                h.update(np.ascontiguousarray(np.asarray(b, dtype=np.int64)).data)
+            h.update(repr(np.dtype(dtype) if dtype else None).encode())
+            self._problem_fingerprint = h.hexdigest()
             problem = problem.as_device(dtype)
         self.problem = problem
         self.n_max = n_max
@@ -574,16 +632,17 @@ class SeparatedPGD:
         self._seq_fp = seq_fp
         self._residual_check = residual_check
         self._scan_params = scan_params
+        self._norm_modes = norm_modes
         if scan_params:
             step = make_enrich_step_scanned(
                 problem, max_fp_it=max_fp_it, tol_fp=tol_fp, solver=solver,
-                cg_iters=cg_iters,
+                cg_iters=cg_iters, norm_modes=norm_modes,
             )
         else:
             step = make_enrich_step(
                 problem, seq_fp=seq_fp, max_fp_it=max_fp_it, tol_fp=tol_fp,
                 solver=solver, cg_iters=cg_iters, residual_check=residual_check,
-                stop_fp=stop_fp,
+                stop_fp=stop_fp, norm_modes=norm_modes,
             )
         self._enrich = jax.jit(step)
         self._stop_fp = stop_fp
@@ -719,6 +778,7 @@ class SeparatedPGD:
                     tol_fp=self._tol_fp,
                     solver=self._solver,
                     cg_iters=self._cg_iters,
+                    norm_modes=self._norm_modes,
                 )
             else:
                 enrich = make_enrich_step(
@@ -730,6 +790,7 @@ class SeparatedPGD:
                     cg_iters=self._cg_iters,
                     residual_check=self._residual_check,
                     stop_fp=self._stop_fp,
+                    norm_modes=self._norm_modes,
                 )
             nd = self.problem.num_dims
 
@@ -763,8 +824,28 @@ class SeparatedPGD:
 
             jitted = jax.jit(fused)
             if self._aot_cache_dir or default_cache_dir():
+                # skip lowering entirely on a hit: key on the problem
+                # fingerprint + every knob that shapes the program
+                key_data = None
+                if self._problem_fingerprint is not None:
+                    key_data = [
+                        "solve_fused_v1",
+                        self._problem_fingerprint,
+                        n_enrich,
+                        self.n_max,
+                        self._solver,
+                        self._cg_iters,
+                        self._tol_fp,
+                        self._max_fp_it,
+                        tuple(self._seq_fp) if self._seq_fp else None,
+                        self._residual_check,
+                        self._scan_params,
+                        self._stop_fp,
+                        self._norm_modes,
+                    ]
                 compiled, status = compile_cached(
-                    jitted, (self.init_buffers(),), self._aot_cache_dir
+                    jitted, (self.init_buffers(),), self._aot_cache_dir,
+                    key_data=key_data,
                 )
                 self._fused_cache[n_enrich] = compiled
                 self.last_compile_status = status
@@ -918,6 +999,97 @@ def compress_modes(result: PGDResult, mass, n_to: int, n_iters: int = 40,
         alpha=np.asarray(result.alpha)[:n_to],
         fp_its=np.asarray(result.fp_its)[:n_to],
         normU0=result.normU0,
+    )
+
+
+def residual_problem(sep: SeparatedProblem, result: PGDResult):
+    """Two-stage (hierarchical) PGD: build the separated problem for the
+    correction δ* with  A (s·δ*) = f − A u_K,  rescaled to O(1).
+
+    Why: greedy enrichment in f32 hits a relative amplitude floor (~4e-7 on
+    the bench problem) — inside the step, the previous-mode sum subtracts
+    two O(1) quantities whose difference is the O(1e-6) residual, so f32
+    cancellation noise dominates late modes.  Here the residual right-hand
+    side  f − A u_K  is formed ONCE on the host in float64 (exact), then
+    scaled by 1/s to O(1); solving the returned problem restarts the f32
+    floor at the residual's scale, buying the full dynamic range again.
+    Deployment:  u = u_K + s·δ*  (:func:`combine_results`).
+
+    Separated structure: each lhs term t × mode k contributes a rank-1 rhs
+    term  −⊗_d (O_td u_kd), so the new rhs stack has R + T·K terms; the
+    operators are unchanged.  Returns ``(sep_res, s)`` with ``s = ‖f − A
+    u_K‖₂`` (product-space 2-norm, computed via separated Gram algebra —
+    no full tensor is ever materialized)."""
+    K = result.n_modes
+    nd = sep.num_dims
+    ops = [np.asarray(o, dtype=np.float64) for o in sep.ops]
+    modes = [np.asarray(m, dtype=np.float64)[:K] for m in result.modes]
+    T = sep.num_terms
+
+    new_rhs = []
+    for d in range(nd):
+        # the solver enforces Dirichlet rows via masks, so the residual
+        # lives in the MASKED (homogenized) system: constrained rows/cols
+        # carry no residual (cf. normal_equations)
+        m = np.asarray(sep.bc_masks[d], dtype=np.float64)
+        ops_m = ops[d] * m[None, :, None] * m[None, None, :]
+        rhs_m = np.asarray(sep.rhs[d], dtype=np.float64) * m[None, :]
+        # W_d[t, k] = O_td @ u_kd, batched over terms (BLAS, reads ops once)
+        W = np.matmul(ops_m, modes[d].T[None].repeat(T, axis=0))  # (T, n, K)
+        W = W.transpose(0, 2, 1).reshape(T * K, ops_m.shape[1])  # (T·K, n)
+        if d == 0:
+            W = -W  # the minus sign of f − A·u_K, folded into dim 0
+        new_rhs.append(np.concatenate([rhs_m, W], axis=0))
+
+    # s = ‖r‖: Σ_{a,b} Π_d (g_ad · g_bd) via per-dim Grams
+    G = np.ones((new_rhs[0].shape[0],) * 2)
+    for d in range(nd):
+        G = G * (new_rhs[d] @ new_rhs[d].T)
+    s = float(np.sqrt(max(G.sum(), 0.0)))
+    if s > 0:
+        new_rhs[0] = new_rhs[0] / s
+
+    sep_res = SeparatedProblem(
+        ops=ops,
+        rhs=new_rhs,
+        mass=[np.asarray(m, dtype=np.float64) for m in sep.mass],
+        bc_dofs=list(sep.bc_dofs),
+    )
+    return sep_res, s
+
+
+def combine_results(base: PGDResult, delta: PGDResult, scale: float) -> PGDResult:
+    """Concatenate a base PGD and a (rescaled) correction PGD:
+    u = u_base + scale·u_delta — the deployment step of the two-stage
+    refinement (:func:`residual_problem`).  The scale folds into the dim-0
+    factors; run :func:`galerkin_update` / :func:`compress_modes` on the
+    combined result afterwards as usual."""
+    K1, K2 = base.n_modes, delta.n_modes
+    nd = len(base.modes)
+    dt = np.asarray(base.modes[0]).dtype
+    new_modes = []
+    for d in range(nd):
+        b = np.asarray(base.modes[d], dtype=np.float64)[:K1]
+        e = np.asarray(delta.modes[d], dtype=np.float64)[:K2]
+        if d == 0:
+            e = e * scale
+        buf = np.concatenate([b, e], axis=0)
+        new_modes.append(jnp.asarray(buf, dtype=dt))
+    return PGDResult(
+        modes=new_modes,
+        n_modes=K1 + K2,
+        amplitudes=np.concatenate(
+            [np.asarray(base.amplitudes)[:K1],
+             np.asarray(delta.amplitudes)[:K2]
+             * (scale * delta.normU0 / base.normU0 if base.normU0 else 1.0)]
+        ),
+        alpha=np.concatenate(
+            [np.asarray(base.alpha)[:K1], np.asarray(delta.alpha)[:K2]]
+        ),
+        fp_its=np.concatenate(
+            [np.asarray(base.fp_its)[:K1], np.asarray(delta.fp_its)[:K2]]
+        ),
+        normU0=base.normU0,
     )
 
 

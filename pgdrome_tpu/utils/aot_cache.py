@@ -48,25 +48,43 @@ def _backend_fingerprint():
     return fp
 
 
-def _key(lowered):
+def _key_from_lowered(lowered):
     h = hashlib.sha256()
     h.update(_backend_fingerprint().encode())
     h.update(lowered.as_text().encode())
     return h.hexdigest()[:32]
 
 
-def compile_cached(jitted, args, cache_dir=None, verbose=False):
+def _key_from_data(key_data):
+    h = hashlib.sha256()
+    h.update(_backend_fingerprint().encode())
+    for item in key_data:
+        if isinstance(item, bytes):
+            h.update(item)
+        else:
+            h.update(repr(item).encode())
+    return h.hexdigest()[:32]
+
+
+def compile_cached(jitted, args, cache_dir=None, verbose=False, key_data=None):
     """``jitted.lower(*args).compile()`` with a persistent executable cache.
 
     Returns (compiled, status) where status is 'hit', 'miss' or 'off'.
     The compiled object is called with the same positional args as the
     jitted function.  Pass the traced-shape args (values are ignored
     beyond shape/dtype).  cache_dir=None (and no $PGDROME_AOT_CACHE)
-    disables caching and just compiles."""
+    disables caching and just compiles.
+
+    ``key_data``: optional sequence of bytes/reprable items that uniquely
+    determines the program (problem arrays, solver knobs, shapes).  When
+    given, the cache key is computed from it WITHOUT lowering — for
+    programs with large embedded constants, ``lower()`` + hashing the
+    StableHLO text costs minutes (measured 134 s on the bench program), so
+    a hit must not pay it.  Without it, the key falls back to the lowered
+    module text (value-exact but slow for constant-heavy programs)."""
     cache_dir = cache_dir or default_cache_dir()
-    lowered = jitted.lower(*args)
     if cache_dir is None:
-        return lowered.compile(), "off"
+        return jitted.lower(*args).compile(), "off"
 
     from jax.experimental.serialize_executable import (
         deserialize_and_load,
@@ -74,7 +92,13 @@ def compile_cached(jitted, args, cache_dir=None, verbose=False):
     )
 
     os.makedirs(cache_dir, exist_ok=True)
-    path = os.path.join(cache_dir, _key(lowered) + ".pjrt")
+    if key_data is not None:
+        key = _key_from_data(key_data)
+        lowered = None  # only lower on a miss
+    else:
+        lowered = jitted.lower(*args)
+        key = _key_from_lowered(lowered)
+    path = os.path.join(cache_dir, key + ".pjrt")
     if os.path.exists(path):
         try:
             import jax
@@ -98,6 +122,8 @@ def compile_cached(jitted, args, cache_dir=None, verbose=False):
             except OSError:
                 pass
 
+    if lowered is None:
+        lowered = jitted.lower(*args)
     compiled = lowered.compile()
     try:
         payload, in_tree, out_tree = serialize(compiled)
