@@ -19,6 +19,8 @@ and as the tuning surface for later rounds.
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -123,3 +125,125 @@ def rank1_reconstruct(factors, modes0, block_b: int = 128, block_n: int = 256,
         out_shape=jax.ShapeDtypeStruct((B, n), factors.dtype),
         interpret=interpret,
     )(factors, modes0)
+
+
+# ------------------------------------------------------- fused sweep kernel
+
+def make_fused_sweep(spaces, modes, n_modes, block_b: int = 512,
+                     block_n: int = 1024, interpret: bool | None = None):
+    """Fully fused vademecum sweep: samples (B, d−1) → fields (B, n0) in
+    ONE kernel — cell locate (arithmetic, uniform grids), two-hot basis
+    weights, per-dim mode evaluation, mode product, and the rank-1
+    reconstruction matmul, with every intermediate in VMEM.
+
+    Why: the XLA sweep (parallel/vademecum.make_sweep_fn) materializes the
+    (B, ndof_p) two-hot weight matrices and (B, K) factors in HBM per
+    parameter dim — measured ~30× off the HBM roofline at bench scale,
+    with per-dim mode evaluation ≈ all of the cost (PERF.md).  Here the
+    per-block weights (Bb, ndof_p) and factors (Bb, K) never leave VMEM;
+    HBM traffic is essentially the (B, n0) output write.
+
+    Requirements (falls back is the caller's job): 1D parameter spaces on
+    UNIFORM grids, degree 1 or 2 (dofs of cell c start at deg·c and the
+    basis is arithmetic).  The mode-count mask is folded into the dim-0
+    table (rows ≥ n_modes zeroed), so padded-buffer garbage contributes
+    exactly 0.
+    """
+    nd = len(spaces)
+    NP = nd - 1
+    modes = [jnp.asarray(m, dtype=jnp.float32) for m in modes]
+    K = modes[0].shape[0]
+    n0 = modes[0].shape[1]
+    interpret = (not _on_tpu()) if interpret is None else interpret
+
+    def _round_up(x, m):
+        return -(-x // m) * m
+
+    degs, x0s, inv_hs, ncells = [], [], [], []
+    for j in range(1, nd):
+        V = spaces[j]
+        verts = V.mesh().coordinates()[:, 0]
+        dv = verts[1:] - verts[:-1]
+        if not (abs(dv - dv[0]) <= 1e-12 * abs(dv[0])).all():
+            raise ValueError("fused sweep needs uniform parameter grids")
+        if V.degree not in (1, 2):
+            raise ValueError("fused sweep supports P1/P2 parameter dims")
+        degs.append(int(V.degree))
+        x0s.append(float(verts[0]))
+        inv_hs.append(float(1.0 / dv[0]))
+        ncells.append(float(len(verts) - 1))
+
+    K128 = _round_up(K, 128)
+    n0p = _round_up(n0, block_n if n0 > block_n else 128)
+    ndof_max = max(m.shape[1] for m in modes[1:])
+    ndofp = _round_up(ndof_max, 128)
+
+    # dim-0 table with the mode mask folded in (rows >= n_modes are zero)
+    mask = (jnp.arange(K128) < n_modes).astype(jnp.float32)
+    m0 = jnp.zeros((K128, n0p), jnp.float32).at[:K, :n0].set(modes[0])
+    m0 = m0 * mask[:, None]
+    # stacked parameter tables (NP, ndofp, K128)
+    tabs = jnp.zeros((NP, ndofp, K128), jnp.float32)
+    for j in range(NP):
+        tabs = tabs.at[j, : modes[1 + j].shape[1], :K].set(modes[1 + j].T)
+    # grid params in SMEM: rows x0, inv_h, ncell
+    gp = jnp.asarray(np.stack([x0s, inv_hs, ncells]), dtype=jnp.float32)
+
+    bb = block_b
+    bn = min(block_n, n0p)
+
+    def kernel(gp_ref, s_ref, tab_ref, m0_ref, out_ref):
+        fac = None
+        for jd in range(NP):  # static unroll over parameter dims
+            x = s_ref[jd, :]  # (bb,)
+            t = (x - gp_ref[0, jd]) * gp_ref[1, jd]
+            c = jnp.clip(jnp.floor(t), 0.0, gp_ref[2, jd] - 1.0)
+            xi = t - c
+            base = (degs[jd] * c).astype(jnp.int32)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (bb, ndofp), 1)
+            if degs[jd] == 1:
+                basis = (1.0 - xi, xi)
+            else:
+                basis = (
+                    (1.0 - xi) * (1.0 - 2.0 * xi),
+                    4.0 * xi * (1.0 - xi),
+                    xi * (2.0 * xi - 1.0),
+                )
+            W = jnp.zeros((bb, ndofp), jnp.float32)
+            for l, bl in enumerate(basis):
+                W = W + bl[:, None] * (iota == base[:, None] + l).astype(
+                    jnp.float32
+                )
+            vals = jnp.dot(
+                W, tab_ref[jd], preferred_element_type=jnp.float32
+            )  # (bb, K128)
+            fac = vals if fac is None else fac * vals
+        out_ref[:, :] = jnp.dot(
+            fac, m0_ref[:, :], preferred_element_type=jnp.float32
+        )
+
+    def sweep(samples):
+        samples = jnp.asarray(samples, dtype=jnp.float32)
+        B = samples.shape[0]
+        Bp = _round_up(max(B, bb), bb)
+        sT = jnp.zeros((NP, Bp), jnp.float32).at[:, :B].set(samples.T)
+        grid = (Bp // bb, n0p // bn)
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                (pl.BlockSpec((3, NP), lambda i, j: (0, 0),
+                              memory_space=pltpu.SMEM)
+                 if _HAS_PLTPU and not interpret
+                 else pl.BlockSpec((3, NP), lambda i, j: (0, 0))),
+                pl.BlockSpec((NP, bb), lambda i, j: (0, i)),
+                pl.BlockSpec((NP, ndofp, K128), lambda i, j: (0, 0, 0)),
+                pl.BlockSpec((K128, bn), lambda i, j: (0, j)),
+            ],
+            out_specs=pl.BlockSpec((bb, bn), lambda i, j: (i, j)),
+            out_shape=jax.ShapeDtypeStruct((Bp, n0p), jnp.float32),
+            interpret=interpret,
+        )(gp, sT, tabs, m0)
+        return out[:B, :n0]
+
+    return jax.jit(sweep)

@@ -98,6 +98,28 @@ class PGDResult:
 
 # --------------------------------------------------------------------- core
 
+class _ProblemArrays:
+    """Duck-typed view of a SeparatedProblem built from runtime arrays.
+
+    The enrichment programs can take the problem data (ops/rhs/mass/bc
+    masks) as JIT INPUTS instead of closing over them as constants: the
+    compiled executable is then value-independent — one AOT-cached program
+    serves every problem with the same shapes (re-weighted measures,
+    residual re-solves, parameter studies) with zero recompiles."""
+
+    __slots__ = ("ops", "rhs", "mass", "bc_masks", "num_dims", "num_terms",
+                 "sizes")
+
+    def __init__(self, ops, rhs, mass, bc_masks):
+        self.ops = tuple(ops)
+        self.rhs = tuple(rhs)
+        self.mass = tuple(mass)
+        self.bc_masks = tuple(bc_masks)
+        self.num_dims = len(self.ops)
+        self.num_terms = self.ops[0].shape[0]
+        self.sizes = tuple(o.shape[1] for o in self.ops)
+
+
 def _term_weights(A_d, F_d):
     """w_t = F_dᵀ O_td F_d for all terms: einsum('tij,i,j->t')."""
     return jnp.einsum("tij,i,j->t", A_d, F_d, F_d, precision=_PREC)
@@ -234,16 +256,16 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
             f"unknown norm_modes {norm_modes!r}: expected 'stiff', 'l2' or 'no'"
         )
 
-    def init_modes():
+    def init_modes(P):
         Fs = []
         for d in range(nd):
-            f = jnp.ones(problem.sizes[d], dtype=problem.ops[d].dtype)
-            f = f * problem.bc_masks[d]
-            f = f / _norm_d(problem, d, f)
+            f = jnp.ones(P.sizes[d], dtype=P.ops[d].dtype)
+            f = f * P.bc_masks[d]
+            f = f / _norm_d(P, d, f)
             Fs.append(f)
         return tuple(Fs)
 
-    def residual_norm(Fs, modes, mode_mask, rhs):
+    def residual_norm(P, Fs, modes, mode_mask, rhs):
         # reference residual check (solver.py:345-395): per-dim rhs with
         # init modes, bc entries zeroed, res = sqrt(Σ_d ||b_d||²)
         res = 0.0
@@ -253,50 +275,53 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
                 if j != d:
                     rcoef = rcoef * _rhs_weights(rhs[j], Fs[j])
             b = jnp.einsum("r,ri->i", rcoef, rhs[d], precision=_PREC)
-            P = jnp.ones((modes[d].shape[0], problem.num_terms), dtype=Fs[d].dtype)
+            Pm = jnp.ones((modes[d].shape[0], P.num_terms), dtype=Fs[d].dtype)
             for j in range(nd):
                 if j != d:
-                    FAj = jnp.einsum("i,tij->tj", Fs[j], problem.ops[j], precision=_PREC)
-                    P = P * jnp.einsum("mj,tj->mt", modes[j], FAj, precision=_PREC)
-            P = P * mode_mask[:, None]
-            W = jnp.einsum("mt,mi->ti", P, modes[d], precision=_PREC)
-            b = b - jnp.einsum("tij,tj->i", problem.ops[d], W, precision=_PREC)
-            b = b * problem.bc_masks[d]
+                    FAj = jnp.einsum("i,tij->tj", Fs[j], P.ops[j], precision=_PREC)
+                    Pm = Pm * jnp.einsum("mj,tj->mt", modes[j], FAj, precision=_PREC)
+            Pm = Pm * mode_mask[:, None]
+            W = jnp.einsum("mt,mi->ti", Pm, modes[d], precision=_PREC)
+            b = b - jnp.einsum("tij,tj->i", P.ops[d], W, precision=_PREC)
+            b = b * P.bc_masks[d]
             res = res + jnp.sum(b * b)
         return jnp.sqrt(res)
 
-    def fp_sweep(Fs, modes, mode_mask, rhs):
+    def fp_sweep(P, Fs, modes, mode_mask, rhs):
         Fs = list(Fs)
         for k in seq:
             Fs[k] = _solve_dim(
-                problem, k, Fs, modes, mode_mask, rhs, solver=solver,
+                P, k, Fs, modes, mode_mask, rhs, solver=solver,
                 cg_iters=cg_iters,
             )
         return tuple(Fs)
 
-    def enrich(modes, n_modes, rhs=None, init=None):
-        rhs = tuple(problem.rhs) if rhs is None else tuple(rhs)
+    def enrich(modes, n_modes, rhs=None, init=None, data=None):
+        # data: optional (ops, rhs, mass, bc_masks) runtime arrays — when
+        # given, the program is value-independent (see _ProblemArrays)
+        P = problem if data is None else _ProblemArrays(*data)
+        rhs = tuple(P.rhs) if rhs is None else tuple(rhs)
         mode_mask = (jnp.arange(modes[0].shape[0]) < n_modes).astype(
-            problem.ops[0].dtype
+            P.ops[0].dtype
         )
         # optional explicit fixed-point init (reference get_Fsinit
         # 'randomized', solver.py:158-304): used by the stall-retry path;
         # masked + M-normalized like the default ones-init
         if init is None:
-            Fs0 = init_modes()
+            Fs0 = init_modes(P)
         else:
             Fs0 = []
             for d in range(nd):
-                f = jnp.asarray(init[d], dtype=problem.ops[d].dtype)
-                f = f * problem.bc_masks[d]
-                Fs0.append(f / _norm_d(problem, d, f))
+                f = jnp.asarray(init[d], dtype=P.ops[d].dtype)
+                f = f * P.bc_masks[d]
+                Fs0.append(f / _norm_d(P, d, f))
             Fs0 = tuple(Fs0)
         if residual_check:
-            res = residual_norm(Fs0, modes, mode_mask, rhs)
+            res = residual_norm(P, Fs0, modes, mode_mask, rhs)
         else:
             # skip the (sizeable) residual program; semantics only matter
             # for degenerate zero-residual problems (solver.py:391-395)
-            res = jnp.asarray(1.0, dtype=problem.ops[0].dtype)
+            res = jnp.asarray(1.0, dtype=P.ops[0].dtype)
 
         def cond(state):
             Fs, Fs_prev, err, it = state
@@ -304,7 +329,7 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
 
         def body(state):
             Fs, _, _, it = state
-            Fs_new = fp_sweep(Fs, modes, mode_mask, rhs)
+            Fs_new = fp_sweep(P, Fs, modes, mode_mask, rhs)
             if stop_fp == "delta":
                 # 'delta' stop (solver.py:763-811): per-dim relative max DOF
                 # change; iterate while any dim exceeds the tolerance
@@ -319,18 +344,18 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
                 # 'norm' stop (solver.py:812-871): product inner products
                 newnew, newold, oldold = 1.0, 1.0, 1.0
                 for d in range(nd):
-                    newnew = newnew * _inner_d(problem, d, Fs_new[d], Fs_new[d])
-                    newold = newold * _inner_d(problem, d, Fs_new[d], Fs[d])
-                    oldold = oldold * _inner_d(problem, d, Fs[d], Fs[d])
+                    newnew = newnew * _inner_d(P, d, Fs_new[d], Fs_new[d])
+                    newold = newold * _inner_d(P, d, Fs_new[d], Fs[d])
+                    oldold = oldold * _inner_d(P, d, Fs[d], Fs[d])
                 err = jnp.sqrt(jnp.abs(newnew + oldold - 2 * newold))
             return (Fs_new, Fs, err, it + 1)
 
-        big = jnp.asarray(jnp.inf, dtype=problem.ops[0].dtype)
+        big = jnp.asarray(jnp.inf, dtype=P.ops[0].dtype)
         Fs, _, err, fp_its = jax.lax.while_loop(
             cond, body, (Fs0, Fs0, big, 0)
         )
 
-        norm_Fs = jnp.stack([_norm_d(problem, d, Fs[d]) for d in range(nd)])
+        norm_Fs = jnp.stack([_norm_d(P, d, Fs[d]) for d in range(nd)])
         normU = jnp.prod(norm_Fs)
 
         # all three reference normalizations (solver.py:404-470) store the
@@ -353,9 +378,9 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
             # 'stiff' (solver.py:413-456): evaluate the full lhs Gram on
             # L2-normalized factors
             Fn = [Fs[d] / norm_Fs[d] for d in range(nd)]
-            wprod = jnp.ones((problem.num_terms,), dtype=norm_Fs.dtype)
+            wprod = jnp.ones((P.num_terms,), dtype=norm_Fs.dtype)
             for d in range(nd):
-                wprod = wprod * _term_weights(problem.ops[d], Fn[d])
+                wprod = wprod * _term_weights(P.ops[d], Fn[d])
             norm_aux = jnp.sum(wprod)
             norm_fac = jnp.sqrt(jnp.abs(norm_aux)) ** (1.0 / nd)
             alpha = normU * norm_fac ** nd
@@ -397,12 +422,6 @@ def make_enrich_step_scanned(problem: SeparatedProblem, max_fp_it=50,
             f"unknown norm_modes {norm_modes!r}: expected 'stiff', 'l2' or 'no'"
         )
 
-    OPS_P = jnp.stack([jnp.asarray(problem.ops[d]) for d in range(1, nd)])
-    MASS_P = jnp.stack([jnp.asarray(problem.mass[d]) for d in range(1, nd)])
-    MASK_P = jnp.stack([jnp.asarray(problem.bc_masks[d]) for d in range(1, nd)])
-    ops0 = jnp.asarray(problem.ops[0])
-    mass0 = jnp.asarray(problem.mass[0])
-    mask0 = jnp.asarray(problem.bc_masks[0])
     T = problem.num_terms
 
     def solve_system(A, b, mask):
@@ -413,11 +432,22 @@ def make_enrich_step_scanned(problem: SeparatedProblem, max_fp_it=50,
             return _chol_solve(A, b)
         return jnp.linalg.solve(A, b)
 
-    def param_weights(FP):
-        return jnp.einsum("ptij,pi,pj->pt", OPS_P, FP, FP, precision=_PREC)
+    def enrich(modes, n_modes, rhs=None, init=None, data=None):
+        # data: optional (ops, rhs, mass, bc_masks) runtime arrays — the
+        # stacks below then become jit inputs and the compiled program is
+        # value-independent (see _ProblemArrays)
+        Pv = problem if data is None else _ProblemArrays(*data)
+        OPS_P = jnp.stack([jnp.asarray(Pv.ops[d]) for d in range(1, nd)])
+        MASS_P = jnp.stack([jnp.asarray(Pv.mass[d]) for d in range(1, nd)])
+        MASK_P = jnp.stack([jnp.asarray(Pv.bc_masks[d]) for d in range(1, nd)])
+        ops0 = jnp.asarray(Pv.ops[0])
+        mass0 = jnp.asarray(Pv.mass[0])
+        mask0 = jnp.asarray(Pv.bc_masks[0])
 
-    def enrich(modes, n_modes, rhs=None, init=None):
-        rhs = tuple(problem.rhs) if rhs is None else tuple(rhs)
+        def param_weights(FP):
+            return jnp.einsum("ptij,pi,pj->pt", OPS_P, FP, FP, precision=_PREC)
+
+        rhs = tuple(Pv.rhs) if rhs is None else tuple(rhs)
         rhs0 = jnp.asarray(rhs[0])
         RHS_P = jnp.stack([jnp.asarray(rhs[d]) for d in range(1, nd)])
         R = rhs0.shape[0]
@@ -430,8 +460,8 @@ def make_enrich_step_scanned(problem: SeparatedProblem, max_fp_it=50,
         # init factors (normalized masked ones, or an explicit init —
         # reference get_Fsinit 'randomized', solver.py:158-304)
         if init is None:
-            F0 = jnp.ones(problem.sizes[0], dtype=dt) * mask0
-            FP = jnp.ones((P, problem.sizes[1]), dtype=dt) * MASK_P
+            F0 = jnp.ones(Pv.sizes[0], dtype=dt) * mask0
+            FP = jnp.ones((P, Pv.sizes[1]), dtype=dt) * MASK_P
         else:
             F0 = jnp.asarray(init[0], dtype=dt) * mask0
             FP = jnp.stack([jnp.asarray(f, dtype=dt) for f in init[1:]]) * MASK_P
@@ -602,27 +632,16 @@ class SeparatedPGD:
             raise ValueError(
                 f"unknown solver {solver!r}: expected 'lu', 'cg' or 'chol'"
             )
-        # content fingerprint for the AOT-executable cache, taken while the
-        # arrays are still host numpy (hashing device arrays would pull
-        # them back through the TPU tunnel); zero-copy via the buffer
-        # protocol.  The fused program embeds the problem data as
-        # constants, so the key MUST cover values, not just shapes.
-        self._problem_fingerprint = None
         if isinstance(problem.ops[0], np.ndarray):
-            import hashlib
-
-            h = hashlib.sha256()
-            for arrs in (problem.ops, problem.rhs, problem.mass):
-                for a in arrs:
-                    a = np.ascontiguousarray(a)
-                    h.update(f"{a.shape}{a.dtype}".encode())
-                    h.update(a.data)
-            for b in problem.bc_dofs:
-                h.update(np.ascontiguousarray(np.asarray(b, dtype=np.int64)).data)
-            h.update(repr(np.dtype(dtype) if dtype else None).encode())
-            self._problem_fingerprint = h.hexdigest()
             problem = problem.as_device(dtype)
         self.problem = problem
+        # problem data as a runtime pytree: the jitted programs take these
+        # as inputs, so compiled executables (and the AOT cache) are
+        # value-independent — any same-shaped problem reuses them
+        self._data = (
+            tuple(problem.ops), tuple(problem.rhs), tuple(problem.mass),
+            tuple(problem.bc_masks),
+        )
         self.n_max = n_max
         self.tol = tol
         self._max_fp_it = max_fp_it
@@ -712,9 +731,9 @@ class SeparatedPGD:
                 )
                 with self.metrics.step():
                     modes_new, normU, alpha, fp_its, res = (
-                        self._enrich(modes, n)
+                        self._enrich(modes, n, data=self._data)
                         if init is None
-                        else self._enrich(modes, n, init=init)
+                        else self._enrich(modes, n, init=init, data=self._data)
                     )
                     jax.block_until_ready(modes_new)
                 res = float(res)
@@ -794,10 +813,12 @@ class SeparatedPGD:
                 )
             nd = self.problem.num_dims
 
-            def fused(modes):
+            def fused(modes, data):
                 def body(i, carry):
                     modes, normUs, alphas, fps = carry
-                    modes_new, normU, alpha, fp_its, res = enrich(modes, i)
+                    modes_new, normU, alpha, fp_its, res = enrich(
+                        modes, i, data=data
+                    )
                     # preserve residual early-exit semantics AND stop at the
                     # fp noise floor: keep the old buffers if the residual
                     # vanished or the new mode collapsed/NaN'd
@@ -824,28 +845,31 @@ class SeparatedPGD:
 
             jitted = jax.jit(fused)
             if self._aot_cache_dir or default_cache_dir():
-                # skip lowering entirely on a hit: key on the problem
-                # fingerprint + every knob that shapes the program
-                key_data = None
-                if self._problem_fingerprint is not None:
-                    key_data = [
-                        "solve_fused_v1",
-                        self._problem_fingerprint,
-                        n_enrich,
-                        self.n_max,
-                        self._solver,
-                        self._cg_iters,
-                        self._tol_fp,
-                        self._max_fp_it,
-                        tuple(self._seq_fp) if self._seq_fp else None,
-                        self._residual_check,
-                        self._scan_params,
-                        self._stop_fp,
-                        self._norm_modes,
-                    ]
+                # the problem data are jit INPUTS, so the key only needs
+                # shapes/dtypes + the knobs that shape the program — the
+                # cached executable serves any same-shaped problem
+                key_data = [
+                    "solve_fused_v2",
+                    tuple(
+                        (tuple(a.shape), str(a.dtype))
+                        for grp in self._data
+                        for a in grp
+                    ),
+                    n_enrich,
+                    self.n_max,
+                    self._solver,
+                    self._cg_iters,
+                    self._tol_fp,
+                    self._max_fp_it,
+                    tuple(self._seq_fp) if self._seq_fp else None,
+                    self._residual_check,
+                    self._scan_params,
+                    self._stop_fp,
+                    self._norm_modes,
+                ]
                 compiled, status = compile_cached(
-                    jitted, (self.init_buffers(),), self._aot_cache_dir,
-                    key_data=key_data,
+                    jitted, (self.init_buffers(), self._data),
+                    self._aot_cache_dir, key_data=key_data,
                 )
                 self._fused_cache[n_enrich] = compiled
                 self.last_compile_status = status
@@ -854,7 +878,7 @@ class SeparatedPGD:
                 self.last_compile_status = "off"
 
         modes, normUs, alphas, fps = self._fused_cache[n_enrich](
-            self.init_buffers()
+            self.init_buffers(), self._data
         )
         normUs = np.asarray(normUs)
         valid = normUs > 0
@@ -1030,13 +1054,16 @@ def residual_problem(sep: SeparatedProblem, result: PGDResult):
     for d in range(nd):
         # the solver enforces Dirichlet rows via masks, so the residual
         # lives in the MASKED (homogenized) system: constrained rows/cols
-        # carry no residual (cf. normal_equations)
+        # carry no residual (cf. normal_equations).  Mask the (small)
+        # modes/rhs and the OUTPUT rows instead of copying the O(T·n²)
+        # operator stack (~134 MB at bench scale on a ~100 MB/s host).
         m = np.asarray(sep.bc_masks[d], dtype=np.float64)
-        ops_m = ops[d] * m[None, :, None] * m[None, None, :]
         rhs_m = np.asarray(sep.rhs[d], dtype=np.float64) * m[None, :]
-        # W_d[t, k] = O_td @ u_kd, batched over terms (BLAS, reads ops once)
-        W = np.matmul(ops_m, modes[d].T[None].repeat(T, axis=0))  # (T, n, K)
-        W = W.transpose(0, 2, 1).reshape(T * K, ops_m.shape[1])  # (T·K, n)
+        # W_d[t, k] = O_td @ (m∘u_kd), batched over terms (BLAS broadcast,
+        # reads ops once); then mask the output rows
+        W = np.matmul(ops[d], (modes[d] * m[None, :]).T)  # (T, n, K)
+        W = W * m[None, :, None]
+        W = W.transpose(0, 2, 1).reshape(T * K, ops[d].shape[1])  # (T·K, n)
         if d == 0:
             W = -W  # the minus sign of f − A·u_K, folded into dim 0
         new_rhs.append(np.concatenate([rhs_m, W], axis=0))
