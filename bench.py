@@ -87,7 +87,7 @@ def build():
     return sep64, sep_pc64, tf, Vs
 
 
-def tpu_solve(sep32, n_max=None, tag="stage1"):
+def tpu_solve(sep32, n_max=None, tag="stage1", tol_fp=1e-7, max_fp_it=40):
     import jax
     from pgdrome_tpu.separated import SeparatedPGD
 
@@ -99,8 +99,8 @@ def tpu_solve(sep32, n_max=None, tag="stage1"):
     # tol=0: run the full greedy budget — the sub-1e-7 amplitude tail
     # still carries signal the rank-50 compression uses
     solver = SeparatedPGD(
-        sep32, n_max=n_max or N_MODES_SOLVE, tol=0.0, tol_fp=1e-7,
-        max_fp_it=40, solver="cg", cg_iters=25, residual_check=False,
+        sep32, n_max=n_max or N_MODES_SOLVE, tol=0.0, tol_fp=tol_fp,
+        max_fp_it=max_fp_it, solver="cg", cg_iters=25, residual_check=False,
         dtype=np.float32,
     )
 
@@ -324,8 +324,13 @@ def main():
     sep_res, s_res = residual_problem(sep_pc64, res)
     t_resid = time.perf_counter() - t0
     log(f"residual build: {t_resid:.2f}s  (‖r‖ = {s_res:.3e})")
+    # looser fixed point for the corrections: their fp 'norm' stop never
+    # reaches 1e-7 in f32 (fp_its maxed at 40 → 1.07s); 10 sweeps measure
+    # 0.33s AND a better final error (6.3e-7 vs 7.3e-7 — less f32
+    # over-iteration noise), the Galerkin update re-derives coefficients
     delta, t_solve2, t_first2, aot_status2 = tpu_solve(
-        sep_res, n_max=N_MODES_STAGE2, tag="stage2"
+        sep_res, n_max=N_MODES_STAGE2, tag="stage2", tol_fp=1e-5,
+        max_fp_it=10,
     )
     res = combine_results(res, delta, s_res)
 

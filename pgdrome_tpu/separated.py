@@ -1085,6 +1085,37 @@ def residual_problem(sep: SeparatedProblem, result: PGDResult):
     return sep_res, s
 
 
+def compress_rhs(sep: SeparatedProblem, rank: int, n_iters: int = 30) -> SeparatedProblem:
+    """Compress the separated right-hand side Σ_r ⊗_d g_rd to a lower-rank
+    stack via CP-ALS in the problem's mass metric.
+
+    Use when the rhs stack is the dominant per-sweep cost (many separated
+    load terms relative to the operator count).  NOTE: measured on the
+    bench's two-stage residual (R=257 → 32), the stage-2 solve time did
+    NOT improve — there the fixed-point sweep count dominates, not the
+    rhs contractions — and the compression adds ~2 s host time plus a
+    small (≤1e-7) error drift; it is not part of the bench pipeline.
+    Returns a new problem with the same operators and the compressed
+    rhs."""
+    R = sep.num_rhs
+    if rank >= R:
+        return sep
+    fake = PGDResult(
+        modes=[np.asarray(r, dtype=np.float64) for r in sep.rhs],
+        n_modes=R,
+        amplitudes=np.ones(R),
+        alpha=np.ones(R),
+        fp_its=np.zeros(R),
+    )
+    comp = compress_modes(fake, sep.mass, rank, n_iters=n_iters)
+    return SeparatedProblem(
+        ops=list(sep.ops),
+        rhs=[np.asarray(m, dtype=np.float64)[:rank] for m in comp.modes],
+        mass=list(sep.mass),
+        bc_dofs=list(sep.bc_dofs),
+    )
+
+
 def combine_results(base: PGDResult, delta: PGDResult, scale: float) -> PGDResult:
     """Concatenate a base PGD and a (rescaled) correction PGD:
     u = u_base + scale·u_delta — the deployment step of the two-stage

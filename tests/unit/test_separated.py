@@ -394,3 +394,41 @@ class TestTwoStageResidual:
         _, s = residual_problem(sep, res)
         base_scale = float(np.sqrt((np.asarray(sep.rhs[0]) ** 2).sum()))
         assert s < 1e-8 * max(base_scale, 1.0)
+
+
+class TestCompressRhs:
+    def test_rhs_compression_preserves_solution(self):
+        from pgdrome_tpu.models.problems import parametric_elliptic
+        from pgdrome_tpu.separated import compress_rhs, residual_problem
+
+        sep, _ = parametric_elliptic(n_x=24, n_p=8, num_params=2)
+        base = SeparatedPGD(sep, n_max=6, tol=0.0, residual_check=False,
+                            tol_fp=1e-10).solve()
+        sep_res, s = residual_problem(sep, base)
+        assert sep_res.num_rhs > 8
+        sep_c = compress_rhs(sep_res, 8)
+        assert sep_c.num_rhs == 8
+        # the compressed rhs must represent the same residual tensor: its
+        # separated norm matches the uncompressed one
+        _, s_full = residual_problem(sep, base)
+
+        def rhs_norm(sp):
+            G = np.ones((sp.num_rhs,) * 2)
+            for d in range(sp.num_dims):
+                r = np.asarray(sp.rhs[d], dtype=np.float64)
+                G = G * (r @ r.T)
+            return float(np.sqrt(max(G.sum(), 0.0)))
+
+        nf, nc = rhs_norm(sep_res), rhs_norm(sep_c)
+        # CP-ALS at rank 8 captures the residual tensor to ~1e-3 here;
+        # higher rank must strictly improve the captured norm
+        np.testing.assert_allclose(nc, nf, rtol=2e-2)
+        sep_c16 = compress_rhs(sep_res, 16)
+        assert abs(rhs_norm(sep_c16) - nf) <= abs(nc - nf)
+
+    def test_rank_ge_R_is_identity(self):
+        from pgdrome_tpu.models.problems import parametric_elliptic
+        from pgdrome_tpu.separated import compress_rhs
+
+        sep, _ = parametric_elliptic(n_x=16, n_p=4, num_params=2)
+        assert compress_rhs(sep, 5) is sep
