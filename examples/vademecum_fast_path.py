@@ -43,7 +43,7 @@ import jax.numpy as jnp
 
 full0 = jnp.asarray(tf.modes_to_full(result.modes[0]).astype(np.float32))
 modes = [full0] + [jnp.asarray(m) for m in result.modes[1:]]
-sweep = make_sweep_fn(spaces, modes, result.n_modes)
+sweep = make_sweep_fn(spaces, modes, result.n_modes, method="auto")
 samples = jnp.asarray(
     np.random.default_rng(0).uniform(0.05, 0.95, (100_000, 3)).astype(np.float32)
 )
