@@ -230,7 +230,26 @@ def sweep_throughput(Vs, res, tf, n_samples=524_288):
     dt = (time.perf_counter() - t0) / reps
     rate = n_samples / dt
     log(f"vademecum sweep: {n_samples} samples in {dt*1e3:.1f} ms → {rate:,.0f} fields/s")
-    return rate
+
+    # serving throughput mode: depth-2 pipeline (double buffering) overlaps
+    # the ~30-40 ms tunnel dispatch latency with on-chip compute; two
+    # in-flight outputs bound the HBM footprint
+    t0 = time.perf_counter()
+    prev = sweep(batches[0])
+    for s in batches[1:]:
+        cur = sweep(s)
+        prev.block_until_ready()
+        del prev
+        prev = cur
+    prev.block_until_ready()
+    del prev
+    dt_p = (time.perf_counter() - t0) / reps
+    rate_p = n_samples / dt_p
+    log(
+        f"vademecum sweep (depth-2 pipeline): {dt_p*1e3:.1f} ms/batch → "
+        f"{rate_p:,.0f} fields/s"
+    )
+    return rate, rate_p
 
 
 def cpu_baseline(sep64, Vs, n_modes_target):
@@ -352,10 +371,10 @@ def main():
     )
     max_err = verify(sep64, Vs, res, tf)
     try:
-        sweep_rate = sweep_throughput(Vs, res, tf)
+        sweep_rate, sweep_rate_pipelined = sweep_throughput(Vs, res, tf)
     except Exception as e:  # never block the headline metric
         log(f"sweep throughput skipped: {e}")
-        sweep_rate = None
+        sweep_rate = sweep_rate_pipelined = None
     # the CPU baseline runs LAST and synchronously: with the AOT cache
     # there is no long compile to overlap, and on this 1-core host an
     # overlapping baseline starves every timed phase (measured: the ~2s
@@ -394,6 +413,8 @@ def main():
         "space_dofs": int(sep64.sizes[0]),
         "param_dofs": int(sep64.sizes[1]),
         "sweep_fields_per_s": round(sweep_rate) if sweep_rate else None,
+        "sweep_fields_per_s_pipelined": round(sweep_rate_pipelined)
+        if sweep_rate_pipelined else None,
         "first_call_s": round(t_first_call, 2),
         "first_call_stage2_s": round(t_first2, 2),
         "aot_cache": aot_status,
