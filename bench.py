@@ -249,7 +249,32 @@ def sweep_throughput(Vs, res, tf, n_samples=524_288):
         f"vademecum sweep (depth-2 pipeline): {dt_p*1e3:.1f} ms/batch → "
         f"{rate_p:,.0f} fields/s"
     )
-    return rate, rate_p
+
+    # sensor/QoI serving path: 8 sensor points instead of the full field —
+    # output traffic drops n_pts/n0 (~4e-3), so the sweep runs
+    # compute-bound; batch 4x larger (input/output both tiny)
+    from pgdrome_tpu.parallel.vademecum import make_sensor_sweep_fn
+
+    pts = np.linspace(0.1, 0.9, 8)
+    sensor = make_sensor_sweep_fn(Vs, modes, res.n_modes, pts)
+    n_s = 4 * n_samples
+    sbatches = [
+        jnp.asarray(
+            rng.uniform(0.02, 0.98, size=(n_s, NUM_PARAMS)).astype(np.float32)
+        )
+        for _ in range(2)
+    ]
+    jax.block_until_ready(sensor(sbatches[0]))  # compile
+    t0 = time.perf_counter()
+    for s in sbatches:
+        sensor(s).block_until_ready()
+    dt_s = (time.perf_counter() - t0) / len(sbatches)
+    rate_s = n_s / dt_s
+    log(
+        f"sensor sweep (8 points): {n_s} samples in {dt_s*1e3:.1f} ms → "
+        f"{rate_s:,.0f} responses/s"
+    )
+    return rate, rate_p, rate_s
 
 
 def cpu_baseline(sep64, Vs, n_modes_target):
@@ -371,10 +396,12 @@ def main():
     )
     max_err = verify(sep64, Vs, res, tf)
     try:
-        sweep_rate, sweep_rate_pipelined = sweep_throughput(Vs, res, tf)
+        sweep_rate, sweep_rate_pipelined, sensor_rate = sweep_throughput(
+            Vs, res, tf
+        )
     except Exception as e:  # never block the headline metric
         log(f"sweep throughput skipped: {e}")
-        sweep_rate = sweep_rate_pipelined = None
+        sweep_rate = sweep_rate_pipelined = sensor_rate = None
     # the CPU baseline runs LAST and synchronously: with the AOT cache
     # there is no long compile to overlap, and on this 1-core host an
     # overlapping baseline starves every timed phase (measured: the ~2s
@@ -415,6 +442,8 @@ def main():
         "sweep_fields_per_s": round(sweep_rate) if sweep_rate else None,
         "sweep_fields_per_s_pipelined": round(sweep_rate_pipelined)
         if sweep_rate_pipelined else None,
+        "sensor_sweep_responses_per_s": round(sensor_rate)
+        if sensor_rate else None,
         "first_call_s": round(t_first_call, 2),
         "first_call_stage2_s": round(t_first2, 2),
         "aot_cache": aot_status,

@@ -34,24 +34,51 @@ def _mesh_axes(n_devices):
     return dp, sp
 
 
+def problem_data(problem: SeparatedProblem):
+    """The problem's runtime arrays as a jit-input pytree
+    (ops, rhs, mass, bc_masks) — same layout SeparatedPGD feeds its fused
+    programs.  Passing these as INPUTS (not closures) makes the compiled
+    multichip executable value-independent: one program serves every
+    same-shaped problem (re-weighted measures, residual re-solves,
+    parameter studies) with zero recompiles."""
+    return (
+        tuple(problem.ops), tuple(problem.rhs), tuple(problem.mass),
+        tuple(problem.bc_masks),
+    )
+
+
 def make_multichip_train_step(problem: SeparatedProblem, mesh: Mesh,
-                              tol_fp=1e-6, max_fp_it=30):
+                              tol_fp=1e-6, max_fp_it=30,
+                              data_as_inputs=False):
     """Jitted batched enrichment step sharded over ``mesh``.
 
-    Returns (step, placed_args) where
-    ``step(modes_batch, n_modes, rhs0_batch) -> (new_modes_batch, normU,
-    alpha, fp_its, res)`` — modes/rhs carry a leading load-case axis
+    Returns ``step(modes_batch, n_modes, rhs0_batch) -> (new_modes_batch,
+    normU, alpha, fp_its, res)`` — modes/rhs carry a leading load-case axis
     sharded on 'dp'; the space-dof axis of the dim-0 buffers is sharded on
-    'sp'."""
+    'sp'.
+
+    With ``data_as_inputs=True`` the step takes a fourth argument — the
+    :func:`problem_data` pytree (replicated across the mesh) — and the
+    compiled program embeds no operator constants: problems sharing shapes
+    share the executable."""
     enrich = make_enrich_step(problem, max_fp_it=max_fp_it, tol_fp=tol_fp)
     nd = problem.num_dims
 
-    def batched(modes_batch, n_modes, rhs0_batch):
-        def one(modes, rhs0):
-            rhs = [rhs0] + [problem.rhs[j] for j in range(1, nd)]
-            return enrich(modes, n_modes, rhs=rhs)
+    if data_as_inputs:
+        def batched(modes_batch, n_modes, rhs0_batch, data):
+            def one(modes, rhs0):
+                rhs = [rhs0] + [data[1][j] for j in range(1, nd)]
+                return enrich(modes, n_modes, rhs=rhs, data=data)
 
-        return jax.vmap(one, in_axes=(0, 0))(modes_batch, rhs0_batch)
+            # data is closed over -> broadcast (replicated) across the vmap
+            return jax.vmap(one, in_axes=(0, 0))(modes_batch, rhs0_batch)
+    else:
+        def batched(modes_batch, n_modes, rhs0_batch):
+            def one(modes, rhs0):
+                rhs = [rhs0] + [problem.rhs[j] for j in range(1, nd)]
+                return enrich(modes, n_modes, rhs=rhs)
+
+            return jax.vmap(one, in_axes=(0, 0))(modes_batch, rhs0_batch)
 
     # sharding annotations: batch axis -> dp; space-dof axis of dim-0 -> sp
     mode_shardings = tuple(
@@ -59,9 +86,18 @@ def make_multichip_train_step(problem: SeparatedProblem, mesh: Mesh,
         for d in range(nd)
     )
     rhs0_sharding = NamedSharding(mesh, P("dp", None, "sp"))
+    replicated = NamedSharding(mesh, P())
+    in_shardings = (mode_shardings, None, rhs0_sharding)
+    if data_as_inputs:
+        # the operator pytree is small (per-dim 1D factors); replicate it so
+        # every shard's Gram contractions read local copies over VMEM/HBM
+        # instead of gathering over ICI each sweep
+        in_shardings = in_shardings + (
+            jax.tree_util.tree_map(lambda _: replicated, problem_data(problem)),
+        )
     step = jax.jit(
         batched,
-        in_shardings=(mode_shardings, None, rhs0_sharding),
+        in_shardings=in_shardings,
         out_shardings=(mode_shardings, NamedSharding(mesh, P("dp")),
                        NamedSharding(mesh, P("dp")), NamedSharding(mesh, P("dp")),
                        NamedSharding(mesh, P("dp"))),
@@ -120,9 +156,19 @@ def dryrun(n_devices: int, n_max: int = 4, verbose: bool = False, devices=None):
             jnp.zeros((B, n_max, n), dtype=sep.ops[0].dtype) for n in sep.sizes
         )
 
-        step = make_multichip_train_step(sep, mesh)
-        new_modes, normU, alpha, fp_its, res = step(modes_batch, 0, rhs0_batch)
+        step = make_multichip_train_step(sep, mesh, data_as_inputs=True)
+        data = problem_data(sep)
+        new_modes, normU, alpha, fp_its, res = step(modes_batch, 0, rhs0_batch,
+                                                    data)
         jax.block_until_ready(new_modes)
+
+        # value-independence: the SAME compiled program with 2x-scaled
+        # operators (no recompile — data is an input) must scale the linear
+        # problem's amplitudes by 2^-nd (every dim's factor is scaled, so
+        # each tensor-product lhs term carries 2^nd)
+        data2 = (tuple(2.0 * o for o in data[0]),) + data[1:]
+        _, normU2, *_ = step(modes_batch, 0, rhs0_batch, data2)
+        jax.block_until_ready(normU2)
 
     assert np.all(np.isfinite(np.asarray(normU))), "non-finite amplitudes"
     assert np.all(np.asarray(normU) > 0), "zero-amplitude enrichment"
@@ -130,6 +176,10 @@ def dryrun(n_devices: int, n_max: int = 4, verbose: bool = False, devices=None):
     ratio = np.asarray(normU) / np.asarray(normU)[0]
     expected = (1.0 + np.arange(B)) / 1.0
     np.testing.assert_allclose(ratio, expected, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(normU2), 2.0 ** -sep.num_dims * np.asarray(normU),
+        rtol=1e-3,
+    )
     if verbose:
         print(
             f"dryrun ok: mesh=({dp}x{sp}) B={B} n0={n0} "
@@ -139,14 +189,15 @@ def dryrun(n_devices: int, n_max: int = 4, verbose: bool = False, devices=None):
 
 
 def solve_many(problem: SeparatedProblem, rhs0_batch, n_max: int = 20,
-               mesh=None, tol_fp=1e-6, max_fp_it=30):
+               mesh=None, tol_fp=1e-6, max_fp_it=30, data_as_inputs=True):
     """Train B independent PGDs (one per load case) in parallel, sharded
     over the device mesh.
 
     rhs0_batch: (B, R, n0) space-dim right-hand sides (dims 1.. share the
     problem's rhs).  Returns per-case mode buffers and normU traces.  The
     batch axis rides 'dp'; the space-dof axis rides 'sp' when the mesh has
-    one."""
+    one.  ``data_as_inputs`` (default) compiles a value-independent program
+    — repeated calls with re-weighted operators reuse the executable."""
     rhs0_batch = jnp.asarray(rhs0_batch)
     B = rhs0_batch.shape[0]
     if mesh is None:
@@ -154,14 +205,18 @@ def solve_many(problem: SeparatedProblem, rhs0_batch, n_max: int = 20,
         dp, sp = _mesh_axes(len(devs))
         mesh = Mesh(np.array(devs).reshape(dp, sp), ("dp", "sp"))
     step = make_multichip_train_step(problem, mesh, tol_fp=tol_fp,
-                                     max_fp_it=max_fp_it)
+                                     max_fp_it=max_fp_it,
+                                     data_as_inputs=data_as_inputs)
+    extra = (problem_data(problem),) if data_as_inputs else ()
     modes_batch = tuple(
         jnp.zeros((B, n_max, n), dtype=rhs0_batch.dtype) for n in problem.sizes
     )
     normUs = np.zeros((B, n_max))
     alphas = np.zeros((B, n_max))
     for n in range(n_max):
-        modes_batch, normU, alpha, fp_its, res = step(modes_batch, n, rhs0_batch)
+        modes_batch, normU, alpha, fp_its, res = step(
+            modes_batch, n, rhs0_batch, *extra
+        )
         normUs[:, n] = np.asarray(normU)
         alphas[:, n] = np.asarray(alpha)
     return modes_batch, normUs, alphas

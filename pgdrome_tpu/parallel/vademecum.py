@@ -65,6 +65,50 @@ def make_sweep_fn(spaces, modes, n_modes, method="xla"):
     return jax.jit(sweep)
 
 
+def make_sensor_sweep_fn(spaces, modes, n_modes, points):
+    """Build the jitted sensor sweep: samples (B, d-1) → responses
+    (B, n_pts) (or (B, n_pts·value_size) for vector space dims).
+
+    The serving path for sensor/QoI sweeps: the fixed (space) dim's modes
+    are pre-evaluated at the sensor points once — the batched analogue of
+    the reference's eval_fixed_modes + evaluate_sensor_response
+    (model.py:107-130, 862-953), which reconstructs one parameter sample
+    at a time.  The whole sweep then collapses to the mode-product factors
+    times an (n_max, n_pts) table, so the output write is n_pts/n0 of the
+    full-field sweep and large batches run compute-bound instead of
+    HBM-write-bound."""
+    from pgdrome_tpu.fem.interpolate import eval_dofs_at_points
+
+    nd = len(spaces)
+    modes0 = np.asarray(modes[0])
+    n_max = modes0.shape[0]
+    pts = np.asarray(points)
+    # (n_max, n_pts[, value_size]) fixed-mode table, flattened per point
+    table = np.stack(
+        [np.asarray(eval_dofs_at_points(spaces[0], modes0[k], pts))
+         for k in range(n_max)]
+    ).reshape(n_max, -1).astype(modes0.dtype)
+    mode_mask = (np.arange(n_max) < n_modes).astype(modes0.dtype)
+    # MXU-preferred contraction width (see make_sweep_fn)
+    k_pad = (-n_max) % 128 if n_max < 128 else 0
+    table_mm = jnp.asarray(
+        np.pad(table, ((0, k_pad), (0, 0))) if k_pad else table
+    )
+    mask = jnp.asarray(mode_mask)
+
+    def sweep(samples):
+        fac = jnp.ones((samples.shape[0], n_max), dtype=table_mm.dtype)
+        for j in range(1, nd):
+            vals = evaluate_modes_1d(spaces[j], modes[j], samples[:, j - 1])
+            fac = fac * vals
+        fac = fac * mask[None, :]
+        if k_pad:
+            fac = jnp.pad(fac, ((0, 0), (0, k_pad)))
+        return jnp.einsum("bk,kp->bp", fac, table_mm, precision=_PREC)
+
+    return jax.jit(sweep)
+
+
 def sharded_sweep(spaces, modes, n_modes, samples, mesh=None):
     """Run the sweep with the sample axis sharded over the mesh's 'dp' axis
     (XLA inserts any needed collectives; mode buffers are replicated)."""

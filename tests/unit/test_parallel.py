@@ -43,6 +43,29 @@ class TestShardedSweep:
             u = fac @ np.asarray(res.modes[0])[: res.n_modes]
             np.testing.assert_allclose(out[i], u, rtol=1e-10, atol=1e-12)
 
+    def test_sensor_sweep_matches_field_sweep(self, solved):
+        # batched sensor responses == full-field sweep evaluated at the
+        # sensor points (reference evaluate_sensor_response semantics,
+        # model.py:862-953, batched over parameter samples)
+        sep, Vs, res = solved
+        from pgdrome_tpu.fem.interpolate import eval_dofs_at_points
+        from pgdrome_tpu.parallel.vademecum import (
+            make_sensor_sweep_fn, make_sweep_fn,
+        )
+
+        pts = np.array([0.117, 0.5, 0.73, 0.997])
+        samples = jnp.asarray(
+            np.random.default_rng(5).uniform(0.1, 0.9, size=(23, 2))
+        )
+        modes = [jnp.asarray(m) for m in res.modes]
+        sensor = make_sensor_sweep_fn(Vs, modes, res.n_modes, pts)
+        out = np.asarray(sensor(samples))
+        assert out.shape == (23, 4)
+        fields = np.asarray(make_sweep_fn(Vs, modes, res.n_modes)(samples))
+        for i in [0, 11, 22]:
+            ref = np.asarray(eval_dofs_at_points(Vs[0], fields[i], pts))
+            np.testing.assert_allclose(out[i], ref, rtol=1e-10, atol=1e-12)
+
     def test_sweep_errors(self, solved):
         sep, Vs, res = solved
         from pgdrome_tpu.parallel.vademecum import sweep_errors, make_sweep_fn
@@ -101,6 +124,23 @@ class TestSolveMany:
             np.testing.assert_allclose(
                 np.asarray(modes_b[0][b]), np.asarray(modes[0]), rtol=1e-7, atol=1e-12
             )
+
+
+class TestDataAsInputs:
+    def test_constants_path_matches_inputs_path(self):
+        # data-as-inputs (value-independent executable) and the legacy
+        # closed-over-constants program must produce identical training
+        from pgdrome_tpu.parallel.enrich import solve_many
+
+        sep, Vs = parametric_elliptic(n_x=15, n_p=6, num_params=2, degree_x=1)
+        sep = sep.as_device(np.float64)
+        # B must divide the mesh's dp axis (8 devices -> dp=4)
+        rhs0 = jnp.asarray(
+            np.stack([s * np.asarray(sep.rhs[0]) for s in (1.0, 2.0, 0.5, 3.0)])
+        )
+        _, normU_in, _ = solve_many(sep, rhs0, n_max=3, data_as_inputs=True)
+        _, normU_ct, _ = solve_many(sep, rhs0, n_max=3, data_as_inputs=False)
+        np.testing.assert_allclose(normU_in, normU_ct, rtol=1e-12)
 
 
 class TestDryrunSizes:
