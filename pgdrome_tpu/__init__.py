@@ -43,6 +43,7 @@ from pgdrome_tpu.separated import (
     galerkin_update,
     normal_equations,
 )
+from pgdrome_tpu.serving import Vademecum
 from pgdrome_tpu.utils.pgd_config import PGDConfig
 
 __version__ = "0.1.0"
@@ -80,5 +81,6 @@ __all__ = [
     "precondition_dim0",
     "galerkin_update",
     "normal_equations",
+    "Vademecum",
     "PGDConfig",
 ]

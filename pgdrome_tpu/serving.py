@@ -1,0 +1,172 @@
+"""Deployment container for trained PGD vademecums.
+
+The reference's deployment story is the model layer: save pxdmf, reload,
+evaluate one parameter sample at a time (model.py:724-860).  On TPU the
+serving workload is the opposite shape — huge parameter batches against a
+fixed trained decomposition — so this container bundles the trained modes
+with the jitted batch paths:
+
+* :meth:`Vademecum.fields` — full-field reconstruction, (B, n0) per call
+  (fused Pallas kernel on TPU, XLA elsewhere; parallel/vademecum).
+* :meth:`Vademecum.sensors` — sensor/QoI responses at fixed points,
+  (B, n_pts); the fixed-dim modes are tabled once per point set (cached).
+* :meth:`Vademecum.errors` — batched relative-L2 errors vs FOM fields
+  (reference PGDErrorComputation.evaluate_error semantics,
+  model.py:1768-1825).
+* :meth:`Vademecum.save` / :meth:`Vademecum.load` — single-file HDF5
+  persistence of the deployed (full-dof, mode-trimmed) decomposition.
+* :meth:`Vademecum.to_pgd` — bridge into the reference-style PGD container
+  (pxdmf export, derivatives, reducers — the whole model layer).
+
+Energy-basis solves (precondition_dim0) pass their transform once at
+construction; the container stores deployment-ready full-dof modes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import h5py
+import jax.numpy as jnp
+
+
+class Vademecum:
+    """A trained PGD decomposition packaged for batch serving.
+
+    spaces: per-dim function spaces; result: fast-path PGDResult;
+    dim0_transform: the Dim0Transform when the solve ran in the energy
+    basis (modes are mapped back to full dofs here, once).
+    dtype: serving dtype (float32 default — the TPU sweep path)."""
+
+    def __init__(self, spaces, result, dim0_transform=None, method="auto",
+                 dtype=np.float32):
+        from pgdrome_tpu.separated import PGDResult
+
+        self.spaces = list(spaces)
+        self.n_modes = int(result.n_modes)
+        self._method = method
+        dim0 = np.asarray(result.modes[0])[: self.n_modes]
+        if dim0_transform is not None:
+            dim0 = dim0_transform.modes_to_full(dim0)
+        modes = [np.asarray(dim0, dtype=dtype)] + [
+            np.asarray(m, dtype=dtype)[: self.n_modes] for m in result.modes[1:]
+        ]
+        self._modes = [jnp.asarray(m) for m in modes]
+        self._result = PGDResult(
+            modes=self._modes, n_modes=self.n_modes,
+            amplitudes=np.asarray(result.amplitudes)[: self.n_modes],
+            alpha=np.asarray(result.alpha)[: self.n_modes],
+            fp_its=np.asarray(result.fp_its)[: self.n_modes],
+            normU0=result.normU0,
+        )
+        self._sweep = None
+        self._sensor_cache = {}
+
+    @property
+    def num_dims(self):
+        return len(self._modes)
+
+    def fields(self, samples):
+        """Full-field reconstruction u(·; p) for a sample batch:
+        (B, d-1) → (B, n0)."""
+        from pgdrome_tpu.parallel.vademecum import make_sweep_fn
+
+        if self._sweep is None:
+            self._sweep = make_sweep_fn(
+                self.spaces, self._modes, self.n_modes, method=self._method
+            )
+        return self._sweep(jnp.asarray(samples))
+
+    def sharded_fields(self, samples, mesh=None):
+        """fields() with the sample axis sharded over the device mesh."""
+        from pgdrome_tpu.parallel.vademecum import sharded_sweep
+
+        return sharded_sweep(
+            self.spaces, self._modes, self.n_modes, samples, mesh=mesh
+        )
+
+    def sensors(self, points):
+        """The jitted sensor sweep for a fixed point set: returns
+        fn(samples (B, d-1)) → (B, n_pts).  Tables the fixed-dim modes at
+        the points once; keyed collision-free by the point bytes (NOT the
+        reference's sum-of-coordinates hash, model.py:116)."""
+        from pgdrome_tpu.parallel.vademecum import make_sensor_sweep_fn
+
+        pts = np.asarray(points, dtype=np.float64)
+        key = (pts.tobytes(), pts.shape)
+        fn = self._sensor_cache.get(key)
+        if fn is None:
+            fn = make_sensor_sweep_fn(
+                self.spaces, self._modes, self.n_modes, pts,
+                method=self._method,
+            )
+            self._sensor_cache[key] = fn
+        return fn
+
+    def errors(self, samples, fom_fields):
+        """Relative L2 errors vs precomputed FOM fields over the batch."""
+        from pgdrome_tpu.parallel.vademecum import sweep_errors
+
+        return sweep_errors(
+            self.spaces, self._modes, self.n_modes, samples, fom_fields
+        )
+
+    def to_pgd(self, name="vademecum", name_coord=None):
+        """Bridge into the reference-style PGD container (model layer:
+        evaluate/reducers/derivatives, pxdmf/HDF5 export)."""
+        from pgdrome_tpu.model import pgd_from_result
+
+        return pgd_from_result(
+            self._result, self.spaces, name=name, name_coord=name_coord
+        )
+
+    # ------------------------------------------------------------ persistence
+
+    def save(self, filepath):
+        """Single-file HDF5 snapshot of the deployed decomposition
+        (full-dof modes, amplitude trace, per-dim mesh coordinates for
+        validation at load)."""
+        with h5py.File(filepath, "w") as f:
+            f.attrs["n_modes"] = self.n_modes
+            f.attrs["num_dims"] = self.num_dims
+            f.create_dataset(
+                "amplitudes", data=np.asarray(self._result.amplitudes)
+            )
+            f.create_dataset("alpha", data=np.asarray(self._result.alpha))
+            for d, m in enumerate(self._modes):
+                f.create_dataset(f"modes_{d}", data=np.asarray(m))
+                f.create_dataset(
+                    f"coords_{d}",
+                    data=self.spaces[d].mesh().coordinates(),
+                )
+                f[f"modes_{d}"].attrs["degree"] = self.spaces[d].degree
+
+    @classmethod
+    def load(cls, filepath, spaces, method="auto"):
+        """Rebuild from :meth:`save`.  ``spaces`` must match the saved
+        meshes (validated against the stored coordinates)."""
+        from pgdrome_tpu.separated import PGDResult
+
+        with h5py.File(filepath, "r") as f:
+            nd = int(f.attrs["num_dims"])
+            if len(spaces) != nd:
+                raise ValueError(f"expected {nd} spaces, got {len(spaces)}")
+            modes = []
+            for d in range(nd):
+                saved = np.asarray(f[f"coords_{d}"])
+                have = spaces[d].mesh().coordinates()
+                if saved.shape != have.shape or not np.allclose(saved, have):
+                    raise ValueError(
+                        f"space {d} mesh does not match the saved vademecum"
+                    )
+                if int(f[f"modes_{d}"].attrs["degree"]) != spaces[d].degree:
+                    raise ValueError(f"space {d} degree mismatch")
+                modes.append(np.asarray(f[f"modes_{d}"]))
+            res = PGDResult(
+                modes=modes,
+                n_modes=int(f.attrs["n_modes"]),
+                amplitudes=np.asarray(f["amplitudes"]),
+                alpha=np.asarray(f["alpha"]),
+                fp_its=np.zeros(int(f.attrs["n_modes"]), dtype=np.int64),
+                normU0=1.0,
+            )
+        return cls(spaces, res, method=method, dtype=modes[0].dtype)

@@ -66,6 +66,14 @@ class TestShardedSweep:
             ref = np.asarray(eval_dofs_at_points(Vs[0], fields[i], pts))
             np.testing.assert_allclose(out[i], ref, rtol=1e-10, atol=1e-12)
 
+        # the fused-kernel route (point table as the dim-0 modes; interpret
+        # mode off-TPU) must match the XLA sensor sweep
+        fused = make_sensor_sweep_fn(Vs, modes, res.n_modes, pts,
+                                     method="fused")
+        np.testing.assert_allclose(
+            np.asarray(fused(samples)), out, rtol=1e-5, atol=1e-7
+        )
+
     def test_sweep_errors(self, solved):
         sep, Vs, res = solved
         from pgdrome_tpu.parallel.vademecum import sweep_errors, make_sweep_fn
