@@ -26,9 +26,11 @@ cfg.use_full_f32_matmul()
 
 from pgdrome_tpu.models.problems import moving_heat_source
 from pgdrome_tpu.separated import (
+    PGDResult,
     SeparatedPGD,
+    ne_dim_base,
     normal_equations,
-    precondition_dim0,
+    precondition_dim,
     evaluate_modes_1d,
 )
 
@@ -47,10 +49,26 @@ def main():
     res_gal = SeparatedPGD(sep, n_max=60, tol=0.0, tol_fp=1e-7).solve()
 
     ne = normal_equations(sep)
-    ne32, tf = precondition_dim0(ne, dtype=np.float32)
+    # the f32-stable recipe (required at scale, e.g. n_t=257 — see
+    # PERF.md): congruence-precondition BOTH big dims with the diag-sum
+    # base Σ_t O_tᵀO_t (the ne stack's first entry alone can be the
+    # weakest term), and renormalize factors mid-sweep (renorm_sweep) so
+    # the cross-dim Gram coefficients stay O(1)
+    ne32, tf = precondition_dim(ne, dim=0, dtype=np.float32,
+                                base=ne_dim_base(sep, 0))
+    ne32, tft = precondition_dim(ne32, dim=1, dtype=np.float32,
+                                 base=ne_dim_base(sep, 1))
     res_mr = SeparatedPGD(
-        ne32, n_max=60, tol=0.0, tol_fp=1e-6, solver="chol", residual_check=False
+        ne32, n_max=60, tol=0.0, tol_fp=1e-6, solver="chol",
+        residual_check=False, renorm_sweep=True,
     ).solve_fused()
+    # back-transform the two congruence dims to nodal bases for evaluation
+    res_mr = PGDResult(
+        modes=[tf.modes_to_full(res_mr.modes[0]),
+               tft.modes_to_full(res_mr.modes[1])] + list(res_mr.modes[2:]),
+        n_modes=res_mr.n_modes, amplitudes=res_mr.amplitudes,
+        alpha=res_mr.alpha, fp_its=res_mr.fp_its, normU0=res_mr.normU0,
+    )
 
     # evaluate both at a probe (t, P, v) and compare against a direct solve
     from scipy import sparse as sps
@@ -95,7 +113,7 @@ def main():
     ref = u_direct[:, t_idx]
     for name, res, m0 in [
         ("galerkin ", res_gal, res_gal.modes[0]),
-        ("minres   ", res_mr, tf.modes_to_full(res_mr.modes[0])),
+        ("minres   ", res_mr, res_mr.modes[0]),
     ]:
         u = reconstruct(res, m0)
         err = np.linalg.norm(u - ref) / np.linalg.norm(ref)

@@ -40,6 +40,9 @@ from pgdrome_tpu.separated import (
     SeparatedPGD,
     PGDResult,
     precondition_dim0,
+    precondition_dim,
+    equilibrate,
+    ne_dim_base,
     galerkin_update,
     normal_equations,
 )
@@ -79,6 +82,9 @@ __all__ = [
     "SeparatedPGD",
     "PGDResult",
     "precondition_dim0",
+    "precondition_dim",
+    "equilibrate",
+    "ne_dim_base",
     "galerkin_update",
     "normal_equations",
     "Vademecum",

@@ -130,7 +130,7 @@ def rank1_reconstruct(factors, modes0, block_b: int = 128, block_n: int = 256,
 # ------------------------------------------------------- fused sweep kernel
 
 def make_fused_sweep(spaces, modes, n_modes, block_b: int = 512,
-                     block_n: int = 1024, interpret: bool | None = None):
+                     block_n: int = 2048, interpret: bool | None = None):
     """Fully fused vademecum sweep: samples (B, d−1) → fields (B, n0) in
     ONE kernel — cell locate (arithmetic, uniform grids), two-hot basis
     weights, per-dim mode evaluation, mode product, and the rank-1

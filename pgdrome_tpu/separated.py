@@ -243,12 +243,24 @@ def _inner_d(problem, d, u, v):
 def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
                      tol_fp=1e-5, solver="lu", cg_iters=30,
                      residual_check=True, stop_fp="norm",
-                     norm_modes="stiff"):
+                     norm_modes="stiff", renorm_sweep=False):
     """Build the jitted enrichment step: (mode buffers, n) → new mode set.
 
     Returns a function of (modes, n_modes) producing
     (Fs_new, norm_Fs, fp_iters, residual) — semantics of reference
-    solver.py FP_solve with the 'norm' stop."""
+    solver.py FP_solve with the 'norm' stop.
+
+    ``renorm_sweep``: renormalize each factor (mass norm) right after its
+    per-dim solve, leaving the LAST dim of ``seq_fp`` to carry the mode's
+    scale.  For a linear problem the rank-1 iterates are mathematically
+    identical (a rank-1 product is invariant under redistributing scale
+    between factors), but every cross-dim Gram coefficient stays O(1) —
+    REQUIRED for f32 on badly-scaled compositions (measured: the minres
+    transient's mode amplitude is ~1e-6 of its rhs, so the unnormalized
+    factor's Grams fall below the f32 noise floor and the next dim's
+    system assembles indefinite → chol NaN on the first sweep).  Off by
+    default to keep the reference's exact iteration (solver.py FP_solve
+    never renormalizes mid-sweep)."""
     nd = problem.num_dims
     seq = list(seq_fp) if seq_fp is not None else list(range(nd))
     if norm_modes not in ("stiff", "l2", "no"):
@@ -261,7 +273,13 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
         for d in range(nd):
             f = jnp.ones(P.sizes[d], dtype=P.ops[d].dtype)
             f = f * P.bc_masks[d]
-            f = f / _norm_d(P, d, f)
+            if renorm_sweep:
+                # match the mid-sweep convention: unit 2-norm inits keep
+                # the first sweep's Gram coefficients O(1) even when a
+                # congruence-transformed mass carries a huge scale
+                f = f / jnp.linalg.norm(f)
+            else:
+                f = f / _norm_d(P, d, f)
             Fs.append(f)
         return tuple(Fs)
 
@@ -289,11 +307,22 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
 
     def fp_sweep(P, Fs, modes, mode_mask, rhs):
         Fs = list(Fs)
-        for k in seq:
+        for i, k in enumerate(seq):
             Fs[k] = _solve_dim(
                 P, k, Fs, modes, mode_mask, rhs, solver=solver,
                 cg_iters=cg_iters,
             )
+            if renorm_sweep and i < len(seq) - 1:
+                # EUCLIDEAN norm on purpose: the per-dim Gram coefficients
+                # are plain einsums of the factor against the (equilibrated,
+                # O(1)) operators, so unit-2-norm factors keep them O(1);
+                # a transformed mass norm can carry the congruence scale
+                # (measured ~1e14 on the preconditioned minres space dim)
+                # and leave the Grams at the f32 noise floor
+                nrm = jnp.sqrt(
+                    jnp.einsum("i,i->", Fs[k], Fs[k], precision=_PREC)
+                )
+                Fs[k] = Fs[k] / jnp.where(nrm > 0, nrm, 1.0)
         return tuple(Fs)
 
     def enrich(modes, n_modes, rhs=None, init=None, data=None):
@@ -627,11 +656,14 @@ class SeparatedPGD:
         stall_retries: int = 1,
         aot_cache_dir: str | None = None,
         norm_modes: str = "stiff",
+        renorm_sweep: bool = False,
     ):
         if solver not in ("lu", "cg", "chol"):
             raise ValueError(
                 f"unknown solver {solver!r}: expected 'lu', 'cg' or 'chol'"
             )
+        if renorm_sweep and scan_params:
+            raise ValueError("renorm_sweep is not supported with scan_params")
         if isinstance(problem.ops[0], np.ndarray):
             problem = problem.as_device(dtype)
         self.problem = problem
@@ -652,6 +684,7 @@ class SeparatedPGD:
         self._residual_check = residual_check
         self._scan_params = scan_params
         self._norm_modes = norm_modes
+        self._renorm_sweep = renorm_sweep
         if scan_params:
             step = make_enrich_step_scanned(
                 problem, max_fp_it=max_fp_it, tol_fp=tol_fp, solver=solver,
@@ -662,6 +695,7 @@ class SeparatedPGD:
                 problem, seq_fp=seq_fp, max_fp_it=max_fp_it, tol_fp=tol_fp,
                 solver=solver, cg_iters=cg_iters, residual_check=residual_check,
                 stop_fp=stop_fp, norm_modes=norm_modes,
+                renorm_sweep=renorm_sweep,
             )
         self._enrich = jax.jit(step)
         self._stop_fp = stop_fp
@@ -810,6 +844,7 @@ class SeparatedPGD:
                     residual_check=self._residual_check,
                     stop_fp=self._stop_fp,
                     norm_modes=self._norm_modes,
+                    renorm_sweep=self._renorm_sweep,
                 )
             nd = self.problem.num_dims
 
@@ -866,6 +901,7 @@ class SeparatedPGD:
                     self._scan_params,
                     self._stop_fp,
                     self._norm_modes,
+                    self._renorm_sweep,
                 ]
                 compiled, status = compile_cached(
                     jitted, (self.init_buffers(), self._data),
@@ -1201,19 +1237,41 @@ def normal_equations(sep: SeparatedProblem) -> SeparatedProblem:
     )
 
 
+def ne_dim_base(sep: SeparatedProblem, dim: int) -> np.ndarray:
+    """The SPD congruence base ``Σ_t O_tdᵀ O_td`` (bc-masked) for
+    preconditioning dimension ``dim`` of :func:`normal_equations`
+    problems: by Cauchy–Schwarz every ne cross term O_tᵀO_u is bounded by
+    this sum, so :func:`precondition_dim` with this base makes the ne
+    per-dim systems uniformly well-conditioned — the stack's first entry
+    alone (the default base) can be the WEAKEST term (e.g. mass² for the
+    heat operator) and leaves ~n⁴ spreads.  Pass the ORIGINAL problem
+    (before the ne transform)."""
+    m = np.asarray(sep.bc_masks[dim], dtype=np.float64)
+    B = np.zeros((sep.sizes[dim], sep.sizes[dim]))
+    for t in range(sep.num_terms):
+        O = np.asarray(sep.ops[dim][t], dtype=np.float64)
+        O = O * m[:, None] * m[None, :]
+        B += O.T @ O
+    return B
+
+
 # ---------------------------------------------------- preconditioned basis
 
 @dataclass
 class Dim0Transform:
-    """Back-transform data from :func:`precondition_dim0`: full-dof mode
-    reconstruction is ``u = scatter(Linv.T @ y)``.
+    """Back-transform data from :func:`precondition_dim` /
+    :func:`precondition_dim0`: full-dof mode reconstruction is
+    ``u = scatter(Linv.T @ y)``.
 
     ``apply_LinvT`` maps a (n_int, m) column block Y to ``Linv.T @ Y`` —
-    a banded or dense triangular solve, never an explicit inverse."""
+    a banded or dense triangular solve, never an explicit inverse.
+    ``dim`` records which dimension the transform applies to (apply
+    ``modes_to_full`` to ``result.modes[dim]``)."""
 
     apply_LinvT: object  # callable (n_int, m) -> (n_int, m)
     interior: np.ndarray  # interior dof indices into the full dof vector
     n_full: int
+    dim: int = 0
 
     def modes_to_full(self, modes0):
         """(n_max, n_int) transformed modes → (n_max, n_full) dof modes."""
@@ -1224,21 +1282,100 @@ class Dim0Transform:
         return out
 
 
+def equilibrate(sep: SeparatedProblem, dtype=None) -> SeparatedProblem:
+    """Rescale every per-dim operator/rhs factor to O(1) max magnitude,
+    folding the scalars into dim 0 — the tensor operator and rhs are
+    EXACTLY unchanged (a scalar moved between factors of the same tensor
+    product), so solutions and amplitude traces are bit-for-bit-identical
+    mathematics.
+
+    Why: the alternating-direction coefficient products
+    ``Π_{j≠k} F_jᵀ O_tj F_j`` multiply per-dim magnitudes across ALL dims.
+    With physical scalings (dt⁻² from a squared time stencil, h² from
+    parameter masses) the products span ~1e±11 — harmless in f64, but in
+    f32 they overflow/underflow and the per-dim systems degenerate
+    (measured: the minres transient at n_t=257 NaNs on the FIRST sweep
+    without this, converges with it).  Run before
+    :func:`precondition_dim`/:func:`normal_equations` f32 solves.
+
+    The mass matrices are similarly rescaled to O(1); relative amplitude
+    traces are invariant (each factor's norm and its amplitude
+    contribution rescale inversely)."""
+    dt = dtype or (np.asarray(sep.ops[0]).dtype)
+    nd = sep.num_dims
+    T = sep.num_terms
+    R = sep.num_rhs
+    ops = [np.asarray(o, dtype=np.float64) for o in sep.ops]
+    rhs = [np.asarray(r, dtype=np.float64) for r in sep.rhs]
+    mass = [np.asarray(m, dtype=np.float64) for m in sep.mass]
+
+    new_ops = [o.copy() for o in ops]
+    for t in range(T):
+        carry = 1.0
+        for d in range(1, nd):
+            s = np.max(np.abs(ops[d][t])) or 1.0
+            new_ops[d][t] = ops[d][t] / s
+            carry *= s
+        new_ops[0][t] = ops[0][t] * carry
+
+    new_rhs = [r.copy() for r in rhs]
+    for r in range(R):
+        carry = 1.0
+        for d in range(1, nd):
+            s = np.max(np.abs(rhs[d][r])) or 1.0
+            new_rhs[d][r] = rhs[d][r] / s
+            carry *= s
+        new_rhs[0][r] = rhs[0][r] * carry
+
+    new_mass = []
+    for d in range(nd):
+        mu = np.mean(np.abs(np.diagonal(mass[d]))) or 1.0
+        new_mass.append(mass[d] / mu)
+
+    return SeparatedProblem(
+        ops=[o.astype(dt, copy=False) for o in new_ops],
+        rhs=[r.astype(dt, copy=False) for r in new_rhs],
+        mass=[m.astype(dt, copy=False) for m in new_mass],
+        bc_dofs=list(sep.bc_dofs),
+    )
+
+
 def precondition_dim0(sep: SeparatedProblem, dtype=None):
-    """Congruence-transform dimension 0 by the Cholesky factor of its first
-    operator so the transformed operator stack is ``[I, G_1, ...]`` with
-    condition number O(1).
+    """:func:`precondition_dim` on dimension 0 (the usual space dim)."""
+    return precondition_dim(sep, dim=0, dtype=dtype)
 
-    Why: the per-dim systems A = Σ_t c_t O_t0 inherit the O(n²) conditioning
-    of the stiffness matrix, which destroys float32 accuracy on TPU
-    (measured: 3% error at n=1024).  Solving in the energy basis of the
-    base operator (computed once, float64, on host) makes every TPU solve
-    backward-stable at f32 with ~1e-7 forward error — the MXU runs bf16/f32
-    at full speed and the 1e-6 north-star accuracy survives.
 
-    Dirichlet dofs of dim 0 are eliminated by restriction (homogenized).
-    Amplitudes are congruence-invariant, so results match the untransformed
-    problem exactly (up to fp).
+def precondition_dim(sep: SeparatedProblem, dim: int = 0, dtype=None,
+                     base=None):
+    """Congruence-transform dimension ``dim`` by the Cholesky factor of its
+    first operator so that dim's transformed stack is ``[I, G_1, ...]``
+    with condition number O(1).
+
+    Why: the per-dim systems A = Σ_t c_t O_td inherit the O(n²)
+    conditioning of the stiffness matrix (O(n⁴) after a
+    :func:`normal_equations` transform squares it), which destroys float32
+    accuracy on TPU (measured: 3% error at n=1024; a stalled-at-mode-0
+    f32 Cholesky for the squared upwind time operator at n_t=257).
+    Solving in the energy basis of the base operator (computed once,
+    float64, on host) makes every TPU solve backward-stable at f32 —
+    the MXU runs bf16/f32 at full speed and 1e-6 accuracy survives.
+
+    Composable across dims: ``precondition_dim(precondition_dim(sep, 0)[0],
+    1)`` transforms both; back-transform each dim's modes with its own
+    returned transform.  The first operator of ``dim`` must be SPD on the
+    interior (mass, stiffness, or a normal-equations square).
+
+    ``base``: explicit SPD matrix to factor instead of the stack's first
+    operator.  Essential for :func:`normal_equations` stacks, whose first
+    entry is O_0ᵀO_0 — often the WEAKEST term (mass² for a heat problem),
+    leaving the transformed cross terms spanning ~n⁴.  Pass the diagonal
+    sum ``Σ_t O_tdᵀ O_td`` (see :func:`ne_dim_base`): Cauchy–Schwarz
+    bounds every cross term by it, so the transformed per-dim systems are
+    uniformly f32-well-conditioned.
+
+    Dirichlet dofs of ``dim`` are eliminated by restriction (homogenized).
+    Amplitudes are congruence-invariant, so results match the
+    untransformed problem exactly (up to fp).
     """
     dt = dtype or np.float32
     from scipy.linalg import (
@@ -1248,14 +1385,15 @@ def precondition_dim0(sep: SeparatedProblem, dtype=None):
         solve_triangular,
     )
 
-    n0 = sep.sizes[0]
+    n0 = sep.sizes[dim]
     interior = np.setdiff1d(
-        np.arange(n0), np.asarray(sep.bc_dofs[0], dtype=np.int64)
+        np.arange(n0), np.asarray(sep.bc_dofs[dim], dtype=np.int64)
     )
     ii = np.ix_(interior, interior)
 
-    ops0 = [np.asarray(o, dtype=np.float64) for o in sep.ops[0]]
-    K = ops0[0][ii]
+    ops0 = [np.asarray(o, dtype=np.float64) for o in sep.ops[dim]]
+    K = (np.asarray(base, dtype=np.float64)[ii] if base is not None
+         else ops0[0][ii])
     n = len(interior)
 
     # FEM stiffness on a 1D mesh is banded (P1: tri-, P2: penta-diagonal).
@@ -1292,31 +1430,39 @@ def precondition_dim0(sep: SeparatedProblem, dtype=None):
         def apply_LinvT(B):
             return solve_triangular(L.T, B, lower=False)
 
-    new_ops0 = [np.eye(n)]
-    for t in range(1, len(ops0)):
+    if base is None:
+        new_ops0 = [np.eye(n)]  # Linv O_0 LinvT is exactly I by construction
+        rest = range(1, len(ops0))
+    else:
+        new_ops0 = []
+        rest = range(len(ops0))
+    for t in rest:
         X = apply_Linv(ops0[t][ii])  # Linv @ A
         new_ops0.append(apply_Linv(X.T).T)  # (Linv @ A) @ Linv.T
     new_rhs0 = apply_Linv(
-        np.asarray(sep.rhs[0], dtype=np.float64)[:, interior].T
+        np.asarray(sep.rhs[dim], dtype=np.float64)[:, interior].T
     ).T
-    Xm = apply_Linv(np.asarray(sep.mass[0], dtype=np.float64)[ii])
+    Xm = apply_Linv(np.asarray(sep.mass[dim], dtype=np.float64)[ii])
     new_mass0 = apply_Linv(Xm.T).T
 
     # host numpy output (builders' convention): device casting happens at
     # solver construction, so requesting f64 works regardless of the jax
     # x64 flag (jnp would silently truncate)
-    new = SeparatedProblem(
-        # cast per-term BEFORE stacking: halves the large copies for f32
-        # and avoids a redundant full-stack copy for f64 (1-core host)
-        ops=[np.stack([a.astype(dt, copy=False) for a in new_ops0])]
-        + [np.asarray(o, dtype=dt) for o in sep.ops[1:]],
-        rhs=[new_rhs0.astype(dt, copy=False)]
-        + [np.asarray(r, dtype=dt) for r in sep.rhs[1:]],
-        mass=[new_mass0.astype(dt, copy=False)]
-        + [np.asarray(m, dtype=dt) for m in sep.mass[1:]],
-        bc_dofs=[np.array([], dtype=np.int64)] + list(sep.bc_dofs[1:]),
+    # cast per-term BEFORE stacking: halves the large copies for f32
+    # and avoids a redundant full-stack copy for f64 (1-core host)
+    new_ops = [np.asarray(o, dtype=dt) for o in sep.ops]
+    new_rhs = [np.asarray(r, dtype=dt) for r in sep.rhs]
+    new_mass = [np.asarray(m, dtype=dt) for m in sep.mass]
+    new_bc = list(sep.bc_dofs)
+    new_ops[dim] = np.stack([a.astype(dt, copy=False) for a in new_ops0])
+    new_rhs[dim] = new_rhs0.astype(dt, copy=False)
+    new_mass[dim] = new_mass0.astype(dt, copy=False)
+    new_bc[dim] = np.array([], dtype=np.int64)
+    new = SeparatedProblem(ops=new_ops, rhs=new_rhs, mass=new_mass,
+                           bc_dofs=new_bc)
+    tf = Dim0Transform(
+        apply_LinvT=apply_LinvT, interior=interior, n_full=n0, dim=dim
     )
-    tf = Dim0Transform(apply_LinvT=apply_LinvT, interior=interior, n_full=n0)
     return new, tf
 
 
