@@ -972,8 +972,12 @@ def galerkin_update(problem: SeparatedProblem, result: PGDResult) -> PGDResult:
     alpha = np.linalg.solve(Gmat, bvec)
     new_modes0 = np.array(result.modes[0], dtype=np.float64)
     new_modes0[:K] = alpha[:, None] * modes[0]
+    dt0 = np.asarray(result.modes[0]).dtype
     out = PGDResult(
-        modes=[jnp.asarray(new_modes0, dtype=np.asarray(result.modes[0]).dtype)]
+        # host numpy results stay host numpy (jnp f64 truncates, x64 off)
+        modes=[new_modes0.astype(dt0, copy=False)
+               if isinstance(result.modes[0], np.ndarray)
+               else jnp.asarray(new_modes0, dtype=dt0)]
         + list(result.modes[1:]),
         n_modes=K,
         amplitudes=result.amplitudes,
@@ -1047,11 +1051,15 @@ def compress_modes(result: PGDResult, mass, n_to: int, n_iters: int = 40,
 
     dt = np.asarray(result.modes[0]).dtype
     buf_n = np.asarray(result.modes[0]).shape[0]
+    host = isinstance(result.modes[0], np.ndarray)
     new_modes = []
     for d in range(nd):
         buf = np.zeros((buf_n, B[d].shape[1]), dtype=np.float64)
         buf[:n_to] = B[d]
-        new_modes.append(jnp.asarray(buf, dtype=dt))
+        # host numpy results stay host numpy (jnp f64 truncates, x64 off)
+        new_modes.append(
+            buf.astype(dt, copy=False) if host else jnp.asarray(buf, dtype=dt)
+        )
     return PGDResult(
         modes=new_modes,
         n_modes=n_to,
@@ -1161,6 +1169,7 @@ def combine_results(base: PGDResult, delta: PGDResult, scale: float) -> PGDResul
     K1, K2 = base.n_modes, delta.n_modes
     nd = len(base.modes)
     dt = np.asarray(base.modes[0]).dtype
+    host = isinstance(base.modes[0], np.ndarray)
     new_modes = []
     for d in range(nd):
         b = np.asarray(base.modes[d], dtype=np.float64)[:K1]
@@ -1168,7 +1177,11 @@ def combine_results(base: PGDResult, delta: PGDResult, scale: float) -> PGDResul
         if d == 0:
             e = e * scale
         buf = np.concatenate([b, e], axis=0)
-        new_modes.append(jnp.asarray(buf, dtype=dt))
+        # host numpy results stay host numpy: jnp.asarray(f64) with x64
+        # off silently truncates nodal f64 modes to f32
+        new_modes.append(
+            buf.astype(dt, copy=False) if host else jnp.asarray(buf, dtype=dt)
+        )
     return PGDResult(
         modes=new_modes,
         n_modes=K1 + K2,

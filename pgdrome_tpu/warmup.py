@@ -1,0 +1,81 @@
+"""Precompile and AOT-cache the standard solver programs.
+
+``python -m pgdrome_tpu.warmup [--quick]``
+
+On remote/tunneled TPU backends the first compile of each program shape
+is server-bound (105-390 s measured; jax's compilation cache does not
+intercept it).  The persistent AOT-executable cache
+(utils/aot_cache.py, $PGDROME_AOT_CACHE) removes the recompile on every
+later run — this tool populates it ahead of time, so deployments and CI
+pay the compile once, off the serving path.
+
+Programs warmed (the bench.py / serving shapes):
+  * stage-1 fused enrichment (64 modes, cg) on the parametric-elliptic
+    north-star shapes
+  * stage-2 residual re-solve program (48 modes, fp8)
+
+The enrichment programs take the problem data as jit INPUTS, so one
+cached executable serves every same-shaped problem regardless of values.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def warmup(n_x=1024, n_p=128, num_params=3, n_modes=(64, 48)):
+    os.environ.setdefault("PGDROME_AOT_CACHE", "/root/.cache/pgdrome_aot")
+    import pgdrome_tpu.config as cfg
+
+    cfg.use_full_f32_matmul()
+    from pgdrome_tpu.models.problems import parametric_elliptic
+    from pgdrome_tpu.separated import SeparatedPGD, precondition_dim0
+
+    t0 = time.perf_counter()
+    sep, Vs = parametric_elliptic(
+        n_x=n_x, n_p=n_p, num_params=num_params, degree_x=2
+    )
+    sep_pc, _ = precondition_dim0(sep, dtype=np.float64)
+    log(f"warmup: built shapes ({time.perf_counter()-t0:.1f}s)")
+
+    stage1, stage2 = n_modes
+    for tag, n_max, tol_fp, fp in (
+        ("stage1", stage1, 1e-7, 40),
+        ("stage2", stage2, 1e-5, 8),
+    ):
+        solver = SeparatedPGD(
+            sep_pc, n_max=n_max, tol=0.0, tol_fp=tol_fp, max_fp_it=fp,
+            solver="cg", cg_iters=25, residual_check=False,
+            dtype=np.float32,
+        )
+        t0 = time.perf_counter()
+        solver.solve_fused()
+        log(
+            f"warmup: {tag} ({n_max} modes) ready in "
+            f"{time.perf_counter()-t0:.1f}s — aot cache "
+            f"{solver.last_compile_status}"
+        )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--quick", action="store_true",
+                    help="tiny shapes (smoke test, seconds)")
+    args = ap.parse_args(argv)
+    if args.quick:
+        warmup(n_x=64, n_p=16, num_params=2, n_modes=(6, 4))
+    else:
+        warmup()
+
+
+if __name__ == "__main__":
+    main()

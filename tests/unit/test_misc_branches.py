@@ -172,3 +172,14 @@ class TestNormalizationInvariance:
         u_r, prob = self._solve("stiff", fp_init="randomized")
         u_o, _ = self._solve("stiff")
         np.testing.assert_allclose(u_r, u_o, rtol=1e-6, atol=1e-10)
+
+
+class TestWarmupCLI:
+    def test_quick_warmup_populates_cache(self, tmp_path, monkeypatch):
+        # the warmup tool must compile the standard programs into the AOT
+        # cache dir (on CPU the cache layer is a no-op 'off' — assert it
+        # runs end-to-end and reports a status)
+        monkeypatch.setenv("PGDROME_AOT_CACHE", str(tmp_path))
+        from pgdrome_tpu import warmup
+
+        warmup.main(["--quick"])
