@@ -46,6 +46,7 @@ from pgdrome_tpu.separated import (
     galerkin_update,
     normal_equations,
 )
+from pgdrome_tpu.recipes import two_stage_elliptic, two_stage_minres
 from pgdrome_tpu.serving import Vademecum
 from pgdrome_tpu.utils.pgd_config import PGDConfig
 
@@ -88,5 +89,7 @@ __all__ = [
     "galerkin_update",
     "normal_equations",
     "Vademecum",
+    "two_stage_elliptic",
+    "two_stage_minres",
     "PGDConfig",
 ]

@@ -1,0 +1,118 @@
+"""End-to-end solver recipes: the measured pipelines from PERF.md as
+single calls.
+
+These compose existing framework pieces (precondition/normal-equations
+transforms, fused solves, f64 residual re-solve, CP-ALS compression,
+Galerkin update) into the two workflows the benchmarks run:
+
+* :func:`two_stage_elliptic` — the north-star vademecum pipeline:
+  energy-basis f32 stage-1 greedy + f64-exact residual re-solve +
+  optional CP-ALS compression to the deployed rank + Galerkin update.
+  (bench.py measures this at 1.3 s / 6.5e-7 for the 50-mode
+  parametric-elliptic problem.)
+* :func:`two_stage_minres` — the transient/non-symmetric pipeline:
+  f32-stable minimal-residual solve (diag-sum congruence bases +
+  mid-sweep renorm) + f64 residual re-solve + Galerkin update.
+  (PERF.md measures 2.46e-4 in 2.6 s on the 4-dim moving-heat-source
+  surrogate where plain Galerkin stalls at 3 modes.)
+
+Both return nodal-basis results ready for the model layer / serving
+(``Vademecum``, ``pgd_from_result``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pgdrome_tpu.separated import (
+    PGDResult,
+    SeparatedPGD,
+    SeparatedProblem,
+    combine_results,
+    compress_modes,
+    galerkin_update,
+    ne_dim_base,
+    normal_equations,
+    precondition_dim,
+    residual_problem,
+)
+
+
+def _to_nodal(res: PGDResult, transforms) -> PGDResult:
+    """Back-transform each congruence-preconditioned dim to its nodal
+    basis (host f64)."""
+    modes = [np.asarray(m, dtype=np.float64) for m in res.modes]
+    for tf in transforms:
+        modes[tf.dim] = tf.modes_to_full(res.modes[tf.dim])
+    return PGDResult(modes=modes, n_modes=res.n_modes,
+                     amplitudes=res.amplitudes, alpha=res.alpha,
+                     fp_its=res.fp_its, normU0=res.normU0)
+
+
+def two_stage_elliptic(sep: SeparatedProblem, n_stage1: int = 64,
+                       n_stage2: int = 48, n_deploy: int | None = 50,
+                       tol_fp: float = 1e-7, solver: str = "cg",
+                       cg_iters: int = 25, dtype=np.float32,
+                       aot_cache_dir: str | None = None):
+    """The north-star elliptic vademecum pipeline (bench.py, PERF.md).
+
+    sep: the HOST-f64 separated problem (builders' convention); dim 0 is
+    congruence-preconditioned here.  Returns ``(result, tf)`` — result's
+    dim-0 modes are in the transformed basis; ``tf.modes_to_full`` maps
+    them to nodal dofs (Vademecum takes ``dim0_transform=tf`` directly).
+
+    Stages: f32 greedy (n_stage1, full budget) → f64-exact residual rhs
+    (:func:`residual_problem`, restarts the f32 amplitude floor) → f32
+    re-solve (n_stage2, 8 fp sweeps — measured best, PERF.md) → CP-ALS
+    compression to n_deploy (None/0 disables) → Galerkin update."""
+    sep_pc, tf = precondition_dim(sep, dim=0, dtype=np.float64)
+    common = dict(tol=0.0, solver=solver, cg_iters=cg_iters,
+                  residual_check=False, dtype=dtype,
+                  aot_cache_dir=aot_cache_dir)
+    res = SeparatedPGD(sep_pc, n_max=n_stage1, tol_fp=tol_fp, max_fp_it=40,
+                       **common).solve_fused()
+    sep_res, s_res = residual_problem(sep_pc, res)
+    delta = SeparatedPGD(sep_res, n_max=n_stage2, tol_fp=1e-5, max_fp_it=8,
+                         **common).solve_fused()
+    res = combine_results(res, delta, s_res)
+    if n_deploy and res.n_modes > n_deploy:
+        mass_c = [np.asarray(sep_pc.mass[0])] + [
+            np.asarray(sep_pc.ops[j][0]) for j in range(1, sep_pc.num_dims)
+        ]
+        res = compress_modes(res, mass_c, n_deploy, n_iters=20)
+    res = galerkin_update(sep_pc, res)
+    return res, tf
+
+
+def two_stage_minres(sep: SeparatedProblem, n_stage1: int = 128,
+                     n_stage2: int = 64, precondition_dims=(0, 1),
+                     dtype=np.float32, aot_cache_dir: str | None = None):
+    """The transient / non-symmetric minres pipeline (PERF.md).
+
+    sep: the HOST-f64 separated problem.  Greedy Galerkin has no
+    minimization principle on non-symmetric operators (upwind time);
+    each stage solves the normal equations with the f32-stable recipe —
+    diag-sum congruence bases (:func:`ne_dim_base`) on
+    ``precondition_dims`` and mid-sweep Euclidean renormalization — then
+    the f64-exact residual re-solve restarts the f32 amplitude floor.
+
+    Returns the combined, Galerkin-updated result in NODAL bases for
+    every dim (ready for evaluation/serving)."""
+
+    def minres_stage(problem, n_max):
+        ne = normal_equations(problem)
+        tfs = []
+        for d in precondition_dims:
+            ne, tfd = precondition_dim(ne, dim=d, dtype=np.float64,
+                                       base=ne_dim_base(problem, d))
+            tfs.append(tfd)
+        s = SeparatedPGD(ne, n_max=n_max, tol=0.0, tol_fp=1e-6,
+                         solver="chol", residual_check=False, dtype=dtype,
+                         renorm_sweep=True, aot_cache_dir=aot_cache_dir)
+        return _to_nodal(s.solve_fused(), tfs)
+
+    res = minres_stage(sep, n_stage1)
+    sep_res, s_res = residual_problem(sep, res)
+    delta = minres_stage(sep_res, n_stage2)
+    res = combine_results(res, delta, s_res)
+    return galerkin_update(sep, res)
