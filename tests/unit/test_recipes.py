@@ -117,3 +117,35 @@ class TestTwoStageMinres:
         # the separation floor bounds what's reachable; the two-stage
         # pipeline must land near it (single-stage f32 floors higher)
         assert err < max(5 * sep_err, 2e-3), f"err {err:.3e} (sep {sep_err:.3e})"
+
+
+class TestTransientServing:
+    def test_minres_result_serves_via_vademecum(self):
+        # two_stage_minres returns nodal modes for every dim, so the
+        # serving container can sweep over (t, P, v) directly
+        import jax.numpy as jnp
+        from pgdrome_tpu.serving import Vademecum
+
+        sep, Vs, factors, _ = moving_heat_source(
+            n_x=24, n_t=16, n_P=5, n_v=6, af=0.15, source_rank=12
+        )
+        res = two_stage_minres(sep, n_stage1=8, n_stage2=4,
+                               dtype=np.float64)
+        vd = Vademecum(Vs, res, dtype=np.float64)
+        samples = jnp.asarray(
+            np.random.default_rng(0).uniform(0.55, 0.95, size=(11, 3))
+        )
+        fields = np.asarray(vd.fields(samples))
+        assert fields.shape == (11, sep.sizes[0])
+        assert np.isfinite(fields).all()
+        # cross-check one sample against direct per-dim evaluation
+        i = 4
+        fac = np.ones(res.n_modes)
+        for j in range(1, 4):
+            vals = np.asarray(evaluate_modes_1d(
+                Vs[j], res.modes[j], np.asarray([float(samples[i, j - 1])]),
+                xp=np,
+            ))[0]
+            fac *= vals[: res.n_modes]
+        u = fac @ np.asarray(res.modes[0])[: res.n_modes]
+        np.testing.assert_allclose(fields[i], u, rtol=1e-8, atol=1e-12)
