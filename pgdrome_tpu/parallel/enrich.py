@@ -34,17 +34,9 @@ def _mesh_axes(n_devices):
     return dp, sp
 
 
-def problem_data(problem: SeparatedProblem):
-    """The problem's runtime arrays as a jit-input pytree
-    (ops, rhs, mass, bc_masks) — same layout SeparatedPGD feeds its fused
-    programs.  Passing these as INPUTS (not closures) makes the compiled
-    multichip executable value-independent: one program serves every
-    same-shaped problem (re-weighted measures, residual re-solves,
-    parameter studies) with zero recompiles."""
-    return (
-        tuple(problem.ops), tuple(problem.rhs), tuple(problem.mass),
-        tuple(problem.bc_masks),
-    )
+# the one definition of the jit-input data layout lives beside the
+# programs that consume it; re-exported here for the multichip API
+from pgdrome_tpu.separated import problem_data  # noqa: F401,E402
 
 
 def make_multichip_train_step(problem: SeparatedProblem, mesh: Mesh,

@@ -191,6 +191,19 @@ def _chol_solve(A, b):
     return x * (nb / s_A)
 
 
+def problem_data(problem):
+    """The problem's runtime arrays as the jit-input pytree
+    (ops, rhs, mass, bc_masks) every enrichment program takes — the ONE
+    definition of that layout (SeparatedPGD and the multichip step both
+    use it).  Passing data as INPUTS (not closures) makes compiled
+    executables value-independent: one program serves every same-shaped
+    problem with zero recompiles."""
+    return (
+        tuple(problem.ops), tuple(problem.rhs), tuple(problem.mass),
+        tuple(problem.bc_masks),
+    )
+
+
 def _solve_dim(problem, k, Fs, modes, mode_mask, rhs, solver="lu", cg_iters=30):
     """One alternating-direction solve for dim k given current factors Fs
     and the padded previous-mode buffers."""
@@ -343,7 +356,11 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
             for d in range(nd):
                 f = jnp.asarray(init[d], dtype=P.ops[d].dtype)
                 f = f * P.bc_masks[d]
-                Fs0.append(f / _norm_d(P, d, f))
+                # match init_modes: the renorm convention needs
+                # unit-2-norm inits too, or the stall retry re-enters the
+                # Gram-noise failure it is meant to escape
+                nrm = jnp.linalg.norm(f) if renorm_sweep else _norm_d(P, d, f)
+                Fs0.append(f / nrm)
             Fs0 = tuple(Fs0)
         if residual_check:
             res = residual_norm(P, Fs0, modes, mode_mask, rhs)
@@ -377,6 +394,15 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
                     newold = newold * _inner_d(P, d, Fs_new[d], Fs[d])
                     oldold = oldold * _inner_d(P, d, Fs[d], Fs[d])
                 err = jnp.sqrt(jnp.abs(newnew + oldold - 2 * newold))
+                if renorm_sweep:
+                    # the absolute reference metric is meaningless under
+                    # the renorm convention (unit-Euclidean factors on
+                    # congruence-scaled masses give newnew ~ 1e10 — the
+                    # tolerance would only fire on bit-exact fixed
+                    # points); compare relative to the iterate's own norm
+                    err = err / jnp.sqrt(
+                        jnp.maximum(newnew, jnp.asarray(1e-30, err.dtype))
+                    )
             return (Fs_new, Fs, err, it + 1)
 
         big = jnp.asarray(jnp.inf, dtype=P.ops[0].dtype)
@@ -670,10 +696,7 @@ class SeparatedPGD:
         # problem data as a runtime pytree: the jitted programs take these
         # as inputs, so compiled executables (and the AOT cache) are
         # value-independent — any same-shaped problem reuses them
-        self._data = (
-            tuple(problem.ops), tuple(problem.rhs), tuple(problem.mass),
-            tuple(problem.bc_masks),
-        )
+        self._data = problem_data(problem)
         self.n_max = n_max
         self.tol = tol
         self._max_fp_it = max_fp_it
@@ -901,7 +924,11 @@ class SeparatedPGD:
                     self._scan_params,
                     self._stop_fp,
                     self._norm_modes,
-                    self._renorm_sweep,
+                    # versioned: the renorm program's semantics changed
+                    # (relative 'norm' stop, Euclidean explicit-init) —
+                    # stale executables must not serve the new knobs;
+                    # False-keyed (default-path) entries are unchanged
+                    "renorm-v2" if self._renorm_sweep else False,
                 ]
                 compiled, status = compile_cached(
                     jitted, (self.init_buffers(), self._data),

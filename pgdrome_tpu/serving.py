@@ -39,8 +39,17 @@ class Vademecum:
 
     def __init__(self, spaces, result, dim0_transform=None, method="auto",
                  dtype=np.float32):
+        import jax
+
         from pgdrome_tpu.separated import PGDResult
 
+        if np.dtype(dtype) == np.float64 and not jax.config.jax_enable_x64:
+            # jnp.asarray(f64) with x64 off silently truncates to f32 —
+            # refuse instead of serving wrong-precision fields
+            raise ValueError(
+                "dtype=float64 requires jax x64 "
+                "(jax.config.update('jax_enable_x64', True))"
+            )
         self.spaces = list(spaces)
         self.n_modes = int(result.n_modes)
         self._method = method

@@ -47,23 +47,34 @@ def warmup(n_x=1024, n_p=128, num_params=3, n_modes=(64, 48)):
     sep_pc, _ = precondition_dim0(sep, dtype=np.float64)
     log(f"warmup: built shapes ({time.perf_counter()-t0:.1f}s)")
 
+    from pgdrome_tpu.separated import residual_problem
+
     stage1, stage2 = n_modes
-    for tag, n_max, tol_fp, fp in (
-        ("stage1", stage1, 1e-7, 40),
-        ("stage2", stage2, 1e-5, 8),
-    ):
-        solver = SeparatedPGD(
-            sep_pc, n_max=n_max, tol=0.0, tol_fp=tol_fp, max_fp_it=fp,
-            solver="cg", cg_iters=25, residual_check=False,
-            dtype=np.float32,
-        )
-        t0 = time.perf_counter()
-        solver.solve_fused()
-        log(
-            f"warmup: {tag} ({n_max} modes) ready in "
-            f"{time.perf_counter()-t0:.1f}s — aot cache "
-            f"{solver.last_compile_status}"
-        )
+    s1 = SeparatedPGD(
+        sep_pc, n_max=stage1, tol=0.0, tol_fp=1e-7, max_fp_it=40,
+        solver="cg", cg_iters=25, residual_check=False, dtype=np.float32,
+    )
+    t0 = time.perf_counter()
+    res = s1.solve_fused()
+    log(
+        f"warmup: stage1 ({stage1} modes) ready in "
+        f"{time.perf_counter()-t0:.1f}s — aot cache {s1.last_compile_status}"
+    )
+    # stage 2 must be warmed on the RESIDUAL problem: residual_problem
+    # grows the rhs stack from R to R + T·K rows, and the AOT key hashes
+    # data shapes — warming the base-problem shapes would never match the
+    # serving-path program
+    sep_res, _ = residual_problem(sep_pc, res)
+    s2 = SeparatedPGD(
+        sep_res, n_max=stage2, tol=0.0, tol_fp=1e-5, max_fp_it=8,
+        solver="cg", cg_iters=25, residual_check=False, dtype=np.float32,
+    )
+    t0 = time.perf_counter()
+    s2.solve_fused()
+    log(
+        f"warmup: stage2 ({stage2} modes, residual-shaped rhs) ready in "
+        f"{time.perf_counter()-t0:.1f}s — aot cache {s2.last_compile_status}"
+    )
 
 
 def main(argv=None):
