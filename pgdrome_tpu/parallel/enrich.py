@@ -41,7 +41,8 @@ from pgdrome_tpu.separated import problem_data  # noqa: F401,E402
 
 def make_multichip_train_step(problem: SeparatedProblem, mesh: Mesh,
                               tol_fp=1e-6, max_fp_it=30,
-                              data_as_inputs=False):
+                              data_as_inputs=False, solver="lu",
+                              cg_iters=30, renorm_sweep=False):
     """Jitted batched enrichment step sharded over ``mesh``.
 
     Returns ``step(modes_batch, n_modes, rhs0_batch) -> (new_modes_batch,
@@ -52,8 +53,13 @@ def make_multichip_train_step(problem: SeparatedProblem, mesh: Mesh,
     With ``data_as_inputs=True`` the step takes a fourth argument — the
     :func:`problem_data` pytree (replicated across the mesh) — and the
     compiled program embeds no operator constants: problems sharing shapes
-    share the executable."""
-    enrich = make_enrich_step(problem, max_fp_it=max_fp_it, tol_fp=tol_fp)
+    share the executable.  ``solver``/``cg_iters``/``renorm_sweep`` are
+    forwarded to the per-dim solves (pass ``solver='chol',
+    renorm_sweep=True`` for normal-equations training, matching the
+    single-chip f32-stable minres recipe)."""
+    enrich = make_enrich_step(problem, max_fp_it=max_fp_it, tol_fp=tol_fp,
+                              solver=solver, cg_iters=cg_iters,
+                              renorm_sweep=renorm_sweep)
     nd = problem.num_dims
 
     if data_as_inputs:
@@ -181,7 +187,8 @@ def dryrun(n_devices: int, n_max: int = 4, verbose: bool = False, devices=None):
 
 
 def solve_many(problem: SeparatedProblem, rhs0_batch, n_max: int = 20,
-               mesh=None, tol_fp=1e-6, max_fp_it=30, data_as_inputs=True):
+               mesh=None, tol_fp=1e-6, max_fp_it=30, data_as_inputs=True,
+               solver="lu", cg_iters=30, renorm_sweep=False):
     """Train B independent PGDs (one per load case) in parallel, sharded
     over the device mesh.
 
@@ -198,7 +205,9 @@ def solve_many(problem: SeparatedProblem, rhs0_batch, n_max: int = 20,
         mesh = Mesh(np.array(devs).reshape(dp, sp), ("dp", "sp"))
     step = make_multichip_train_step(problem, mesh, tol_fp=tol_fp,
                                      max_fp_it=max_fp_it,
-                                     data_as_inputs=data_as_inputs)
+                                     data_as_inputs=data_as_inputs,
+                                     solver=solver, cg_iters=cg_iters,
+                                     renorm_sweep=renorm_sweep)
     extra = (problem_data(problem),) if data_as_inputs else ()
     modes_batch = tuple(
         jnp.zeros((B, n_max, n), dtype=rhs0_batch.dtype) for n in problem.sizes

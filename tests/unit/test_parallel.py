@@ -151,6 +151,42 @@ class TestDataAsInputs:
         np.testing.assert_allclose(normU_in, normU_ct, rtol=1e-12)
 
 
+class TestMultichipMinres:
+    def test_solve_many_chol_renorm(self):
+        # sharded normal-equations training with the f32-stable knobs
+        # (chol + renorm_sweep) must match a single solve per case
+        from pgdrome_tpu.parallel.enrich import solve_many
+        from pgdrome_tpu.separated import (
+            SeparatedPGD, ne_dim_base, normal_equations, precondition_dim,
+        )
+
+        sep, Vs = parametric_elliptic(n_x=15, n_p=6, num_params=2,
+                                      degree_x=1)
+        ne = normal_equations(sep)
+        ne_pc, _ = precondition_dim(ne, dim=0, dtype=np.float64,
+                                    base=ne_dim_base(sep, 0))
+        ne_pc = ne_pc.as_device(np.float64)
+        scales = (1.0, 2.0, 0.5, 3.0)
+        rhs0 = jnp.asarray(
+            np.stack([s * np.asarray(ne_pc.rhs[0]) for s in scales])
+        )
+        _, normUs, _ = solve_many(ne_pc, rhs0, n_max=3, solver="chol",
+                                  renorm_sweep=True)
+        single = SeparatedPGD(ne_pc, n_max=3, tol=0.0, tol_fp=1e-6,
+                              max_fp_it=30, solver="chol",
+                              renorm_sweep=True, residual_check=False)
+        modes = single.init_buffers()
+        trace = []
+        for n in range(3):
+            modes, nU, *_ = single._enrich(
+                modes, n,
+                rhs=[2.0 * jnp.asarray(ne_pc.rhs[0])]
+                + [jnp.asarray(r) for r in ne_pc.rhs[1:]],
+            )
+            trace.append(float(nU))
+        np.testing.assert_allclose(normUs[1], trace, rtol=1e-8)
+
+
 class TestDryrunSizes:
     def test_dryrun_4(self):
         from pgdrome_tpu.parallel.enrich import dryrun
