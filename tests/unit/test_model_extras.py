@@ -209,3 +209,65 @@ class TestInterp1DKinds(unittest.TestCase):
         f = _Interp1D(np.linspace(0, 1, 5), np.zeros(5), kind="cubic")
         with self.assertRaises(ValueError):
             f(1.5)
+
+
+class TestVectorAttribute(unittest.TestCase):
+    def test_vector_fill_and_pxdmf_pad(self):
+        # vector fill_data (the branch the reference's missing-() bug
+        # silenced, model.py:1529 — deliberately fixed here) and the
+        # pxdmf pad-to-3D write for mixed mesh dims
+        import shutil
+        import tempfile
+        import xml.etree.ElementTree as et
+
+        from pgdrome_tpu import (
+            IntervalMesh, RectangleMesh, Point, VectorFunctionSpace,
+            FunctionSpace, interpolate,
+        )
+        from pgdrome_tpu.model import PGD
+
+        mesh2 = RectangleMesh(Point(0, 0), Point(1, 1), 3, 3)
+        V2 = VectorFunctionSpace(mesh2, "P", 1)
+        mesh1 = IntervalMesh(6, 0.0, 1.0)
+        V1 = FunctionSpace(mesh1, "P", 1)
+
+        modes2 = [interpolate(
+            lambda p: np.stack([p[..., 0], 2.0 * p[..., 1]], axis=-1), V2
+        )]
+        modes1 = [interpolate(lambda x: 1.0 + x, V1)]
+        pgd = PGD(
+            name="Vec", n_modes=1, fmeshes=[mesh2, mesh1],
+            pgd_modes=[modes2, modes1], name_coord=["X", "P"],
+            modes_info=["U", "Node", "Vector"],
+        )
+        att = pgd.mesh[0].attributes[0]
+        self.assertEqual(att.data[0].shape, (mesh2.num_vertices(), 2))
+        # component values at the vertices: (x, 2y)
+        xy = mesh2.coordinates()
+        np.testing.assert_allclose(att.data[0][:, 0], xy[:, 0], atol=1e-14)
+        np.testing.assert_allclose(att.data[0][:, 1], 2 * xy[:, 1], atol=1e-14)
+
+        folder = tempfile.mkdtemp()
+        try:
+            pgd.write_pxdmf(folder)
+            # vector mode checkpoint round trip (io.py read vector branch)
+            from pgdrome_tpu.io import read_modes_hdf5, write_hdf5
+
+            write_hdf5(pgd, folder)
+            Vr, fcts = read_modes_hdf5(
+                os.path.join(folder, "PGD1_data.h5")
+            )
+            self.assertEqual(max(Vr.value_size, 1), 2)
+            np.testing.assert_allclose(
+                fcts[0].array, modes2[0].array, atol=1e-14
+            )
+            root = et.parse(os.path.join(folder, "Vec.pxdmf")).getroot()
+            # the 2D vector attribute is padded to 3 components (ParaView
+            # convention, reference model.py:310-345)
+            attrs = [a for a in root.iter("Attribute")
+                     if a.get("AttributeType") == "Vector"]
+            self.assertTrue(attrs, "no vector attribute written")
+            dims = attrs[0].find("DataItem").get("Dimensions").split()
+            self.assertEqual(int(dims[-1]), 3)
+        finally:
+            shutil.rmtree(folder)
