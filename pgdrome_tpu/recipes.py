@@ -86,6 +86,7 @@ def two_stage_elliptic(sep: SeparatedProblem, n_stage1: int = 64,
 
 def two_stage_minres(sep: SeparatedProblem, n_stage1: int = 128,
                      n_stage2: int = 64, precondition_dims=(0, 1),
+                     tol_fp: float = 1e-6, max_fp_it: int = 50,
                      dtype=np.float32, aot_cache_dir: str | None = None):
     """The transient / non-symmetric minres pipeline (PERF.md).
 
@@ -106,8 +107,12 @@ def two_stage_minres(sep: SeparatedProblem, n_stage1: int = 128,
             ne, tfd = precondition_dim(ne, dim=d, dtype=np.float64,
                                        base=ne_dim_base(problem, d))
             tfs.append(tfd)
-        s = SeparatedPGD(ne, n_max=n_max, tol=0.0, tol_fp=1e-6,
-                         solver="chol", residual_check=False, dtype=dtype,
+        # measured trade-off at scale (PERF.md): max_fp_it=50 -> 2.9e-4
+        # in 3.4 s; 25 -> 3.7e-4 in 2.1 s (the f32 relative-stop floor is
+        # above 1e-5, so the cap — not tol_fp — is the speed knob)
+        s = SeparatedPGD(ne, n_max=n_max, tol=0.0, tol_fp=tol_fp,
+                         max_fp_it=max_fp_it, solver="chol",
+                         residual_check=False, dtype=dtype,
                          renorm_sweep=True, aot_cache_dir=aot_cache_dir)
         return _to_nodal(s.solve_fused(), tfs)
 
