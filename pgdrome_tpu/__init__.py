@@ -46,7 +46,11 @@ from pgdrome_tpu.separated import (
     galerkin_update,
     normal_equations,
 )
-from pgdrome_tpu.recipes import two_stage_elliptic, two_stage_minres
+from pgdrome_tpu.recipes import (
+    residual_cascade,
+    two_stage_elliptic,
+    two_stage_minres,
+)
 from pgdrome_tpu.serving import Vademecum
 from pgdrome_tpu.utils.pgd_config import PGDConfig
 
@@ -89,6 +93,7 @@ __all__ = [
     "galerkin_update",
     "normal_equations",
     "Vademecum",
+    "residual_cascade",
     "two_stage_elliptic",
     "two_stage_minres",
     "PGDConfig",

@@ -49,11 +49,40 @@ def _to_nodal(res: PGDResult, transforms) -> PGDResult:
                      fp_its=res.fp_its, normU0=res.normU0)
 
 
+def residual_cascade(problem_pc: SeparatedProblem, budgets,
+                     tol_fp: float = 1e-7, solver: str = "cg",
+                     cg_iters: int = 25, dtype=np.float32,
+                     aot_cache_dir: str | None = None):
+    """Multi-stage floor-restarted greedy solve on an (already
+    preconditioned) problem: stage 1 solves ``budgets[0]`` modes; each
+    further budget forms the f64-exact residual rhs on the host
+    (:func:`residual_problem` — restarting the f32 amplitude floor at the
+    residual's scale) and re-solves.  The restarts STACK: measured on the
+    5-parameter elliptic, each stage roughly halves the error
+    (4.3e-5 → 1.9e-5 → 9.9e-6 — PERF.md "Dimensionality scaling").
+
+    Later stages use the loose 8-sweep fixed point (measured best for
+    corrections, PERF.md).  Returns the combined (uncompressed) result in
+    ``problem_pc``'s basis."""
+    common = dict(tol=0.0, solver=solver, cg_iters=cg_iters,
+                  residual_check=False, dtype=dtype,
+                  aot_cache_dir=aot_cache_dir)
+    res = SeparatedPGD(problem_pc, n_max=budgets[0], tol_fp=tol_fp,
+                       max_fp_it=40, **common).solve_fused()
+    for b in budgets[1:]:
+        sep_res, s_res = residual_problem(problem_pc, res)
+        delta = SeparatedPGD(sep_res, n_max=b, tol_fp=1e-5, max_fp_it=8,
+                             **common).solve_fused()
+        res = combine_results(res, delta, s_res)
+    return res
+
+
 def two_stage_elliptic(sep: SeparatedProblem, n_stage1: int = 64,
                        n_stage2: int = 48, n_deploy: int | None = 50,
                        tol_fp: float = 1e-7, solver: str = "cg",
                        cg_iters: int = 25, dtype=np.float32,
-                       aot_cache_dir: str | None = None):
+                       aot_cache_dir: str | None = None,
+                       extra_stages=()):
     """The north-star elliptic vademecum pipeline (bench.py, PERF.md).
 
     sep: the HOST-f64 separated problem (builders' convention); dim 0 is
@@ -63,18 +92,16 @@ def two_stage_elliptic(sep: SeparatedProblem, n_stage1: int = 64,
 
     Stages: f32 greedy (n_stage1, full budget) → f64-exact residual rhs
     (:func:`residual_problem`, restarts the f32 amplitude floor) → f32
-    re-solve (n_stage2, 8 fp sweeps — measured best, PERF.md) → CP-ALS
-    compression to n_deploy (None/0 disables) → Galerkin update."""
+    re-solve (n_stage2, 8 fp sweeps — measured best, PERF.md) →
+    optional further restarts (``extra_stages`` budgets, via
+    :func:`residual_cascade` — they stack) → CP-ALS compression to
+    n_deploy (None/0 disables) → Galerkin update."""
     sep_pc, tf = precondition_dim(sep, dim=0, dtype=np.float64)
-    common = dict(tol=0.0, solver=solver, cg_iters=cg_iters,
-                  residual_check=False, dtype=dtype,
-                  aot_cache_dir=aot_cache_dir)
-    res = SeparatedPGD(sep_pc, n_max=n_stage1, tol_fp=tol_fp, max_fp_it=40,
-                       **common).solve_fused()
-    sep_res, s_res = residual_problem(sep_pc, res)
-    delta = SeparatedPGD(sep_res, n_max=n_stage2, tol_fp=1e-5, max_fp_it=8,
-                         **common).solve_fused()
-    res = combine_results(res, delta, s_res)
+    res = residual_cascade(
+        sep_pc, (n_stage1, n_stage2) + tuple(extra_stages), tol_fp=tol_fp,
+        solver=solver, cg_iters=cg_iters, dtype=dtype,
+        aot_cache_dir=aot_cache_dir,
+    )
     if n_deploy and res.n_modes > n_deploy:
         mass_c = [np.asarray(sep_pc.mass[0])] + [
             np.asarray(sep_pc.ops[j][0]) for j in range(1, sep_pc.num_dims)

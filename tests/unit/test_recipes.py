@@ -149,3 +149,46 @@ class TestTransientServing:
             fac *= vals[: res.n_modes]
         u = fac @ np.asarray(res.modes[0])[: res.n_modes]
         np.testing.assert_allclose(fields[i], u, rtol=1e-8, atol=1e-12)
+
+
+class TestResidualCascade:
+    def test_extra_stage_improves(self):
+        # a third floor-restart must not hurt and typically halves the
+        # remaining error (PERF.md 5-param measurements)
+        from pgdrome_tpu.fem.assembly import load_vector, stiffness_matrix
+
+        sep, Vs = parametric_elliptic(n_x=64, n_p=16, num_params=2,
+                                      degree_x=2)
+
+        def max_err(res, tf):
+            full0 = tf.modes_to_full(res.modes[0]).astype(np.float64)
+            grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+            b_full = load_vector(Vs[0], lambda x: np.ones_like(x))
+            errs = []
+            for p in [(grid[2], grid[7]), (grid[-2], grid[3])]:
+                kap = lambda x: 1.0 + sum(
+                    p[i] * np.sin((i + 1) * np.pi * x) ** 2 / 4.0
+                    for i in range(2)
+                )
+                K = stiffness_matrix(Vs[0], weight=kap)
+                u_ref = np.zeros(K.shape[0])
+                u_ref[1:-1] = np.linalg.solve(K[1:-1, 1:-1], b_full[1:-1])
+                fac = np.ones(res.n_modes)
+                for j in range(2):
+                    vals = np.asarray(evaluate_modes_1d(
+                        Vs[1 + j], res.modes[1 + j], np.asarray([p[j]]),
+                        xp=np,
+                    ))[0]
+                    fac *= vals[: res.n_modes].astype(np.float64)
+                u = fac @ full0[: res.n_modes]
+                errs.append(np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref))
+            return max(errs)
+
+        res2, tf2 = two_stage_elliptic(sep, n_stage1=10, n_stage2=6,
+                                       n_deploy=None, dtype=np.float32)
+        res3, tf3 = two_stage_elliptic(sep, n_stage1=10, n_stage2=6,
+                                       n_deploy=None, dtype=np.float32,
+                                       extra_stages=(6,))
+        e2, e3 = max_err(res2, tf2), max_err(res3, tf3)
+        assert res3.n_modes == res2.n_modes + 6
+        assert e3 <= e2 * 1.2, f"stage-3 hurt: {e3:.3e} vs {e2:.3e}"
