@@ -270,7 +270,7 @@ def sweep_throughput(Vs, res, tf, n_samples=524_288):
 
     # sensor/QoI serving path: 8 sensor points instead of the full field —
     # output traffic drops n_pts/n0 (~4e-3), so the sweep runs
-    # compute-bound; batch 4x larger (input/output both tiny)
+    # compute-bound; batch 16x larger (input/output both tiny)
     try:
         from pgdrome_tpu.parallel.vademecum import make_sensor_sweep_fn
 

@@ -32,14 +32,24 @@ def make_sweep_fn(spaces, modes, n_modes, method="xla"):
     rate at bench scale), or 'auto' (fused on TPU when its constraints
     hold, else xla)."""
     if method in ("fused", "auto"):
-        try:
-            from pgdrome_tpu.ops.pallas_kernels import make_fused_sweep, _on_tpu
-
-            if method == "fused" or _on_tpu():
-                return make_fused_sweep(spaces, modes, n_modes)
-        except ValueError:
+        if np.dtype(np.asarray(modes[0]).dtype) == np.float64:
+            # the fused kernel runs float32 — silently serving f32 fields
+            # from an f64 vademecum would contradict the dtype contract
+            # (mirror the Vademecum ctor's explicit-failure philosophy)
             if method == "fused":
-                raise
+                raise ValueError(
+                    "fused sweep kernel is float32-only; use method='xla' "
+                    "for float64 modes"
+                )
+        else:
+            try:
+                from pgdrome_tpu.ops.pallas_kernels import make_fused_sweep, _on_tpu
+
+                if method == "fused" or _on_tpu():
+                    return make_fused_sweep(spaces, modes, n_modes)
+            except ValueError:
+                if method == "fused":
+                    raise
         # 'auto' falls through to the XLA path
     nd = len(spaces)
     modes0 = jnp.asarray(modes[0])
@@ -94,18 +104,26 @@ def make_sensor_sweep_fn(spaces, modes, n_modes, points, method="auto"):
          for k in range(n_max)]
     ).reshape(n_max, -1).astype(modes0.dtype)
     if method in ("fused", "auto"):
-        try:
-            from pgdrome_tpu.ops.pallas_kernels import make_fused_sweep, _on_tpu
-
-            if method == "fused" or _on_tpu():
-                return make_fused_sweep(
-                    spaces,
-                    [jnp.asarray(table)] + [jnp.asarray(m) for m in modes[1:]],
-                    n_modes,
-                )
-        except ValueError:
+        if np.dtype(modes0.dtype) == np.float64:
+            # float32-only kernel: see make_sweep_fn
             if method == "fused":
-                raise
+                raise ValueError(
+                    "fused sensor kernel is float32-only; use method='xla' "
+                    "for float64 modes"
+                )
+        else:
+            try:
+                from pgdrome_tpu.ops.pallas_kernels import make_fused_sweep, _on_tpu
+
+                if method == "fused" or _on_tpu():
+                    return make_fused_sweep(
+                        spaces,
+                        [jnp.asarray(table)] + [jnp.asarray(m) for m in modes[1:]],
+                        n_modes,
+                    )
+            except ValueError:
+                if method == "fused":
+                    raise
         # 'auto' falls through to the XLA path
     mode_mask = (np.arange(n_max) < n_modes).astype(modes0.dtype)
     # MXU-preferred contraction width (see make_sweep_fn)

@@ -8,8 +8,9 @@ with the jitted batch paths:
 
 * :meth:`Vademecum.fields` — full-field reconstruction, (B, n0) per call
   (fused Pallas kernel on TPU, XLA elsewhere; parallel/vademecum).
-* :meth:`Vademecum.sensors` — sensor/QoI responses at fixed points,
-  (B, n_pts); the fixed-dim modes are tabled once per point set (cached).
+* :meth:`Vademecum.sensors` — sensor/QoI responses at fixed points:
+  returns the jitted sweep ``fn(samples) -> (B, n_pts)``; the fixed-dim
+  modes are tabled once per point set (small LRU cache).
 * :meth:`Vademecum.errors` — batched relative-L2 errors vs FOM fields
   (reference PGDErrorComputation.evaluate_error semantics,
   model.py:1768-1825).
@@ -68,7 +69,13 @@ class Vademecum:
             normU0=result.normU0,
         )
         self._sweep = None
-        self._sensor_cache = {}
+        # small LRU: each entry holds a jitted function + tabled modes; an
+        # unbounded dict would leak executables in a long-running server
+        # querying many distinct point sets (ADVICE round 2)
+        from collections import OrderedDict
+
+        self._sensor_cache = OrderedDict()
+        self._sensor_cache_max = 8
 
     @property
     def num_dims(self):
@@ -109,6 +116,10 @@ class Vademecum:
                 method=self._method,
             )
             self._sensor_cache[key] = fn
+            while len(self._sensor_cache) > self._sensor_cache_max:
+                self._sensor_cache.popitem(last=False)
+        else:
+            self._sensor_cache.move_to_end(key)
         return fn
 
     def errors(self, samples, fom_fields):

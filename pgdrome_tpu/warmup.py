@@ -33,7 +33,9 @@ def log(*a):
 
 
 def warmup(n_x=1024, n_p=128, num_params=3, n_modes=(64, 48)):
-    os.environ.setdefault("PGDROME_AOT_CACHE", "/root/.cache/pgdrome_aot")
+    os.environ.setdefault(
+        "PGDROME_AOT_CACHE", os.path.expanduser("~/.cache/pgdrome_aot")
+    )
     import pgdrome_tpu.config as cfg
 
     cfg.use_full_f32_matmul()

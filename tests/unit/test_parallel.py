@@ -67,12 +67,24 @@ class TestShardedSweep:
             np.testing.assert_allclose(out[i], ref, rtol=1e-10, atol=1e-12)
 
         # the fused-kernel route (point table as the dim-0 modes; interpret
-        # mode off-TPU) must match the XLA sensor sweep
-        fused = make_sensor_sweep_fn(Vs, modes, res.n_modes, pts,
+        # mode off-TPU) must match the XLA sensor sweep.  The kernel is
+        # float32-only, so the fused branch runs on f32 modes; requesting
+        # it on f64 modes raises, and 'auto' silently serves the f64 XLA
+        # path (ADVICE round 2: no silent precision downgrade)
+        modes32 = [jnp.asarray(np.asarray(m, dtype=np.float32)) for m in res.modes]
+        fused = make_sensor_sweep_fn(Vs, modes32, res.n_modes, pts,
                                      method="fused")
         np.testing.assert_allclose(
-            np.asarray(fused(samples)), out, rtol=1e-5, atol=1e-7
+            np.asarray(fused(jnp.asarray(np.asarray(samples, np.float32)))),
+            out, rtol=1e-5, atol=1e-7
         )
+        with pytest.raises(ValueError, match="float32-only"):
+            make_sensor_sweep_fn(Vs, modes, res.n_modes, pts, method="fused")
+        with pytest.raises(ValueError, match="float32-only"):
+            make_sweep_fn(Vs, modes, res.n_modes, method="fused")
+        auto = make_sensor_sweep_fn(Vs, modes, res.n_modes, pts,
+                                    method="auto")
+        assert np.asarray(auto(samples)).dtype == np.float64
 
     def test_sweep_errors(self, solved):
         sep, Vs, res = solved
