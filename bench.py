@@ -19,6 +19,10 @@ import time
 
 import numpy as np
 
+# fresh-process reference point: end_to_end_fresh_s in the output JSON is
+# measured from here (imports + setup + first call + solves + verification)
+T_PROCESS_START = time.perf_counter()
+
 os.makedirs("/root/.cache/jax", exist_ok=True)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 # persistent AOT-executable cache: jax's compilation cache does not
@@ -26,6 +30,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 # through the tunnel in ~1 s (utils/aot_cache.py), keyed by program +
 # libtpu build so upgrades recompile instead of loading stale binaries
 os.environ.setdefault("PGDROME_AOT_CACHE", "/root/.cache/pgdrome_aot")
+# persistent host-setup cache: the assembled + banded-preconditioned
+# operator stacks deserialize at disk speed (~2 s) instead of re-running
+# the 7-75 s host assembly+congruence (utils/setup_cache.py)
+os.environ.setdefault("PGDROME_SETUP_CACHE", "/root/.cache/pgdrome_setup")
 
 if os.environ.get("PGDROME_BENCH_QUICK"):  # smoke mode for bench iteration
     N_X, N_P, N_MODES = 128, 32, 10
@@ -45,9 +53,10 @@ else:
     # floor — separated.residual_problem)
     N_MODES_STAGE2 = 48
     # fixed measured baseline budget: exactly this many modes are timed
-    # (deterministic, ~90 s on the 1-core host), the rest extrapolated
-    # per-mode — both numbers are reported
-    CPU_BASELINE_MODES = 8
+    # (deterministic, ~2-7 min on the 1-core host), the rest extrapolated
+    # per-mode — both numbers are reported.  17 of 50 keeps the
+    # extrapolation leverage below 3x (round-2 VERDICT asked ≥16)
+    CPU_BASELINE_MODES = 17
 NUM_PARAMS = 3
 TOL = 1e-6
 # collocation measure re-weighted toward the parameter-box boundary:
@@ -66,25 +75,46 @@ import logging  # noqa: E402
 
 logging.basicConfig(stream=sys.stderr, level=logging.WARNING)
 logging.getLogger("pgdrome_tpu.utils.aot_cache").setLevel(logging.INFO)
+logging.getLogger("pgdrome_tpu.utils.setup_cache").setLevel(logging.INFO)
 
 
 def build():
     from pgdrome_tpu.models.problems import parametric_elliptic
-    from pgdrome_tpu.separated import precondition_dim0
+    from pgdrome_tpu.separated import precondition_dim, precondition_dim0
+    from pgdrome_tpu.utils.setup_cache import cached_setup
+
+    def _build():
+        t0 = time.perf_counter()
+        # host-f64 build (numpy; independent of jax x64 flag) — casting the
+        # raw ill-conditioned operators to f32 would cost cond(K)*eps acc.
+        sep64, Vs = parametric_elliptic(
+            n_x=N_X, n_p=N_P, num_params=NUM_PARAMS, degree_x=2,
+            boundary_boost=BOUNDARY_BOOST,
+        )
+        t_asm = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sep_pc64, tf = precondition_dim0(sep64, dtype=np.float64)  # host f64
+        log(
+            f"setup build: assembly {t_asm:.2f}s, preconditioning "
+            f"{time.perf_counter() - t0:.2f}s"
+        )
+        # the raw sep64 stacks are only needed by the cpu-baseline phase
+        # (which rebuilds them itself); caching just the preconditioned
+        # stacks + transform + spaces keeps the snapshot ~170 MB (≈2 s read)
+        return sep_pc64, tf, Vs, {"sizes": tuple(sep64.sizes)}
 
     t0 = time.perf_counter()
-    # host-f64 build (numpy; independent of jax x64 flag) — casting the raw
-    # ill-conditioned operators to f32 would cost cond(K)*eps accuracy
-    sep64, Vs = parametric_elliptic(
-        n_x=N_X, n_p=N_P, num_params=NUM_PARAMS, degree_x=2,
-        boundary_boost=BOUNDARY_BOOST,
+    (sep_pc64, tf, Vs, meta), status = cached_setup(
+        _build,
+        key_data=["bench_build_v1", N_X, N_P, NUM_PARAMS, 2,
+                  BOUNDARY_BOOST, "f64"],
+        # source-hashed: editing assembly/preconditioning code invalidates
+        # stale snapshots instead of serving them
+        code_objects=(parametric_elliptic, precondition_dim),
     )
-    t_asm = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    sep_pc64, tf = precondition_dim0(sep64, dtype=np.float64)  # host f64
-    t_pc = time.perf_counter() - t0
-    log(f"setup: assembly {t_asm:.2f}s, preconditioning {t_pc:.2f}s")
-    return sep64, sep_pc64, tf, Vs
+    t_setup = time.perf_counter() - t0
+    log(f"setup: {t_setup:.2f}s (cache {status})")
+    return sep_pc64, tf, Vs, meta, t_setup, status
 
 
 def tpu_solve(sep32, n_max=None, tag="stage1", tol_fp=1e-7, max_fp_it=40):
@@ -121,21 +151,17 @@ def tpu_solve(sep32, n_max=None, tag="stage1", tol_fp=1e-7, max_fp_it=40):
     return res, t_solve, t_total, solver.last_compile_status
 
 
-def verify(sep64, Vs, res, tf, n_check=32):
+def verify(Vs, res, tf, n_check=64, seeds=(7, 101, 1234)):
     """Max relative L2 error vs per-sample f64 FEM over a dense held-out
     set: all 2^NUM_PARAMS corners of the parameter box PLUS n_check random
-    on-grid samples.  The FEM reference is assembled independently per
-    sample and solved banded (P2 stiffness is pentadiagonal), so the dense
-    sweep costs ~10 ms/sample — matches the error-sampling discipline of
-    the reference (model.py:1768-1825) at FOM accuracy."""
-    from scipy.linalg import solve_banded
-
-    from pgdrome_tpu.fem.assembly import stiffness_matrix, load_vector
-    from pgdrome_tpu.separated import evaluate_modes_1d
-
+    on-grid samples PER SEED (multi-seed so the <1e-6 bound is not a
+    one-draw fluke — round-2 VERDICT weak #5).  The FEM reference is
+    assembled independently per sample and solved banded (P2 stiffness is
+    pentadiagonal), so the dense sweep costs ~10 ms/sample — matches the
+    error-sampling discipline of the reference (model.py:1768-1825) at FOM
+    accuracy.  Returns (max_err_overall, per_seed_max dict)."""
     Vx = Vs[0]
     full0 = tf.modes_to_full(res.modes[0]).astype(np.float64)
-    rng = np.random.default_rng(7)
     grid = Vs[1].tabulate_dof_coordinates()[:, 0]
     # corners: extreme on-grid interior values per parameter, all combos
     lo, hi = grid[1], grid[-2]
@@ -143,8 +169,35 @@ def verify(sep64, Vs, res, tf, n_check=32):
         [[lo if (c >> i) & 1 == 0 else hi for i in range(NUM_PARAMS)]
          for c in range(2 ** NUM_PARAMS)]
     )
-    randoms = grid[rng.integers(1, len(grid) - 1, size=(n_check, NUM_PARAMS))]
-    samples = np.vstack([corners, randoms])
+    per_seed = {}
+    errs_c = _verify_samples(Vx, Vs, res, full0, corners)
+    log(f"verification corners ({len(corners)}): max {errs_c.max():.3e}")
+    overall = float(errs_c.max())
+    for seed in seeds:
+        rng = np.random.default_rng(seed)
+        randoms = grid[
+            rng.integers(1, len(grid) - 1, size=(n_check, NUM_PARAMS))
+        ]
+        errs = _verify_samples(Vx, Vs, res, full0, randoms)
+        per_seed[seed] = float(errs.max())
+        overall = max(overall, per_seed[seed])
+        ok = "OK" if per_seed[seed] < TOL else "ABOVE BOUND"
+        log(
+            f"verification seed {seed} ({n_check} random samples): "
+            f"max {per_seed[seed]:.3e} [{ok}]"
+        )
+    log(
+        f"verification union ({len(corners)} corners + "
+        f"{len(seeds)}x{n_check} random): max {overall:.3e}"
+    )
+    return overall, per_seed
+
+
+def _verify_samples(Vx, Vs, res, full0, samples):
+    from scipy.linalg import solve_banded
+
+    from pgdrome_tpu.fem.assembly import stiffness_matrix, load_vector
+    from pgdrome_tpu.separated import evaluate_modes_1d
 
     b_full = load_vector(Vx, lambda x: np.ones_like(x))
     bw = 2  # P2 on an interval: pentadiagonal
@@ -178,14 +231,7 @@ def verify(sep64, Vs, res, tf, n_check=32):
             fac *= vals[: res.n_modes].astype(np.float64)
         u = fac @ full0[: res.n_modes]
         errs.append(np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref))
-    errs = np.asarray(errs)
-    log(
-        f"verification vs per-sample f64 FEM over {len(errs)} samples "
-        f"({len(corners)} corners + {n_check} random): max {errs.max():.3e} "
-        f"(corners max {errs[:len(corners)].max():.3e}, "
-        f"random max {errs[len(corners):].max():.3e})"
-    )
-    return float(errs.max())
+    return np.asarray(errs)
 
 
 def sweep_throughput(Vs, res, tf, n_samples=524_288):
@@ -308,16 +354,25 @@ def sweep_throughput(Vs, res, tf, n_samples=524_288):
     return rate, rate_p, rate_s
 
 
-def cpu_baseline(sep64, Vs, n_modes_target):
+def cpu_baseline(n_modes_target):
     """Reference-architecture baseline: host Python orchestration with
     per-dim dense solves (pgd_problem_from_separated).
 
     Measures a FIXED number of modes (CPU_BASELINE_MODES — deterministic,
     directly comparable run to run) and extrapolates the remaining modes
     per-mode; returns (total_estimate_s, measured_s, measured_modes,
-    extrapolated?)."""
-    from pgdrome_tpu.models.problems import pgd_problem_from_separated
+    extrapolated?).  Rebuilds the raw (unpreconditioned) stacks itself —
+    assembly runs outside the timed region, exactly as the TPU side's
+    setup is excluded from its solve timings."""
+    from pgdrome_tpu.models.problems import (
+        parametric_elliptic,
+        pgd_problem_from_separated,
+    )
 
+    sep64, Vs = parametric_elliptic(
+        n_x=N_X, n_p=N_P, num_params=NUM_PARAMS, degree_x=2,
+        boundary_boost=BOUNDARY_BOOST,
+    )
     prob = pgd_problem_from_separated(sep64, Vs)
     prob.tol_fp_it = 1e-6
     prob.max_fp_it = 30
@@ -381,7 +436,7 @@ def main():
     import pgdrome_tpu.config as cfg
 
     cfg.use_full_f32_matmul()  # bf16-default matmuls would cost ~4e-3 acc.
-    sep64, sep_pc64, tf, Vs = build()
+    sep_pc64, tf, Vs, meta, t_setup, setup_cache_status = build()
 
     res, t_solve, t_first_call, aot_status = tpu_solve(sep_pc64)
 
@@ -426,7 +481,13 @@ def main():
         f"postprocess (compress {n_solved}->{res.n_modes} + galerkin): "
         f"{t_post:.2f}s"
     )
-    max_err = verify(sep64, Vs, res, tf)
+    max_err, err_per_seed = verify(Vs, res, tf)
+    # fresh-process end-to-end: imports + setup + first-call (compile or
+    # AOT load) + both solves + postprocess + dense verification — the
+    # number a user actually experiences from `python` to a verified
+    # vademecum (round-2 VERDICT "time-to-first-solution")
+    end_to_end_fresh = time.perf_counter() - T_PROCESS_START
+    log(f"end-to-end fresh process: {end_to_end_fresh:.1f}s")
     try:
         sweep_rate, sweep_rate_pipelined, sensor_rate = sweep_throughput(
             Vs, res, tf
@@ -440,7 +501,7 @@ def main():
     # cached first call stretched to ~106s under the baseline thread)
     try:
         cpu_t, cpu_measured, cpu_measured_modes, extrapolated = cpu_baseline(
-            sep64, Vs, N_MODES
+            N_MODES
         )
     except Exception as e:
         log(f"cpu baseline failed: {e}")
@@ -451,11 +512,19 @@ def main():
     # operators-ready → deployable vademecum: both TPU solves, the host
     # residual build, and the compression/Galerkin postprocess
     t_total = t_solve + t_resid + t_solve2 + t_post
+    # measured-only speedup (zero extrapolation leverage): per-mode solve
+    # rate ratio over the modes both sides actually ran
+    vs_measured = (
+        round((cpu_measured / cpu_measured_modes) / (t_solve / n_solved), 2)
+        if np.isfinite(cpu_measured) and cpu_measured_modes
+        else None
+    )
     out = {
         "metric": "time-to-1e-6 rel. error, 50-mode parametric-elliptic vademecum (space x 3 params)",
         "value": round(t_total, 4),
         "unit": "s",
         "vs_baseline": round(cpu_t / t_total, 2) if np.isfinite(cpu_t) else None,
+        "vs_baseline_measured_per_mode": vs_measured,
         "modes": int(res.n_modes),
         "modes_solved": n_solved,
         "solve_s": round(t_solve, 4),
@@ -464,13 +533,16 @@ def main():
         "postprocess_s": round(t_post, 4),
         "modes_per_s": round(n_solved / t_solve, 2),
         "max_rel_error_vs_fem": float(f"{max_err:.3e}"),
+        "max_rel_error_per_seed": {
+            str(k): float(f"{v:.3e}") for k, v in err_per_seed.items()
+        },
         "cpu_baseline_s": round(cpu_t, 2) if np.isfinite(cpu_t) else None,
         "cpu_baseline_measured_s": round(cpu_measured, 2)
         if np.isfinite(cpu_measured) else None,
         "cpu_baseline_measured_modes": cpu_measured_modes,
         "cpu_baseline_extrapolated": extrapolated,
-        "space_dofs": int(sep64.sizes[0]),
-        "param_dofs": int(sep64.sizes[1]),
+        "space_dofs": int(meta["sizes"][0]),
+        "param_dofs": int(meta["sizes"][1]),
         "sweep_fields_per_s": round(sweep_rate) if sweep_rate else None,
         "sweep_fields_per_s_pipelined": round(sweep_rate_pipelined)
         if sweep_rate_pipelined else None,
@@ -480,6 +552,9 @@ def main():
         "first_call_stage2_s": round(t_first2, 2),
         "aot_cache": aot_status,
         "aot_cache_stage2": aot_status2,
+        "setup_s": round(t_setup, 2),
+        "setup_cache": setup_cache_status,
+        "end_to_end_fresh_s": round(end_to_end_fresh, 1),
     }
     print(json.dumps(out), flush=True)
 

@@ -43,7 +43,12 @@ class Mesh:
             self._coords_np = self._coords_np[:, None]
         self._cells_np = np.asarray(cells, dtype=np.int32)
         self._tdim = int(tdim)
-        self._coords_jnp = jnp.asarray(self._coords_np, dtype=default_dtype())
+        # device copy is LAZY: an eager jnp.asarray here would initialize
+        # the jax backend at mesh construction — on a remote/tunneled TPU
+        # that handshake is server-bound (measured ~160 s of a bench setup
+        # phase) and host-only workflows (assembly, setup cache) never
+        # need it
+        self._coords_jnp = None
 
     # --- dolfin-like accessors (used by the model/solver layers) ---
     def coordinates(self) -> np.ndarray:
@@ -51,6 +56,10 @@ class Mesh:
         return self._coords_np
 
     def coordinates_device(self) -> jnp.ndarray:
+        if self._coords_jnp is None:
+            self._coords_jnp = jnp.asarray(
+                self._coords_np, dtype=default_dtype()
+            )
         return self._coords_jnp
 
     def cells(self) -> np.ndarray:

@@ -1303,15 +1303,39 @@ class Dim0Transform:
     :func:`precondition_dim0`: full-dof mode reconstruction is
     ``u = scatter(Linv.T @ y)``.
 
-    ``apply_LinvT`` maps a (n_int, m) column block Y to ``Linv.T @ Y`` —
-    a banded or dense triangular solve, never an explicit inverse.
+    Holds the Cholesky factor DATA (banded ``Lb``/``Ub`` storage, or a
+    dense ``L``) instead of solver closures, so the whole transform is
+    picklable — the host-setup cache (utils/setup_cache.py) persists it
+    alongside the preconditioned operator stacks.  ``apply_Linv`` /
+    ``apply_LinvT`` map an (n_int, m) column block through L⁻¹ / L⁻ᵀ —
+    banded or dense triangular solves, never an explicit inverse.
     ``dim`` records which dimension the transform applies to (apply
     ``modes_to_full`` to ``result.modes[dim]``)."""
 
-    apply_LinvT: object  # callable (n_int, m) -> (n_int, m)
     interior: np.ndarray  # interior dof indices into the full dof vector
     n_full: int
     dim: int = 0
+    # exactly one of the two factor representations is set:
+    banded: tuple | None = None  # (Lb, Ub): lower/upper banded storage
+    dense_L: np.ndarray | None = None
+
+    def apply_Linv(self, B):
+        """L⁻¹ @ B for an (n_int, m) block."""
+        from scipy.linalg import solve_banded, solve_triangular
+
+        if self.banded is not None:
+            Lb, _ = self.banded
+            return solve_banded((Lb.shape[0] - 1, 0), Lb, B)
+        return solve_triangular(self.dense_L, B, lower=True)
+
+    def apply_LinvT(self, B):
+        """L⁻ᵀ @ B for an (n_int, m) block."""
+        from scipy.linalg import solve_banded, solve_triangular
+
+        if self.banded is not None:
+            _, Ub = self.banded
+            return solve_banded((0, Ub.shape[0] - 1), Ub, B)
+        return solve_triangular(self.dense_L.T, B, lower=False)
 
     def modes_to_full(self, modes0):
         """(n_max, n_int) transformed modes → (n_max, n_full) dof modes."""
@@ -1418,12 +1442,7 @@ def precondition_dim(sep: SeparatedProblem, dim: int = 0, dtype=None,
     untransformed problem exactly (up to fp).
     """
     dt = dtype or np.float32
-    from scipy.linalg import (
-        cholesky,
-        cholesky_banded,
-        solve_banded,
-        solve_triangular,
-    )
+    from scipy.linalg import cholesky, cholesky_banded
 
     n0 = sep.sizes[dim]
     interior = np.setdiff1d(
@@ -1452,23 +1471,15 @@ def precondition_dim(sep: SeparatedProblem, dim: int = 0, dtype=None,
         Ub = np.zeros_like(Lb)
         for k in range(bw + 1):
             Ub[bw - k, k:] = Lb[k, : n - k]
-
-        def apply_Linv(B):
-            return solve_banded((bw, 0), Lb, B)
-
-        def apply_LinvT(B):
-            return solve_banded((0, bw), Ub, B)
-
+        tf = Dim0Transform(
+            interior=interior, n_full=n0, dim=dim, banded=(Lb, Ub)
+        )
     else:
         # dense fallback (e.g. 2D spaces without band-friendly dof order):
         # still no explicit inverse — triangular solves (BLAS dtrsm) only
         L = cholesky(K, lower=True)
-
-        def apply_Linv(B):
-            return solve_triangular(L, B, lower=True)
-
-        def apply_LinvT(B):
-            return solve_triangular(L.T, B, lower=False)
+        tf = Dim0Transform(interior=interior, n_full=n0, dim=dim, dense_L=L)
+    apply_Linv = tf.apply_Linv
 
     if base is None:
         new_ops0 = [np.eye(n)]  # Linv O_0 LinvT is exactly I by construction
@@ -1500,9 +1511,6 @@ def precondition_dim(sep: SeparatedProblem, dim: int = 0, dtype=None,
     new_bc[dim] = np.array([], dtype=np.int64)
     new = SeparatedProblem(ops=new_ops, rhs=new_rhs, mass=new_mass,
                            bc_dofs=new_bc)
-    tf = Dim0Transform(
-        apply_LinvT=apply_LinvT, interior=interior, n_full=n0, dim=dim
-    )
     return new, tf
 
 
