@@ -437,6 +437,30 @@ def moving_heat_source(
     return prob, [Vx, Vt, VP, Vv], factors, sep_err
 
 
+def plane_strain_C(nu: float) -> np.ndarray:
+    """Plane-strain elasticity tensor (Voigt 3×3) for unit E."""
+    a = 1.0 / ((1 + nu) * (1 - 2 * nu))
+    return a * np.array(
+        [[1 - nu, nu, 0.0], [nu, 1 - nu, 0.0], [0.0, 0.0, (1 - 2 * nu) / 2]]
+    )
+
+
+# ν-rational coefficients of the separated plane-strain tensor
+#   C(ν) = f1(ν)·C1 + f2(ν)·C2
+# (reference test_solver_problem.py:552-568: C1/C2 constant matrices,
+# nu_func1/nu_func2 the rational Expressions)
+_C1 = np.array([[1.0, 1.0, 0.0], [1.0, 1.0, 0.0], [0.0, 0.0, 0.0]])
+_C2 = np.array([[1.0, -1.0, 0.0], [-1.0, 1.0, 0.0], [0.0, 0.0, 1.0]])
+
+
+def _nu_f1(nu):
+    return 1.0 / (2.0 * (1.0 + nu) * (1.0 - 2.0 * nu))
+
+
+def _nu_f2(nu):
+    return 1.0 / (2.0 * (1.0 + nu))
+
+
 def elasticity_vademecum(
     nx: int = 40,
     ny: int = 8,
@@ -448,15 +472,36 @@ def elasticity_vademecum(
     nu: float = 0.2,
     L=(1000.0, 100.0),
     degree: int = 2,
+    n_nu: int = 0,
+    nu_range=(0.1, 0.4),
+    param_discretization: str = "galerkin",
     dtype=None,
 ):
-    """2D plane-strain elasticity vademecum u((x,y), lam_p, lam_E)
-    (BASELINE.json config 4 through the fast path: the space dimension is a
-    VECTOR P2 field on a crossed mesh; physics of reference
-    test_solver_problem with ν fixed).
+    """2D plane-strain elasticity vademecum (BASELINE.json config 4 through
+    the fast path: the space dimension is a VECTOR P2 field on a crossed
+    mesh; physics of reference test_solver_problem).
 
         ∫ ε(v) : λE·E0·C(ν) : ε(u) dx = λp · ∫ g·v ds(top)
-    """
+
+    With ``n_nu == 0`` (default) ν is FIXED: u((x,y), λp, λE), one
+    elasticity term.  With ``n_nu > 0`` Poisson's ratio becomes the fourth
+    separated coordinate — the reference's flagship 4-dim problem
+    (test_solver_problem.py:552-568): the tensor separates as
+    C(ν) = f1(ν)·C1 + f2(ν)·C2 with rational f1 = 1/(2(1+ν)(1−2ν)),
+    f2 = 1/(2(1+ν)); the ν coefficients enter as COLLOCATION (lumped
+    diagonal) parameter operators — f evaluated exactly at each ν grid
+    point, so the converged vademecum equals fixed-ν FEM exactly on the
+    grid (same semantics as :func:`parametric_elliptic`).
+
+    ``param_discretization``: ``"galerkin"`` (default — consistent P1
+    masses on the λp/λE dims, the reference's discretization; on-grid
+    values carry the O(h²) L2(param)-projection bias vs per-sample FEM)
+    or ``"collocation"`` (row-sum-lumped λp/λE operators AND loads — the
+    diagonal weights cancel per grid point, so the converged vademecum
+    equals per-sample FEM at every grid point, exactly like
+    :func:`parametric_elliptic`'s default).
+
+    Returns ``(problem, [Vx, Vp, VE(, Vnu)], (C_or_parts, bL, bR))``."""
     from pgdrome_tpu.fem.space import VectorFunctionSpace
     from pgdrome_tpu.fem.assembly import (
         elasticity_matrix,
@@ -465,21 +510,25 @@ def elasticity_vademecum(
     )
     from pgdrome_tpu.fem.function import Expression
 
+    if param_discretization not in ("galerkin", "collocation"):
+        raise ValueError(
+            f"unknown param_discretization {param_discretization!r}"
+        )
     mesh_x = RectangleMesh(Point(0, 0), Point(L[0], L[1]), nx, ny, "crossed")
     Vx = VectorFunctionSpace(mesh_x, "P", degree)
     Vp = FunctionSpace(IntervalMesh(n_p, *p_range), "P", 1)
     VE = FunctionSpace(IntervalMesh(n_E, *E_range), "P", 1)
 
-    # plane strain C(ν), constant here (ν fixed → single elasticity term)
-    a = 1.0 / ((1 + nu) * (1 - 2 * nu))
-    C = a * np.array(
-        [[1 - nu, nu, 0.0], [nu, 1 - nu, 0.0], [0.0, 0.0, (1 - 2 * nu) / 2]]
-    )
-    Kx = elasticity_matrix(Vx, C)
     Mp = mass_matrix(Vp)
     ME_w = mass_matrix(VE, weight=lambda E: E)
-
-    ops = [E_0 * Kx[None], Mp[None], ME_w[None]]
+    if param_discretization == "collocation":
+        # row-sum lumping (exact for the linear weights): diagonal
+        # operators block-diagonalize the tensor system per (λp, λE) grid
+        # point; norm matrices stay consistent (bookkeeping only)
+        Mp_op = np.diag(Mp.sum(axis=1))
+        ME_w_op = np.diag(ME_w.sum(axis=1))
+    else:
+        Mp_op, ME_w_op = Mp, ME_w
 
     g1 = Expression(
         (lambda p: 0.0 * p[..., 0], lambda p: -0.5 * np.ones_like(p[..., 0]))
@@ -495,15 +544,50 @@ def elasticity_vademecum(
     )
     bp = load_vector(Vp, lambda p: p)
     bE = load_vector(VE, lambda E: np.ones_like(E))
-    rhs = [
-        np.stack([bL, bR]),
-        np.stack([bp, bp]),
-        np.stack([bE, bE]),
-    ]
 
     bc_x = DirichletBC(Vx, (0.0, 0.0), lambda p: abs(p[0]) < 1e-9)
-    bc_dofs = [bc_x.dofs, np.array([], dtype=np.int64), np.array([], dtype=np.int64)]
-    mass = [vector_mass_matrix(Vx), Mp, mass_matrix(VE)]
+    no_bc = np.array([], dtype=np.int64)
+
+    if n_nu:
+        # --- 4-dim flagship: x ⊗ λp ⊗ λE ⊗ ν, two separated tensor terms
+        Vnu = FunctionSpace(IntervalMesh(n_nu, *nu_range), "P", 1)
+        K1 = elasticity_matrix(Vx, _C1)
+        K2 = elasticity_matrix(Vx, _C2)
+        nu_pts = Vnu.tabulate_dof_coordinates()[:, 0]
+        w_nu = mass_matrix(Vnu).sum(axis=1)  # lumped collocation weights
+        M_f1 = np.diag(w_nu * _nu_f1(nu_pts))
+        M_f2 = np.diag(w_nu * _nu_f2(nu_pts))
+        ops = [
+            E_0 * np.stack([K1, K2]),
+            np.stack([Mp_op, Mp_op]),
+            np.stack([ME_w_op, ME_w_op]),
+            np.stack([M_f1, M_f2]),
+        ]
+        b_nu = w_nu  # ones load in the collocation measure
+        rhs = [
+            np.stack([bL, bR]),
+            np.stack([bp, bp]),
+            np.stack([bE, bE]),
+            np.stack([b_nu, b_nu]),
+        ]
+        bc_dofs = [bc_x.dofs, no_bc, no_bc, no_bc]
+        mass = [vector_mass_matrix(Vx), Mp, mass_matrix(VE), mass_matrix(Vnu)]
+        spaces = [Vx, Vp, VE, Vnu]
+        C_out = (_C1, _C2)
+    else:
+        # plane strain C(ν), constant (ν fixed → single elasticity term)
+        C = plane_strain_C(nu)
+        Kx = elasticity_matrix(Vx, C)
+        ops = [E_0 * Kx[None], Mp_op[None], ME_w_op[None]]
+        rhs = [
+            np.stack([bL, bR]),
+            np.stack([bp, bp]),
+            np.stack([bE, bE]),
+        ]
+        bc_dofs = [bc_x.dofs, no_bc, no_bc]
+        mass = [vector_mass_matrix(Vx), Mp, mass_matrix(VE)]
+        spaces = [Vx, Vp, VE]
+        C_out = C
 
     dt = dtype or np.float64
     prob = SeparatedProblem(
@@ -512,4 +596,4 @@ def elasticity_vademecum(
         mass=[np.asarray(m, dtype=dt) for m in mass],
         bc_dofs=bc_dofs,
     )
-    return prob, [Vx, Vp, VE], (C, bL, bR)
+    return prob, spaces, (C_out, bL, bR)

@@ -204,9 +204,28 @@ def problem_data(problem):
     )
 
 
-def _solve_dim(problem, k, Fs, modes, mode_mask, rhs, solver="lu", cg_iters=30):
+def _solve_dim(problem, k, Fs, modes, mode_mask, rhs, solver="lu", cg_iters=30,
+               nonlinear=None, newton_max_it=25):
     """One alternating-direction solve for dim k given current factors Fs
-    and the padded previous-mode buffers."""
+    and the padded previous-mode buffers.
+
+    ``solver="newton"`` solves the per-dim subproblem with Newton on its
+    residual (``ops.newton_solve`` under ``lax.while_loop``) instead of a
+    direct linear solve — the fast-path equivalent of the reference's
+    ``_problem='nonlinear'`` FEM dispatch (solver.py:579-595, Newton via
+    UFL ``derivative``).  For a linear problem the warm-started Newton
+    terminates immediately and the amplitudes agree with the linear path
+    (reference parity check, test_solver_problem.py:752).
+
+    ``nonlinear``: optional separable nonlinear term N(u) = ⊗_d N_d — a
+    per-dim tuple of ``(apply_fn, weight_fn)`` where ``apply_fn(u)`` is
+    the dim's nonlinear operator on the solve factor (e.g.
+    ``lambda u: M @ u**3``) and ``weight_fn(F)`` its scalar Gram weight
+    when the dim is NOT being solved.  The two entries of a dim must
+    represent the SAME factor of the term — ``weight_d(F) = F ·
+    apply_d(F)`` in the natural pairing — so scalar prefactors live in
+    BOTH (or the term is inconsistent across solve dims).  The dim-k
+    residual gains ``(Π_{j≠k} weight_j(F_j)) · N_k(u)``."""
     T = problem.num_terms
     nd = problem.num_dims
 
@@ -238,6 +257,46 @@ def _solve_dim(problem, k, Fs, modes, mode_mask, rhs, solver="lu", cg_iters=30):
     b = b - jnp.einsum("tij,tj->i", problem.ops[k], W, precision=_PREC)
 
     A_k, b = _apply_bc_system(A_k, b, problem.bc_masks[k])
+    if nonlinear is not None and solver != "newton":
+        # Picard: lag the separable nonlinear term at the incoming factor
+        # and fold it into the rhs — the alternating fixed point itself is
+        # the Picard iteration (converges for mild nonlinearities; use
+        # solver='newton' for stiff ones)
+        mask = problem.bc_masks[k]
+        theta = jnp.ones((), dtype=Fs[k].dtype)
+        for j in range(nd):
+            if j != k:
+                theta = theta * nonlinear[j][1](Fs[j])
+        b = b - theta * (mask * nonlinear[k][0](Fs[k]))
+    if solver == "newton":
+        from pgdrome_tpu.ops.solvers import newton_solve
+
+        mask = problem.bc_masks[k]
+        if nonlinear is not None:
+            apply_k = nonlinear[k][0]
+            theta = jnp.ones((), dtype=Fs[k].dtype)
+            for j in range(nd):
+                if j != k:
+                    theta = theta * nonlinear[j][1](Fs[j])
+
+            def residual(u):
+                # BC rows of (A_k, b) are identity/zero after
+                # _apply_bc_system; mask the nonlinear rows to match
+                return (
+                    jnp.einsum("ij,j->i", A_k, u, precision=_PREC) - b
+                    + theta * (mask * apply_k(u))
+                )
+        else:
+
+            def residual(u):
+                return jnp.einsum("ij,j->i", A_k, u, precision=_PREC) - b
+
+        # warm start from the linear solve: for a linear problem Newton
+        # then terminates with the direct solution (amplitude parity with
+        # solver='lu'); for quasi-linear terms it is the Picard predictor
+        u0 = jnp.linalg.solve(A_k, b)
+        u, _, _ = newton_solve(residual, u0, max_iter=newton_max_it)
+        return u
     if solver == "cg":
         return _cg_solve(A_k, b, cg_iters)
     if solver == "chol":
@@ -256,7 +315,8 @@ def _inner_d(problem, d, u, v):
 def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
                      tol_fp=1e-5, solver="lu", cg_iters=30,
                      residual_check=True, stop_fp="norm",
-                     norm_modes="stiff", renorm_sweep=False):
+                     norm_modes="stiff", renorm_sweep=False,
+                     nonlinear=None, newton_max_it=25):
     """Build the jitted enrichment step: (mode buffers, n) → new mode set.
 
     Returns a function of (modes, n_modes) producing
@@ -323,7 +383,8 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
         for i, k in enumerate(seq):
             Fs[k] = _solve_dim(
                 P, k, Fs, modes, mode_mask, rhs, solver=solver,
-                cg_iters=cg_iters,
+                cg_iters=cg_iters, nonlinear=nonlinear,
+                newton_max_it=newton_max_it,
             )
             if renorm_sweep and i < len(seq) - 1:
                 # EUCLIDEAN norm on purpose: the per-dim Gram coefficients
@@ -683,13 +744,22 @@ class SeparatedPGD:
         aot_cache_dir: str | None = None,
         norm_modes: str = "stiff",
         renorm_sweep: bool = False,
+        nonlinear=None,
+        newton_max_it: int = 25,
     ):
-        if solver not in ("lu", "cg", "chol"):
+        if solver not in ("lu", "cg", "chol", "newton"):
             raise ValueError(
-                f"unknown solver {solver!r}: expected 'lu', 'cg' or 'chol'"
+                f"unknown solver {solver!r}: expected 'lu', 'cg', 'chol' "
+                "or 'newton'"
             )
         if renorm_sweep and scan_params:
             raise ValueError("renorm_sweep is not supported with scan_params")
+        if scan_params and (solver == "newton" or nonlinear is not None):
+            raise ValueError(
+                "the scanned (uniform-parameter) step supports linear "
+                "direct solvers only; use scan_params=False for "
+                "'newton'/nonlinear"
+            )
         if isinstance(problem.ops[0], np.ndarray):
             problem = problem.as_device(dtype)
         self.problem = problem
@@ -708,6 +778,8 @@ class SeparatedPGD:
         self._scan_params = scan_params
         self._norm_modes = norm_modes
         self._renorm_sweep = renorm_sweep
+        self._nonlinear = nonlinear
+        self._newton_max_it = newton_max_it
         if scan_params:
             step = make_enrich_step_scanned(
                 problem, max_fp_it=max_fp_it, tol_fp=tol_fp, solver=solver,
@@ -718,7 +790,8 @@ class SeparatedPGD:
                 problem, seq_fp=seq_fp, max_fp_it=max_fp_it, tol_fp=tol_fp,
                 solver=solver, cg_iters=cg_iters, residual_check=residual_check,
                 stop_fp=stop_fp, norm_modes=norm_modes,
-                renorm_sweep=renorm_sweep,
+                renorm_sweep=renorm_sweep, nonlinear=nonlinear,
+                newton_max_it=newton_max_it,
             )
         self._enrich = jax.jit(step)
         self._stop_fp = stop_fp
@@ -735,6 +808,23 @@ class SeparatedPGD:
         # $PGDROME_AOT_CACHE env var (unset = off)
         self._aot_cache_dir = aot_cache_dir
         self.last_compile_status = None  # 'hit' | 'miss' | 'off' | None
+
+    def _nonlinear_key(self):
+        """AOT-cache key component for the nonlinear hook: SOURCE-hashed
+        (a plain repr would embed memory addresses and miss every
+        process; unsourceable callables fall back to their qualname)."""
+        if self._nonlinear is None:
+            return None
+        import inspect
+
+        parts = [self._solver, self._newton_max_it]
+        for entry in self._nonlinear:
+            for fn in entry:
+                try:
+                    parts.append(inspect.getsource(fn))
+                except (OSError, TypeError):
+                    parts.append(getattr(fn, "__qualname__", repr(fn)))
+        return tuple(parts)
 
     def _random_init(self, n, attempt):
         rng = np.random.default_rng(3452 + 7919 * n + attempt)
@@ -868,6 +958,8 @@ class SeparatedPGD:
                     stop_fp=self._stop_fp,
                     norm_modes=self._norm_modes,
                     renorm_sweep=self._renorm_sweep,
+                    nonlinear=self._nonlinear,
+                    newton_max_it=self._newton_max_it,
                 )
             nd = self.problem.num_dims
 
@@ -930,6 +1022,11 @@ class SeparatedPGD:
                     # False-keyed (default-path) entries are unchanged
                     "renorm-v2" if self._renorm_sweep else False,
                 ]
+                if self._nonlinear is not None:
+                    # appended only when active, so the default path's
+                    # cache keys (and warm entries) stay stable; plain
+                    # solver='newton' is already keyed via self._solver
+                    key_data.append(self._nonlinear_key())
                 compiled, status = compile_cached(
                     jitted, (self.init_buffers(), self._data),
                     self._aot_cache_dir, key_data=key_data,

@@ -571,10 +571,25 @@ class PGDProblem:
         return fct_F
 
     def FD_solve(self, A, B, dim):
-        """Dense direct solve of the FD system (reference solver.py:927-943;
-        scipy spsolve → on-device dense LU)."""
-        fct_F = Function(self.V[dim])
-        fct_F.array = np.asarray(
-            solve_dense(np.asarray(A, dtype=np.float64), np.asarray(B, dtype=np.float64))
+        """Direct solve of the FD system (reference solver.py:927-943,
+        scipy spsolve).  The FD_matrices systems (M, D2, D1_up combos) are
+        tridiagonal by construction — those route through the native C++
+        Thomas solver (utils.native, O(n) vs the dense LU's O(n³));
+        anything wider falls back to dense LU."""
+        A = np.asarray(
+            A.toarray() if hasattr(A, "toarray") else A, dtype=np.float64
         )
+        B = np.asarray(B, dtype=np.float64)
+        fct_F = Function(self.V[dim])
+        n = A.shape[0]
+        if n >= 3 and not (
+            np.any(np.triu(A, 2)) or np.any(np.tril(A, -2))
+        ):
+            from pgdrome_tpu.utils.native import thomas_solve
+
+            dl = np.concatenate([[0.0], np.diagonal(A, -1)])
+            du = np.concatenate([np.diagonal(A, 1), [0.0]])
+            fct_F.array = thomas_solve(dl, np.diagonal(A).copy(), du, B)
+        else:
+            fct_F.array = np.asarray(solve_dense(A, B))
         return fct_F

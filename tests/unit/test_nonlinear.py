@@ -1,131 +1,164 @@
-"""Nonlinear solver paths: FD-Newton on residual-form callbacks and Picard
-on quasi-linear matrix-form callbacks (reference solver.py:579-595 gets
-Newton from UFL `derivative`; here the residual form is explicit)."""
+"""Device-side nonlinear enrichment (solver='newton' + separable
+quasi-linear terms).
+
+Reference parity: the reference solves the SAME weak forms through either
+the linear or the Newton (nonlinear) FEM dispatch and asserts the
+amplitudes agree to 1e-8 (test_solver_problem.py:729-752, solver.py
+:579-595).  Here the fast path grows the same capability:
+``SeparatedPGD(solver='newton')`` runs ``ops.newton_solve`` (jax.jacfwd
+Jacobian under ``lax.while_loop``) on every per-dim subproblem, and a
+separable nonlinear term N(u) = ⊗_d N_d can be attached via the
+``nonlinear`` hook (Picard with a direct solver, or full Newton).
+"""
 
 import numpy as np
+import jax.numpy as jnp
+import pytest
 
-from pgdrome_tpu import (
-    IntervalMesh,
-    FunctionSpace,
-    DirichletBC,
-    PGDProblem,
-    mass_matrix,
-    stiffness_matrix,
-    load_vector,
-)
-from pgdrome_tpu.ops.solvers import newton_solve_np, picard_solve_np
+from pgdrome_tpu.models.problems import elastic_truss, parametric_elliptic
+from pgdrome_tpu.separated import SeparatedPGD, make_enrich_step
 
 
-class TestNewtonNP:
-    def test_bratu_style_1d(self):
-        # -u'' + u³ = f with manufactured u = sin(pi x), homogeneous bc
-        mesh = IntervalMesh(40, 0.0, 1.0)
-        V = FunctionSpace(mesh, "P", 2)
-        K = stiffness_matrix(V)
-        M = mass_matrix(V)
-        x = V.tabulate_dof_coordinates()[:, 0]
-        u_ex = np.sin(np.pi * x)
-        # weak rhs: ∫(pi² sin + sin³) φ  (consistent with the discrete
-        # nonlinearity M u³ to FE accuracy)
-        f = load_vector(
-            V, lambda s: np.pi**2 * np.sin(np.pi * s) + np.sin(np.pi * s) ** 3
+class TestNewtonLinearParity:
+    """Newton on a linear problem == the linear path (reference
+    test_solver_problem.py:752 semantics on the fast path)."""
+
+    def test_amplitudes_match_elliptic(self):
+        sep, Vs = parametric_elliptic(n_x=48, n_p=12, num_params=2)
+        kw = dict(n_max=6, tol=1e-12, tol_fp=1e-9, max_fp_it=60)
+        res_lin = SeparatedPGD(sep, solver="lu", **kw).solve()
+        res_newton = SeparatedPGD(sep, solver="newton", **kw).solve()
+        assert res_newton.n_modes == res_lin.n_modes
+        np.testing.assert_allclose(
+            res_newton.amplitudes, res_lin.amplitudes, rtol=1e-8
         )
-        bc = DirichletBC(V, 0.0, lambda s, onb: onb)
+        for d in range(len(res_lin.modes)):
+            np.testing.assert_allclose(
+                np.asarray(res_newton.modes[d])[: res_lin.n_modes],
+                np.asarray(res_lin.modes[d])[: res_lin.n_modes],
+                rtol=1e-6, atol=1e-10,
+            )
 
-        def residual(u):
-            return K @ u + M @ (u**3) - f
-
-        u, converged, its = newton_solve_np(
-            residual, np.zeros(V.dim()), bc.dofs, bc.values, atol=1e-12
-        )
-        assert converged
-        err = np.linalg.norm(u - u_ex) / np.linalg.norm(u_ex)
-        print("bratu newton err:", err, "its:", its)
-        assert err < 1e-3  # FE discretization level
-
-    def test_picard_quasilinear(self):
-        # (1 + 0.5|u|) u = b  solved by Picard
-        rng = np.random.default_rng(0)
-        n = 12
-        A0 = np.eye(n) * 2.0
-        b = rng.normal(size=n)
-
-        def system(u):
-            return A0 + 0.5 * np.diag(np.abs(u)), b
-
-        u, converged, its = picard_solve_np(system, np.zeros(n), atol=1e-14)
-        assert converged
-        res = (A0 + 0.5 * np.diag(np.abs(u))) @ u - b
-        assert np.linalg.norm(res) < 1e-10
-
-
-class TestNonlinearPGDPath:
-    def test_residual_form_callbacks(self):
-        # a genuinely nonlinear separated problem through the solver's
-        # 'nonlinear' dispatch: BOTH dims' callbacks return residual
-        # VECTORS (the reference's form-evaluated-at-u semantics), with the
-        # cubic term consistently projected onto each dimension
-        mesh_x = IntervalMesh(24, 0.0, 1.0)
-        Vx = FunctionSpace(mesh_x, "P", 1)
-        mesh_q = IntervalMesh(6, 0.5, 1.5)
-        Vq = FunctionSpace(mesh_q, "P", 1)
-        K = stiffness_matrix(Vx)
-        Mx = mass_matrix(Vx)
-        Mq = mass_matrix(Vq)
-        bx = load_vector(Vx, lambda s: np.ones_like(s))
-        bq = load_vector(Vq, lambda q: q)
-
-        eps = 0.1  # weak cubic term keeps the alternation contractive
-
-        def lhs(fct_F, var_F, Fs, meshes, dom, param, typ, dim):
-            u = fct_F.array
-            if typ == "r":
-                c = float(Fs[1].array @ (Mq @ Fs[1].array))
-                c3 = float(Fs[1].array @ (Mq @ Fs[1].array**3))
-                return c * (K @ u) + eps * c3 * (Mx @ (u**3))
-            d = float(Fs[0].array @ (K @ Fs[0].array))
-            d3 = float(Fs[0].array @ (Mx @ Fs[0].array**3))
-            return d * (Mq @ u) + eps * d3 * (Mq @ (u**3))
-
-        def rhs(fct_F, var_F, Fs, meshes, dom, param, load, PGD_func, typ, n_enr, dim):
-            if typ == "r":
-                return float(Fs[1].array @ bq) * bx
-            return float(Fs[0].array @ bx) * bq
-
-        def bc_fct(Vs, dom, param):
-            return [DirichletBC(Vs[0], 0.0, lambda s, onb: onb), 0]
-
-        prob = PGDProblem(
-            name="nl",
-            name_coord=["X", "Q"],
-            modes_info=["U", "Node", "Scalar"],
-            Vs=[Vx, Vq],
-            bc_fct=bc_fct,
-            load=None,
-            param={},
-            rhs_fct=rhs,
-            lhs_fct=lhs,
-            probs=["r", "s"],
-            seq_fp=[0, 1],
-            PGD_nmax=1,
-        )
-        prob.tol_fp_it = 1e-12
-        prob.max_fp_it = 100
-        # keep the raw fixed point: renormalizing factors rescales the
-        # CUBIC term differently from the linear ones
-        prob.norm_modes = "no"
-        prob.solve_PGD(
-            _problem="nonlinear",
-            settings={"absolute_tolerance": 1e-14, "relative_tolerance": 1e-13},
+    def test_amplitudes_match_truss(self):
+        # the reference's 1D truss physics (test_elastic.py) through both
+        # dispatches
+        sep, Vs = elastic_truss(n_x=31, n_E=20)
+        kw = dict(n_max=4, tol=1e-12, tol_fp=1e-9, max_fp_it=60)
+        res_lin = SeparatedPGD(sep, solver="lu", **kw).solve()
+        res_newton = SeparatedPGD(sep, solver="newton", **kw).solve()
+        np.testing.assert_allclose(
+            res_newton.amplitudes, res_lin.amplitudes, rtol=1e-8
         )
 
-        # the produced rank-1 pair must satisfy the nonlinear x-equation
-        F0 = prob.PGD_func[0][0].array
-        F1 = prob.PGD_func[1][0].array
-        c = float(F1 @ (Mq @ F1))
-        c3 = float(F1 @ (Mq @ F1**3))
-        r = c * (K @ F0) + eps * c3 * (Mx @ (F0**3)) - float(F1 @ bq) * bx
-        r[bc_fct([Vx, Vq], 0, {})[0].dofs] = 0.0
-        rel = np.linalg.norm(r) / np.linalg.norm(float(F1 @ bq) * bx)
-        print("nonlinear PGD residual:", rel)
-        assert rel < 1e-8
+    def test_scan_params_rejects_newton(self):
+        sep, Vs = parametric_elliptic(n_x=24, n_p=8, num_params=2)
+        with pytest.raises(ValueError, match="linear direct solvers"):
+            SeparatedPGD(sep, scan_params=True, solver="newton")
+
+    def test_unknown_solver_still_raises(self):
+        sep, Vs = parametric_elliptic(n_x=24, n_p=8, num_params=2)
+        with pytest.raises(ValueError, match="unknown solver"):
+            SeparatedPGD(sep, solver="cholesky")
+
+
+def _cubic_problem(eps, n_x=32, n_p=8):
+    """−u'' + eps·u³ = f separated as x ⊗ p with collocation (lumped)
+    nonlinear weights: N(u) = ⊗(M_lump u³) — a separable rank-1 nonlinear
+    term the hook models exactly."""
+    sep, Vs = parametric_elliptic(n_x=n_x, n_p=n_p, num_params=1)
+    from pgdrome_tpu.fem.assembly import mass_matrix
+
+    Mx_l = np.diag(mass_matrix(Vs[0]).sum(axis=1))
+    Mp_l = np.diag(mass_matrix(Vs[1]).sum(axis=1))
+    Mx_j = jnp.asarray(Mx_l)
+    Mp_j = jnp.asarray(Mp_l)
+    # contract: apply_d and weight_d are the SAME dim-d factor of the
+    # separable term (weight_d(F) = F · apply_d(F)), so the scalar eps
+    # appears in both dim-x entries
+    nonlinear = (
+        (lambda u: eps * (Mx_j @ u**3), lambda F: F @ (eps * (Mx_j @ F**3))),
+        (lambda u: Mp_j @ u**3, lambda F: F @ (Mp_j @ F**3)),
+    )
+    return sep, Vs, nonlinear
+
+
+class TestSeparableNonlinear:
+    def test_newton_solves_the_subproblems(self):
+        # at the fixed point every per-dim nonlinear residual must vanish:
+        # the Newton solves actually solved their subproblems
+        eps = 5.0
+        sep, Vs, nl = _cubic_problem(eps)
+        solver = SeparatedPGD(
+            sep, n_max=1, tol=1e-12, tol_fp=1e-12, max_fp_it=80,
+            solver="newton", nonlinear=nl,
+        )
+        res = solver.solve()
+        assert res.n_modes == 1
+        F = [np.asarray(m[0], dtype=np.float64) for m in res.modes]
+        ops = [np.asarray(o, dtype=np.float64) for o in sep.ops]
+        rhs = [np.asarray(r, dtype=np.float64) for r in sep.rhs]
+        masks = [np.asarray(m, dtype=np.float64) for m in sep.bc_masks]
+        from pgdrome_tpu.fem.assembly import mass_matrix
+
+        Mx_l = np.diag(mass_matrix(Vs[0]).sum(axis=1))
+        Mp_l = np.diag(mass_matrix(Vs[1]).sum(axis=1))
+        # mirror the device contract exactly: weight_d(F) = F·apply_d(F)
+        apply = [lambda u: eps * (Mx_l @ u**3), lambda u: Mp_l @ u**3]
+        weight = [lambda G: G @ apply[0](G), lambda G: G @ apply[1](G)]
+        for k in range(2):
+            j = 1 - k
+            # full term sum: A_k = Σ_t (F_j O_tj F_j) O_tk
+            coef = np.einsum("tij,i,j->t", ops[j], F[j], F[j])
+            A = np.einsum("t,tij->ij", coef, ops[k])
+            b = (rhs[j][0] @ F[j]) * rhs[k][0]
+            # BC system as the solver builds it
+            m = masks[k]
+            A = A * m[:, None] * m[None, :] + np.diag(1.0 - m)
+            b = b * m
+            theta = weight[j](F[j])
+            r = A @ F[k] - b + theta * m * apply[k](F[k])
+            assert np.linalg.norm(r) < 1e-8 * max(np.linalg.norm(b), 1.0)
+
+    def test_picard_matches_newton(self):
+        # mild nonlinearity: the lagged-Picard path (direct solver) and
+        # full Newton converge to the same rank-1 fixed point
+        sep, Vs, nl = _cubic_problem(eps=1.0)
+        kw = dict(n_max=1, tol=1e-12, tol_fp=1e-12, max_fp_it=120,
+                  nonlinear=nl)
+        res_n = SeparatedPGD(sep, solver="newton", **kw).solve()
+        res_p = SeparatedPGD(sep, solver="lu", **kw).solve()
+        u_n = np.outer(res_n.modes[0][0], res_n.modes[1][0])
+        u_p = np.outer(res_p.modes[0][0], res_p.modes[1][0])
+        np.testing.assert_allclose(u_p, u_n, rtol=1e-7, atol=1e-12)
+
+    def test_eps_zero_limit_is_linear(self):
+        # eps → 0 recovers the linear solution (continuity sanity)
+        sep, Vs, nl = _cubic_problem(eps=0.0)
+        kw = dict(n_max=1, tol=1e-12, tol_fp=1e-11, max_fp_it=60)
+        res_nl = SeparatedPGD(sep, solver="newton", nonlinear=nl, **kw).solve()
+        res_lin = SeparatedPGD(sep, solver="lu", **kw).solve()
+        u_nl = np.outer(res_nl.modes[0][0], res_nl.modes[1][0])
+        u_lin = np.outer(res_lin.modes[0][0], res_lin.modes[1][0])
+        np.testing.assert_allclose(u_nl, u_lin, rtol=1e-9, atol=1e-13)
+
+    def test_nonlinearity_changes_the_solution(self):
+        # the hook must actually do something: a strong cubic term damps
+        # the solution vs the linear one
+        sep, Vs, nl = _cubic_problem(eps=50.0)
+        kw = dict(n_max=1, tol=1e-12, tol_fp=1e-11, max_fp_it=120)
+        res_nl = SeparatedPGD(sep, solver="newton", nonlinear=nl, **kw).solve()
+        res_lin = SeparatedPGD(sep, solver="lu", **kw).solve()
+        u_nl = np.abs(np.outer(res_nl.modes[0][0], res_nl.modes[1][0]))
+        u_lin = np.abs(np.outer(res_lin.modes[0][0], res_lin.modes[1][0]))
+        assert u_nl.max() < u_lin.max()  # cubic damping
+
+    def test_solve_fused_newton(self):
+        # the single-dispatch fused program supports the newton path too
+        sep, Vs = parametric_elliptic(n_x=32, n_p=8, num_params=2)
+        kw = dict(n_max=4, tol=0.0, tol_fp=1e-9, max_fp_it=60,
+                  residual_check=False)
+        res_lu = SeparatedPGD(sep, solver="lu", **kw).solve_fused()
+        res_nw = SeparatedPGD(sep, solver="newton", **kw).solve_fused()
+        np.testing.assert_allclose(
+            res_nw.amplitudes, res_lu.amplitudes, rtol=1e-8
+        )

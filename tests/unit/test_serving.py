@@ -32,6 +32,46 @@ class TestVademecum:
             np.asarray(vd.fields(samples)), np.asarray(direct), rtol=1e-12
         )
 
+    def test_fields_stream_matches_fields(self, trained):
+        # chunked + pipelined streaming == the one-shot sweep, including a
+        # ragged tail chunk (padded internally, trimmed before the consumer)
+        sep, Vs, res = trained
+        vd = Vademecum(Vs, res, dtype=np.float64)
+        samples = np.random.default_rng(3).uniform(0.1, 0.9, size=(53, 2))
+        ref = np.asarray(vd.fields(jnp.asarray(samples)))
+        streamed = vd.fields_stream(samples, chunk=16, depth=2)
+        np.testing.assert_allclose(streamed, ref, rtol=1e-12)
+        assert streamed.shape == ref.shape
+
+    def test_fields_stream_consumer(self, trained):
+        # consumer mode: per-chunk reduction, correct chunk sizes/order
+        sep, Vs, res = trained
+        vd = Vademecum(Vs, res, dtype=np.float64)
+        samples = np.random.default_rng(4).uniform(0.1, 0.9, size=(40, 2))
+        sizes = []
+        sums = vd.fields_stream(
+            samples,
+            consumer=lambda y: (sizes.append(y.shape[0]), float(y.sum()))[1],
+            chunk=16, depth=3,
+        )
+        assert sizes == [16, 16, 8]
+        ref = np.asarray(vd.fields(jnp.asarray(samples)))
+        np.testing.assert_allclose(
+            sums, [ref[:16].sum(), ref[16:32].sum(), ref[32:].sum()],
+            rtol=1e-10,
+        )
+
+    def test_sensor_lru_bound(self, trained):
+        sep, Vs, res = trained
+        vd = Vademecum(Vs, res, dtype=np.float64)
+        vd._sensor_cache_max = 3
+        fns = [vd.sensors(np.array([0.1 + 0.05 * i])) for i in range(5)]
+        assert len(vd._sensor_cache) == 3
+        # the oldest entries were evicted: re-requesting rebuilds
+        assert vd.sensors(np.array([0.1])) is not fns[0]
+        # the newest is still cached
+        assert vd.sensors(np.array([0.1 + 0.05 * 4])) is fns[4]
+
     def test_sensors_cached_and_correct(self, trained):
         sep, Vs, res = trained
         from pgdrome_tpu.fem.interpolate import eval_dofs_at_points
