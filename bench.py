@@ -292,25 +292,41 @@ def sweep_throughput(Vs, res, tf, n_samples=524_288):
     except Exception as e:
         log(f"sweep (sync) skipped: {e}")
 
-    # serving throughput mode: depth-2 pipeline (double buffering) overlaps
-    # the ~30-40 ms tunnel dispatch latency with on-chip compute; two
-    # in-flight outputs bound the HBM footprint
+    # serving throughput mode: the PRODUCT pipelined path —
+    # Vademecum.fields_stream dispatches depth-2 chunks behind one call
+    # (no caller-side tricks, round-2 VERDICT #5); the consumer drops each
+    # block, so this measures sustained serving rate with bounded HBM
     try:
-        t0 = time.perf_counter()
-        prev = sweep(batches[0])
-        for s in batches[1:]:
-            cur = sweep(s)
-            prev.block_until_ready()
-            del prev
-            prev = cur
-        prev.block_until_ready()
-        del prev
-        dt_p = (time.perf_counter() - t0) / reps
+        from pgdrome_tpu.serving import Vademecum
+        from pgdrome_tpu.separated import PGDResult
+
+        res_full = PGDResult(
+            modes=modes, n_modes=res.n_modes,
+            amplitudes=np.asarray(res.amplitudes),
+            alpha=np.asarray(res.alpha), fp_its=np.asarray(res.fp_its),
+        )
+        vd = Vademecum(Vs, res_full)
+        big = jnp.concatenate(batches, axis=0)  # 4 x n_samples rows
+        vd.fields_stream(  # compile + warm
+            big[: 2 * n_samples], consumer=lambda y: None,
+            chunk=n_samples, depth=2,
+        )
+        # best of 2 passes: single-shot timings through the tunnel carry
+        # ~100 ms variance spikes (measured: 30.6 vs 155.9 ms/chunk for
+        # identical passes minutes apart)
+        dt_p = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            vd.fields_stream(
+                big, consumer=lambda y: None, chunk=n_samples, depth=2
+            )
+            dt_p = min(dt_p, (time.perf_counter() - t0) / reps)
         rate_p = n_samples / dt_p
         log(
-            f"vademecum sweep (depth-2 pipeline): {dt_p*1e3:.1f} ms/batch → "
-            f"{rate_p:,.0f} fields/s"
+            f"vademecum serving stream (depth-2, one call): "
+            f"{dt_p*1e3:.1f} ms/chunk → {rate_p:,.0f} fields/s"
         )
+        del big
     except Exception as e:
         log(f"sweep (pipelined) skipped: {e}")
 
@@ -352,6 +368,61 @@ def sweep_throughput(Vs, res, tf, n_samples=524_288):
     except Exception as e:
         log(f"sensor sweep skipped: {e}")
     return rate, rate_p, rate_s
+
+
+def elasticity_nu_phase():
+    """The reference's flagship 4-dim problem (2D plane-strain elasticity
+    x ⊗ λp ⊗ λE ⊗ ν, ν-separated tensor) through the fast path — records
+    its solve time as a bench line (round-2 VERDICT missing item #2)."""
+    from pgdrome_tpu.models.problems import elasticity_vademecum
+    from pgdrome_tpu.separated import SeparatedPGD, precondition_dim
+    from pgdrome_tpu.utils.setup_cache import cached_setup
+
+    if os.environ.get("PGDROME_BENCH_QUICK"):
+        dims = dict(nx=8, ny=3, n_p=6, n_E=6, n_nu=8)
+        n_modes = 6
+    else:
+        dims = dict(nx=24, ny=6, n_p=16, n_E=16, n_nu=16)
+        n_modes = 16
+
+    def _build():
+        sep, Vs, _ = elasticity_vademecum(
+            degree=2, param_discretization="collocation", **dims
+        )
+        K1 = np.asarray(sep.ops[0][0])
+        K2 = np.asarray(sep.ops[0][1])
+        # K1 alone is singular (volumetric only); the SPD term sum is the
+        # congruence base
+        sep_pc, _tf = precondition_dim(sep, dim=0, dtype=np.float64,
+                                       base=K1 + K2)
+        return sep_pc
+
+    sep_pc, status = cached_setup(
+        _build, key_data=["elasticity_nu_v1", sorted(dims.items())],
+        code_objects=(elasticity_vademecum, precondition_dim),
+    )
+    solver = SeparatedPGD(
+        sep_pc, n_max=n_modes, tol=0.0, tol_fp=1e-6, max_fp_it=30,
+        solver="cg", cg_iters=30, residual_check=False, dtype=np.float32,
+    )
+    t0 = time.perf_counter()
+    res = solver.solve_fused()  # compile or AOT load
+    t_first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = solver.solve_fused()
+    t_solve = time.perf_counter() - t0
+    log(
+        f"elasticity-nu flagship: {res.n_modes} modes in {t_solve:.3f}s "
+        f"({sep_pc.sizes[0]} space dofs x {sep_pc.sizes[1]}x{sep_pc.sizes[2]}"
+        f"x{sep_pc.sizes[3]} params; first call {t_first:.1f}s, aot "
+        f"{solver.last_compile_status}, setup cache {status})"
+    )
+    return {
+        "elasticity_nu_solve_s": round(t_solve, 4),
+        "elasticity_nu_modes": int(res.n_modes),
+        "elasticity_nu_space_dofs": int(sep_pc.sizes[0]),
+        "elasticity_nu_aot_cache": solver.last_compile_status,
+    }
 
 
 def cpu_baseline(n_modes_target):
@@ -495,6 +566,12 @@ def main():
     except Exception as e:  # never block the headline metric
         log(f"sweep throughput skipped: {e}")
         sweep_rate = sweep_rate_pipelined = sensor_rate = None
+    # flagship 4-dim elasticity solve line (fault-tolerant like the sweeps)
+    try:
+        nu_fields = elasticity_nu_phase()
+    except Exception as e:
+        log(f"elasticity-nu phase skipped: {e}")
+        nu_fields = {}
     # the CPU baseline runs LAST and synchronously: with the AOT cache
     # there is no long compile to overlap, and on this 1-core host an
     # overlapping baseline starves every timed phase (measured: the ~2s
@@ -556,6 +633,7 @@ def main():
         "setup_cache": setup_cache_status,
         "end_to_end_fresh_s": round(end_to_end_fresh, 1),
     }
+    out.update(nu_fields)
     print(json.dumps(out), flush=True)
 
 

@@ -13,6 +13,8 @@ Programs warmed (the bench.py / serving shapes):
   * stage-1 fused enrichment (64 modes, cg) on the parametric-elliptic
     north-star shapes
   * stage-2 residual re-solve program (48 modes, fp8)
+  * the flagship 4-dim elasticity solve (elasticity_vademecum(n_nu=...),
+    bench elasticity_nu phase)
 
 The enrichment programs take the problem data as jit INPUTS, so one
 cached executable serves every same-shaped problem regardless of values.
@@ -78,6 +80,35 @@ def warmup(n_x=1024, n_p=128, num_params=3, n_modes=(64, 48)):
         f"{time.perf_counter()-t0:.1f}s — aot cache {s2.last_compile_status}"
     )
 
+def warmup_elasticity_nu(quick=False):
+    from pgdrome_tpu.models.problems import elasticity_vademecum
+    from pgdrome_tpu.separated import SeparatedPGD, precondition_dim
+
+    dims = (
+        dict(nx=8, ny=3, n_p=6, n_E=6, n_nu=8)
+        if quick
+        else dict(nx=24, ny=6, n_p=16, n_E=16, n_nu=16)
+    )
+    n_modes = 6 if quick else 16
+    t0 = time.perf_counter()
+    sep, Vs, _ = elasticity_vademecum(
+        degree=2, param_discretization="collocation", **dims
+    )
+    K1 = np.asarray(sep.ops[0][0])
+    K2 = np.asarray(sep.ops[0][1])
+    sep_pc, _tf = precondition_dim(sep, dim=0, dtype=np.float64,
+                                   base=K1 + K2)
+    s = SeparatedPGD(
+        sep_pc, n_max=n_modes, tol=0.0, tol_fp=1e-6, max_fp_it=30,
+        solver="cg", cg_iters=30, residual_check=False, dtype=np.float32,
+    )
+    s.solve_fused()
+    log(
+        f"warmup: elasticity-nu ({n_modes} modes, {sep_pc.sizes[0]} dofs) "
+        f"ready in {time.perf_counter()-t0:.1f}s — aot cache "
+        f"{s.last_compile_status}"
+    )
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
@@ -88,6 +119,7 @@ def main(argv=None):
         warmup(n_x=64, n_p=16, num_params=2, n_modes=(6, 4))
     else:
         warmup()
+    warmup_elasticity_nu(quick=args.quick)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,160 @@
+"""Round-3 probe: push the 5-parameter vademecum under 1e-6
+(round-2 VERDICT item #2).
+
+Round-2 measured the residual cascade to depth 4:
+4.3e-5 → 1.9e-5 → 9.9e-6 → 4.7e-6 (each f64 residual restart roughly
+halves the error).  This probe extends the cascade stage by stage,
+dense-verifying after each stage at all 2^5 = 32 parameter-box corners +
+16 random on-grid samples, and prints a JSON line per stage so a killed
+run (axon server stalls) still leaves its measurements.
+
+Usage: python scripts/probe_5param.py [--budgets 128,64,64,64,64,64,64]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("PGDROME_AOT_CACHE", "/root/.cache/pgdrome_aot")
+os.environ.setdefault("PGDROME_SETUP_CACHE", "/root/.cache/pgdrome_setup")
+
+NUM_PARAMS = 5
+N_X, N_P = 1024, 128
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def build():
+    from pgdrome_tpu.models.problems import parametric_elliptic
+    from pgdrome_tpu.separated import precondition_dim, precondition_dim0
+    from pgdrome_tpu.utils.setup_cache import cached_setup
+
+    def _build():
+        sep64, Vs = parametric_elliptic(
+            n_x=N_X, n_p=N_P, num_params=NUM_PARAMS, degree_x=2,
+            boundary_boost=(16.0, 6),
+        )
+        sep_pc64, tf = precondition_dim0(sep64, dtype=np.float64)
+        return sep_pc64, tf
+
+    (sep_pc64, tf), status = cached_setup(
+        _build,
+        key_data=["probe5_build_v1", N_X, N_P, NUM_PARAMS, (16.0, 6)],
+        code_objects=(parametric_elliptic, precondition_dim),
+    )
+    log(f"setup cache {status}")
+    # spaces are cheap to rebuild (meshes only)
+    from pgdrome_tpu.fem.mesh import IntervalMesh
+    from pgdrome_tpu.fem.space import FunctionSpace
+
+    Vx = FunctionSpace(IntervalMesh(N_X, 0.0, 1.0), "P", 2)
+    Vp = [FunctionSpace(IntervalMesh(N_P, 0.0, 1.0), "P", 1)
+          for _ in range(NUM_PARAMS)]
+    return sep_pc64, tf, [Vx] + Vp
+
+
+def verify(Vs, res, tf, n_random=16, seed=7):
+    from scipy.linalg import solve_banded
+
+    from pgdrome_tpu.fem.assembly import stiffness_matrix, load_vector
+    from pgdrome_tpu.separated import evaluate_modes_1d
+
+    Vx = Vs[0]
+    full0 = tf.modes_to_full(res.modes[0]).astype(np.float64)
+    grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+    lo, hi = grid[1], grid[-2]
+    corners = np.array(
+        [[lo if (c >> i) & 1 == 0 else hi for i in range(NUM_PARAMS)]
+         for c in range(2 ** NUM_PARAMS)]
+    )
+    rng = np.random.default_rng(seed)
+    randoms = grid[rng.integers(1, len(grid) - 1, size=(n_random, NUM_PARAMS))]
+    samples = np.vstack([corners, randoms])
+
+    b_full = load_vector(Vx, lambda x: np.ones_like(x))
+    bw = 2
+    errs = []
+    for p in samples:
+        kappa = lambda x: 1.0 + sum(
+            p[i] * np.sin((i + 1) * np.pi * x) ** 2 / (2 * NUM_PARAMS)
+            for i in range(NUM_PARAMS)
+        )
+        K = stiffness_matrix(Vx, weight=kappa)
+        n = K.shape[0] - 2
+        ab = np.zeros((2 * bw + 1, n))
+        for k in range(-bw, bw + 1):
+            d = np.diagonal(K, k)[1 : 1 + n - abs(k)]
+            if k >= 0:
+                ab[bw - k, k:] = d
+            else:
+                ab[bw - k, : n + k] = d
+        u_ref = np.zeros(K.shape[0])
+        u_ref[1:-1] = solve_banded((bw, bw), ab, b_full[1:-1])
+        fac = np.ones(res.n_modes)
+        for j in range(NUM_PARAMS):
+            vals = np.asarray(
+                evaluate_modes_1d(
+                    Vs[1 + j], res.modes[1 + j], np.asarray([p[j]]), xp=np
+                )
+            )[0]
+            fac *= vals[: res.n_modes].astype(np.float64)
+        u = fac @ full0[: res.n_modes]
+        errs.append(np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref))
+    errs = np.asarray(errs)
+    return float(errs.max()), float(errs[: len(corners)].max()), float(
+        errs[len(corners):].max()
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budgets", default="128,64,64,64,64,64,64")
+    args = ap.parse_args()
+    budgets = [int(b) for b in args.budgets.split(",")]
+
+    import pgdrome_tpu.config as cfg
+
+    cfg.use_full_f32_matmul()
+    from pgdrome_tpu.separated import (
+        SeparatedPGD, combine_results, galerkin_update, residual_problem,
+    )
+
+    sep_pc, tf, Vs = build()
+    common = dict(tol=0.0, solver="cg", cg_iters=25, residual_check=False,
+                  dtype=np.float32)
+    t0 = time.perf_counter()
+    res = SeparatedPGD(sep_pc, n_max=budgets[0], tol_fp=1e-7,
+                       max_fp_it=40, **common).solve_fused()
+    log(f"stage 1 ({budgets[0]} modes): {time.perf_counter()-t0:.1f}s")
+    for si, b in enumerate(budgets[1:], start=2):
+        t0 = time.perf_counter()
+        sep_res, s_res = residual_problem(sep_pc, res)
+        delta = SeparatedPGD(sep_res, n_max=b, tol_fp=1e-5, max_fp_it=8,
+                             **common).solve_fused()
+        res = combine_results(res, delta, s_res)
+        t_stage = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        res_g = galerkin_update(sep_pc, res)
+        t_gal = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        mx, mc, mr = verify(Vs, res_g, tf)
+        print(json.dumps({
+            "stage": si, "budgets": budgets[:si], "total_rank": res.n_modes,
+            "max_err": f"{mx:.3e}", "corners": f"{mc:.3e}",
+            "random": f"{mr:.3e}", "stage_s": round(t_stage, 2),
+            "galerkin_s": round(t_gal, 2),
+            "verify_s": round(time.perf_counter() - t0, 1),
+        }), flush=True)
+        if mx < 1e-6:
+            log(f"UNDER 1e-6 at stage {si}")
+            break
+
+
+if __name__ == "__main__":
+    main()
