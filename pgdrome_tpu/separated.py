@@ -1059,7 +1059,8 @@ class SeparatedPGD:
 
 # ------------------------------------------------------------ update step
 
-def galerkin_update(problem: SeparatedProblem, result: PGDResult) -> PGDResult:
+def galerkin_update(problem: SeparatedProblem, result: PGDResult,
+                    rcond: float | None = None) -> PGDResult:
     """Galerkin update ("PGD with update"): re-solve the coefficients of the
     computed rank-1 terms by projecting the FULL problem onto their span.
 
@@ -1072,7 +1073,15 @@ def galerkin_update(problem: SeparatedProblem, result: PGDResult) -> PGDResult:
 
     using separated contractions (cost O(T·K²) small dots) and folds α into
     the dim-0 modes.  Cheap, and often shaves orders of magnitude off the
-    error for the same mode count."""
+    error for the same mode count.
+
+    ``rcond``: when set, the K×K system is solved by SVD-truncated least
+    squares (``np.linalg.lstsq``) instead of a direct solve — a safety
+    valve for singular Grams (duplicate modes).  NOTE measured on the
+    rank-320..960 5-parameter cascade: truncation at rcond=1e-12 made
+    errors 2-4× WORSE — the small-singular directions of the accumulated
+    Gram carry real signal there, and the plain f64 solve is fine.  Use
+    only when the direct solve actually fails."""
     K = result.n_modes
     nd = problem.num_dims
     ops = [np.asarray(o, dtype=np.float64) for o in problem.ops]
@@ -1093,7 +1102,10 @@ def galerkin_update(problem: SeparatedProblem, result: PGDResult) -> PGDResult:
         B = B * (rhs[d] @ modes[d].T)
     bvec = B.sum(axis=0)
 
-    alpha = np.linalg.solve(Gmat, bvec)
+    if rcond is None:
+        alpha = np.linalg.solve(Gmat, bvec)
+    else:
+        alpha = np.linalg.lstsq(Gmat, bvec, rcond=rcond)[0]
     new_modes0 = np.array(result.modes[0], dtype=np.float64)
     new_modes0[:K] = alpha[:, None] * modes[0]
     dt0 = np.asarray(result.modes[0]).dtype

@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 os.environ.setdefault("PGDROME_AOT_CACHE", "/root/.cache/pgdrome_aot")
@@ -30,7 +32,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def build():
+def build(boost=(16.0, 6)):
     from pgdrome_tpu.models.problems import parametric_elliptic
     from pgdrome_tpu.separated import precondition_dim, precondition_dim0
     from pgdrome_tpu.utils.setup_cache import cached_setup
@@ -38,17 +40,17 @@ def build():
     def _build():
         sep64, Vs = parametric_elliptic(
             n_x=N_X, n_p=N_P, num_params=NUM_PARAMS, degree_x=2,
-            boundary_boost=(16.0, 6),
+            boundary_boost=boost,
         )
         sep_pc64, tf = precondition_dim0(sep64, dtype=np.float64)
         return sep_pc64, tf
 
     (sep_pc64, tf), status = cached_setup(
         _build,
-        key_data=["probe5_build_v1", N_X, N_P, NUM_PARAMS, (16.0, 6)],
+        key_data=["probe5_build_v1", N_X, N_P, NUM_PARAMS, boost],
         code_objects=(parametric_elliptic, precondition_dim),
     )
-    log(f"setup cache {status}")
+    log(f"setup cache {status} (boost {boost})")
     # spaces are cheap to rebuild (meshes only)
     from pgdrome_tpu.fem.mesh import IntervalMesh
     from pgdrome_tpu.fem.space import FunctionSpace
@@ -115,6 +117,13 @@ def verify(Vs, res, tf, n_random=16, seed=7):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--budgets", default="128,64,64,64,64,64,64")
+    ap.add_argument("--cascade-update", action="store_true",
+                    help="Galerkin-update between stages so each residual "
+                    "is of the span-OPTIMAL combination")
+    ap.add_argument("--late-boost", default=None,
+                    help="'B,Q,FROM': from stage FROM on, residual stages "
+                    "target the (B, Q)-boosted measure (same operators, "
+                    "corner-heavier rows; shapes unchanged -> AOT hits)")
     args = ap.parse_args()
     budgets = [int(b) for b in args.budgets.split(",")]
 
@@ -126,6 +135,11 @@ def main():
     )
 
     sep_pc, tf, Vs = build()
+    sep_pc_late, from_stage = None, None
+    if args.late_boost:
+        B, Q, from_stage = args.late_boost.split(",")
+        sep_pc_late, _, _ = build(boost=(float(B), int(Q)))
+        from_stage = int(from_stage)
     common = dict(tol=0.0, solver="cg", cg_iters=25, residual_check=False,
                   dtype=np.float32)
     t0 = time.perf_counter()
@@ -134,10 +148,18 @@ def main():
     log(f"stage 1 ({budgets[0]} modes): {time.perf_counter()-t0:.1f}s")
     for si, b in enumerate(budgets[1:], start=2):
         t0 = time.perf_counter()
-        sep_res, s_res = residual_problem(sep_pc, res)
+        sep_stage = (
+            sep_pc_late
+            if (from_stage is not None and si >= from_stage)
+            else sep_pc
+        )
+        sep_res, s_res = residual_problem(sep_stage, res)
         delta = SeparatedPGD(sep_res, n_max=b, tol_fp=1e-5, max_fp_it=8,
                              **common).solve_fused()
         res = combine_results(res, delta, s_res)
+        if args.cascade_update:
+            # plain solve: rcond truncation measured 2-4x WORSE here
+            res = galerkin_update(sep_pc, res)
         t_stage = time.perf_counter() - t0
         t0 = time.perf_counter()
         res_g = galerkin_update(sep_pc, res)
@@ -147,7 +169,8 @@ def main():
         print(json.dumps({
             "stage": si, "budgets": budgets[:si], "total_rank": res.n_modes,
             "max_err": f"{mx:.3e}", "corners": f"{mc:.3e}",
-            "random": f"{mr:.3e}", "stage_s": round(t_stage, 2),
+            "random": f"{mr:.3e}",
+            "stage_s": round(t_stage, 2),
             "galerkin_s": round(t_gal, 2),
             "verify_s": round(time.perf_counter() - t0, 1),
         }), flush=True)

@@ -287,6 +287,24 @@ class TestElasticityVademecum:
         assert err < 1e-4
 
 
+class TestGalerkinUpdateRcond:
+    def test_truncated_matches_plain_when_well_conditioned(self):
+        # on a well-conditioned Gram the SVD-truncated solve reproduces
+        # the direct solve; the rcond knob only matters for the deep
+        # residual cascades' nearly collinear accumulated ranks
+        from pgdrome_tpu.models.problems import parametric_elliptic
+
+        sep, Vs = parametric_elliptic(n_x=40, n_p=10, num_params=2)
+        res = SeparatedPGD(sep, n_max=6, tol=1e-12, tol_fp=1e-8).solve()
+        g_plain = galerkin_update(sep, res)
+        g_trunc = galerkin_update(sep, res, rcond=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(g_trunc.modes[0])[: res.n_modes],
+            np.asarray(g_plain.modes[0])[: res.n_modes],
+            rtol=1e-8, atol=1e-14,
+        )
+
+
 class TestHierarchicalSeparation:
     def test_better_than_greedy_per_budget(self):
         from pgdrome_tpu.utils.separation import (
