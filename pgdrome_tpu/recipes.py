@@ -52,7 +52,8 @@ def _to_nodal(res: PGDResult, transforms) -> PGDResult:
 def residual_cascade(problem_pc: SeparatedProblem, budgets,
                      tol_fp: float = 1e-7, solver: str = "cg",
                      cg_iters: int = 25, dtype=np.float32,
-                     aot_cache_dir: str | None = None):
+                     aot_cache_dir: str | None = None,
+                     stage_problems=None):
     """Multi-stage floor-restarted greedy solve on an (already
     preconditioned) problem: stage 1 solves ``budgets[0]`` modes; each
     further budget forms the f64-exact residual rhs on the host
@@ -60,6 +61,16 @@ def residual_cascade(problem_pc: SeparatedProblem, budgets,
     residual's scale) and re-solves.  The restarts STACK: measured on the
     5-parameter elliptic, each stage roughly halves the error
     (4.3e-5 → 1.9e-5 → 9.9e-6 — PERF.md "Dimensionality scaling").
+
+    ``stage_problems``: optional dict {stage index (2-based) →
+    SeparatedProblem} — the (re-weighted) problem a stage's residual is
+    computed against.  Used for LATE-STAGE CORNER BOOSTING: once the
+    error whitens, re-target the remaining stages at a harder
+    boundary-boosted measure (same operators per grid point, so the
+    solution is unchanged; same shapes, so cached executables serve it).
+    This is the measured recipe that lands the 5-parameter vademecum
+    under 1e-6: budgets (192, 128×6), boost (48, 6) from stage 5 →
+    8.7e-7 dense-verified (PERF.md round-3).
 
     Later stages use the loose 8-sweep fixed point (measured best for
     corrections, PERF.md).  Returns the combined (uncompressed) result in
@@ -69,8 +80,9 @@ def residual_cascade(problem_pc: SeparatedProblem, budgets,
                   aot_cache_dir=aot_cache_dir)
     res = SeparatedPGD(problem_pc, n_max=budgets[0], tol_fp=tol_fp,
                        max_fp_it=40, **common).solve_fused()
-    for b in budgets[1:]:
-        sep_res, s_res = residual_problem(problem_pc, res)
+    for si, b in enumerate(budgets[1:], start=2):
+        prob_s = (stage_problems or {}).get(si, problem_pc)
+        sep_res, s_res = residual_problem(prob_s, res)
         delta = SeparatedPGD(sep_res, n_max=b, tol_fp=1e-5, max_fp_it=8,
                              **common).solve_fused()
         res = combine_results(res, delta, s_res)

@@ -61,7 +61,7 @@ def build(boost=(16.0, 6)):
     return sep_pc64, tf, [Vx] + Vp
 
 
-def verify(Vs, res, tf, n_random=16, seed=7):
+def _sample_errors(Vs, res, tf, samples):
     from scipy.linalg import solve_banded
 
     from pgdrome_tpu.fem.assembly import stiffness_matrix, load_vector
@@ -69,16 +69,6 @@ def verify(Vs, res, tf, n_random=16, seed=7):
 
     Vx = Vs[0]
     full0 = tf.modes_to_full(res.modes[0]).astype(np.float64)
-    grid = Vs[1].tabulate_dof_coordinates()[:, 0]
-    lo, hi = grid[1], grid[-2]
-    corners = np.array(
-        [[lo if (c >> i) & 1 == 0 else hi for i in range(NUM_PARAMS)]
-         for c in range(2 ** NUM_PARAMS)]
-    )
-    rng = np.random.default_rng(seed)
-    randoms = grid[rng.integers(1, len(grid) - 1, size=(n_random, NUM_PARAMS))]
-    samples = np.vstack([corners, randoms])
-
     b_full = load_vector(Vx, lambda x: np.ones_like(x))
     bw = 2
     errs = []
@@ -108,10 +98,33 @@ def verify(Vs, res, tf, n_random=16, seed=7):
             fac *= vals[: res.n_modes].astype(np.float64)
         u = fac @ full0[: res.n_modes]
         errs.append(np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref))
-    errs = np.asarray(errs)
-    return float(errs.max()), float(errs[: len(corners)].max()), float(
-        errs[len(corners):].max()
+    return np.asarray(errs)
+
+
+SEEDS = (7, 101, 1234, 777)
+
+
+def verify(Vs, res, tf, n_random=16, seeds=SEEDS):
+    """Dense verification: all 2^d corners (once — deterministic) plus
+    n_random fresh on-grid samples per seed.  Multi-seed because one
+    16-sample draw is not a bound (seed 101 exposed a 1.6e-6 pocket a
+    seed-7-only check missed).  Returns (union max, corner max,
+    {seed: random max})."""
+    grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+    lo, hi = grid[1], grid[-2]
+    corners = np.array(
+        [[lo if (c >> i) & 1 == 0 else hi for i in range(NUM_PARAMS)]
+         for c in range(2 ** NUM_PARAMS)]
     )
+    mc = float(_sample_errors(Vs, res, tf, corners).max())
+    per_seed = {}
+    for seed in seeds:
+        rng = np.random.default_rng(seed)
+        randoms = grid[
+            rng.integers(1, len(grid) - 1, size=(n_random, NUM_PARAMS))
+        ]
+        per_seed[seed] = float(_sample_errors(Vs, res, tf, randoms).max())
+    return max(mc, *per_seed.values()), mc, per_seed
 
 
 def main():
@@ -165,17 +178,19 @@ def main():
         res_g = galerkin_update(sep_pc, res)
         t_gal = time.perf_counter() - t0
         t0 = time.perf_counter()
-        mx, mc, mr = verify(Vs, res_g, tf)
+        mx, mc, per_seed = verify(Vs, res_g, tf)
         print(json.dumps({
             "stage": si, "budgets": budgets[:si], "total_rank": res.n_modes,
             "max_err": f"{mx:.3e}", "corners": f"{mc:.3e}",
-            "random": f"{mr:.3e}",
+            "random_per_seed": {
+                str(k): f"{v:.3e}" for k, v in per_seed.items()
+            },
             "stage_s": round(t_stage, 2),
             "galerkin_s": round(t_gal, 2),
             "verify_s": round(time.perf_counter() - t0, 1),
         }), flush=True)
         if mx < 1e-6:
-            log(f"UNDER 1e-6 at stage {si}")
+            log(f"UNDER 1e-6 (union over {len(SEEDS)} seeds) at stage {si}")
             break
 
 

@@ -152,6 +152,56 @@ class TestTransientServing:
 
 
 class TestResidualCascade:
+    def test_stage_problems_override(self):
+        # late-stage re-targeting: a boosted-measure problem for the last
+        # stage must leave the solution consistent (weights cancel per
+        # grid point) — solutions from the plain and boosted-stage
+        # cascades agree to the cascade's own accuracy level
+        from pgdrome_tpu.recipes import residual_cascade
+        from pgdrome_tpu.separated import galerkin_update, precondition_dim0
+
+        sep_p, Vs = parametric_elliptic(n_x=48, n_p=12, num_params=2)
+        sep_b, _ = parametric_elliptic(n_x=48, n_p=12, num_params=2,
+                                       boundary_boost=(16.0, 6))
+        pc_p, tf = precondition_dim0(sep_p, dtype=np.float64)
+        pc_b, _ = precondition_dim0(sep_b, dtype=np.float64)
+        res_plain = residual_cascade(pc_p, (8, 6), dtype=np.float64)
+        res_boost = residual_cascade(pc_p, (8, 6), dtype=np.float64,
+                                     stage_problems={2: pc_b})
+        g_p = galerkin_update(pc_p, res_plain)
+        g_b = galerkin_update(pc_p, res_boost)
+
+        # both must approximate the SAME per-sample FEM solution (the
+        # boosted measure re-targets enrichment; it does not change the
+        # per-grid-point equations), to comparable truncation accuracy
+        from pgdrome_tpu.fem.assembly import load_vector, stiffness_matrix
+
+        grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+        p = (grid[5], grid[7])
+        kap = lambda x: 1.0 + sum(
+            p[i] * np.sin((i + 1) * np.pi * x) ** 2 / 4.0 for i in range(2)
+        )
+        K = stiffness_matrix(Vs[0], weight=kap)
+        b_full = load_vector(Vs[0], lambda x: np.ones_like(x))
+        u_ref = np.zeros(K.shape[0])
+        u_ref[1:-1] = np.linalg.solve(K[1:-1, 1:-1], b_full[1:-1])
+
+        errs = {}
+        for name, g in (("plain", g_p), ("boost", g_b)):
+            full0 = tf.modes_to_full(g.modes[0])[: g.n_modes]
+            fac = np.ones(g.n_modes)
+            for j in range(2):
+                v = np.asarray(evaluate_modes_1d(
+                    Vs[1 + j], g.modes[1 + j], np.asarray([p[j]]), xp=np
+                ))[0]
+                fac *= v[: g.n_modes]
+            u = fac @ full0
+            errs[name] = np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref)
+        assert errs["plain"] < 1e-4 and errs["boost"] < 1e-4, errs
+        # the override must not degrade interior accuracy by more than
+        # the measure re-weighting plausibly costs
+        assert errs["boost"] < 10 * errs["plain"] + 1e-7, errs
+
     def test_extra_stage_improves(self):
         # a third floor-restart must not hurt and typically halves the
         # remaining error (PERF.md 5-param measurements)
