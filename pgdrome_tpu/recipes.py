@@ -126,7 +126,8 @@ def two_stage_elliptic(sep: SeparatedProblem, n_stage1: int = 64,
 def two_stage_minres(sep: SeparatedProblem, n_stage1: int = 128,
                      n_stage2: int = 64, precondition_dims=(0, 1),
                      tol_fp: float = 1e-6, max_fp_it: int = 50,
-                     dtype=np.float32, aot_cache_dir: str | None = None):
+                     dtype=np.float32, aot_cache_dir: str | None = None,
+                     extra_stages=()):
     """The transient / non-symmetric minres pipeline (PERF.md).
 
     sep: the HOST-f64 separated problem.  Greedy Galerkin has no
@@ -135,6 +136,9 @@ def two_stage_minres(sep: SeparatedProblem, n_stage1: int = 128,
     diag-sum congruence bases (:func:`ne_dim_base`) on
     ``precondition_dims`` and mid-sweep Euclidean renormalization — then
     the f64-exact residual re-solve restarts the f32 amplitude floor.
+    ``extra_stages``: further residual-restart budgets (they stack, like
+    :func:`residual_cascade`'s — each f64 restart attacks the previous
+    stage's own f32 correction floor).
 
     Returns the combined, Galerkin-updated result in NODAL bases for
     every dim (ready for evaluation/serving)."""
@@ -156,7 +160,8 @@ def two_stage_minres(sep: SeparatedProblem, n_stage1: int = 128,
         return _to_nodal(s.solve_fused(), tfs)
 
     res = minres_stage(sep, n_stage1)
-    sep_res, s_res = residual_problem(sep, res)
-    delta = minres_stage(sep_res, n_stage2)
-    res = combine_results(res, delta, s_res)
+    for b in (n_stage2,) + tuple(extra_stages):
+        sep_res, s_res = residual_problem(sep, res)
+        delta = minres_stage(sep_res, b)
+        res = combine_results(res, delta, s_res)
     return galerkin_update(sep, res)

@@ -119,6 +119,55 @@ class TestTwoStageMinres:
         assert err < max(5 * sep_err, 2e-3), f"err {err:.3e} (sep {sep_err:.3e})"
 
 
+class TestMinresExtraStages:
+    def test_third_stage_stacks(self):
+        # extra_stages adds residual restarts that must not hurt: the
+        # deeper cascade stays at least as accurate as the two-stage
+        sep, Vs, factors, sep_err = moving_heat_source(
+            n_x=32, n_t=24, n_P=5, n_v=6, af=0.15, source_rank=16
+        )
+        res2 = two_stage_minres(sep, n_stage1=10, n_stage2=6,
+                                dtype=np.float64)
+        res3 = two_stage_minres(sep, n_stage1=10, n_stage2=6,
+                                extra_stages=(6,), dtype=np.float64)
+        assert res3.n_modes > res2.n_modes
+
+        from scipy import sparse as sps
+        from scipy.sparse import linalg as spla
+
+        nx, nt = sep.sizes[0], sep.sizes[1]
+        ip, iv = 2, 3
+        P_val = Vs[2].tabulate_dof_coordinates()[ip, 0]
+        Mx = np.asarray(sep.mass[0])
+        Mt = np.asarray(sep.ops[1][1])
+        A = (sps.kron(sps.csr_matrix(np.asarray(sep.ops[0][0])),
+                      sps.csr_matrix(np.asarray(sep.ops[1][0])))
+             + sps.kron(sps.csr_matrix(np.asarray(sep.ops[0][1])),
+                        sps.csr_matrix(np.asarray(sep.ops[1][1])))).tolil()
+        b = sum(
+            np.kron(P_val * factors[2][r][iv] * (Mx @ factors[0][r]),
+                    Mt @ factors[1][r])
+            for r in range(factors[0].shape[0])
+        )
+        for ix in range(nx):
+            rr = ix * nt
+            A.rows[rr] = [rr]
+            A.data[rr] = [1.0]
+            b[rr] = 0.0
+        u_fom = spla.spsolve(A.tocsr(), b).reshape(nx, nt)
+
+        def err(res):
+            K = res.n_modes
+            fac = (np.asarray(res.modes[2])[:K, ip]
+                   * np.asarray(res.modes[3])[:K, iv])
+            u = np.einsum("k,ki,kj->ij", fac, np.asarray(res.modes[0])[:K],
+                          np.asarray(res.modes[1])[:K])
+            return np.linalg.norm(u - u_fom) / np.linalg.norm(u_fom)
+
+        e2, e3 = err(res2), err(res3)
+        assert e3 <= e2 * 1.2 + 1e-12, (e2, e3)
+
+
 class TestTransientServing:
     def test_minres_result_serves_via_vademecum(self):
         # two_stage_minres returns nodal modes for every dim, so the
