@@ -812,7 +812,12 @@ class SeparatedPGD:
     def _nonlinear_key(self):
         """AOT-cache key component for the nonlinear hook: SOURCE-hashed
         (a plain repr would embed memory addresses and miss every
-        process; unsourceable callables fall back to their qualname)."""
+        process; unsourceable callables fall back to their qualname).
+        Hooks may carry an explicit ``_pgdrome_key`` attribute which
+        wins over the source hash — builders that close over mesh data
+        (fem.assembly_jax.quasilinear_diffusion) include a table
+        fingerprint there, because identical source on a different mesh
+        bakes different constants into the program."""
         if self._nonlinear is None:
             return None
         import inspect
@@ -820,6 +825,10 @@ class SeparatedPGD:
         parts = [self._solver, self._newton_max_it]
         for entry in self._nonlinear:
             for fn in entry:
+                explicit = getattr(fn, "_pgdrome_key", None)
+                if explicit is not None:
+                    parts.append(explicit)
+                    continue
                 try:
                     parts.append(inspect.getsource(fn))
                 except (OSError, TypeError):
