@@ -94,7 +94,7 @@ def two_stage_elliptic(sep: SeparatedProblem, n_stage1: int = 64,
                        tol_fp: float = 1e-7, solver: str = "cg",
                        cg_iters: int = 25, dtype=np.float32,
                        aot_cache_dir: str | None = None,
-                       extra_stages=()):
+                       extra_stages=(), stage_problems=None):
     """The north-star elliptic vademecum pipeline (bench.py, PERF.md).
 
     sep: the HOST-f64 separated problem (builders' convention); dim 0 is
@@ -107,12 +107,17 @@ def two_stage_elliptic(sep: SeparatedProblem, n_stage1: int = 64,
     re-solve (n_stage2, 8 fp sweeps — measured best, PERF.md) →
     optional further restarts (``extra_stages`` budgets, via
     :func:`residual_cascade` — they stack) → CP-ALS compression to
-    n_deploy (None/0 disables) → Galerkin update."""
+    n_deploy (None/0 disables) → Galerkin update.
+
+    ``stage_problems``: {stage index (2-based) → PRECONDITIONED problem}
+    forwarded to :func:`residual_cascade` (late-stage corner boosting —
+    note the values must be in the same transformed basis as this
+    recipe's own ``precondition_dim(sep, 0)``)."""
     sep_pc, tf = precondition_dim(sep, dim=0, dtype=np.float64)
     res = residual_cascade(
         sep_pc, (n_stage1, n_stage2) + tuple(extra_stages), tol_fp=tol_fp,
         solver=solver, cg_iters=cg_iters, dtype=dtype,
-        aot_cache_dir=aot_cache_dir,
+        aot_cache_dir=aot_cache_dir, stage_problems=stage_problems,
     )
     if n_deploy and res.n_modes > n_deploy:
         mass_c = [np.asarray(sep_pc.mass[0])] + [
