@@ -59,6 +59,16 @@ class AssemblyTables:
             h.update(np.ascontiguousarray(a).tobytes())
         h.update(str(np.dtype(dtype)).encode())
         self.fingerprint = h.hexdigest()[:16]
+        if np.dtype(dtype) == np.float64:
+            from jax import config as _jcfg
+
+            if not _jcfg.jax_enable_x64:
+                # explicit failure over silent truncation (repo policy:
+                # jnp.asarray(f64) with x64 off quietly downcasts)
+                raise ValueError(
+                    "AssemblyTables(dtype=float64) needs jax_enable_x64; "
+                    "enable it or pass dtype=jnp.float32"
+                )
         self.qw = jnp.asarray(qw, dtype=dtype)
         self.qb = jnp.asarray(qb, dtype=dtype)
         self.qg = jnp.asarray(qg, dtype=dtype)

@@ -134,9 +134,13 @@ def main():
                     help="Galerkin-update between stages so each residual "
                     "is of the span-OPTIMAL combination")
     ap.add_argument("--late-boost", default=None,
-                    help="'B,Q,FROM': from stage FROM on, residual stages "
-                    "target the (B, Q)-boosted measure (same operators, "
-                    "corner-heavier rows; shapes unchanged -> AOT hits)")
+                    help="'B,Q,FROM[,TO]': stages FROM..TO target the "
+                    "(B, Q)-boosted measure (same operators, corner-"
+                    "heavier rows; shapes unchanged -> AOT hits).  TO "
+                    "bounds the boost window: boosted stages fix corners "
+                    "but STALL the interior (measured — seed-101 pocket "
+                    "1.66e-6 -> 1.71e-6 under boost), so revert to the "
+                    "plain measure once corners clear the bound")
     args = ap.parse_args()
     budgets = [int(b) for b in args.budgets.split(",")]
 
@@ -148,11 +152,12 @@ def main():
     )
 
     sep_pc, tf, Vs = build()
-    sep_pc_late, from_stage = None, None
+    sep_pc_late, from_stage, to_stage = None, None, None
     if args.late_boost:
-        B, Q, from_stage = args.late_boost.split(",")
+        parts = args.late_boost.split(",")
+        B, Q, from_stage = parts[0], parts[1], int(parts[2])
+        to_stage = int(parts[3]) if len(parts) > 3 else len(budgets) + 1
         sep_pc_late, _, _ = build(boost=(float(B), int(Q)))
-        from_stage = int(from_stage)
     common = dict(tol=0.0, solver="cg", cg_iters=25, residual_check=False,
                   dtype=np.float32)
     t0 = time.perf_counter()
@@ -163,7 +168,7 @@ def main():
         t0 = time.perf_counter()
         sep_stage = (
             sep_pc_late
-            if (from_stage is not None and si >= from_stage)
+            if (from_stage is not None and from_stage <= si <= to_stage)
             else sep_pc
         )
         sep_res, s_res = residual_problem(sep_stage, res)
