@@ -104,6 +104,19 @@ def _sample_errors(Vs, res, tf, samples):
 SEEDS = (7, 101, 1234, 777)
 
 
+def _gram_cond(problem, res):
+    """Condition number of the K×K Galerkin Gram the update solves
+    (same algebra as separated.galerkin_update)."""
+    K = res.n_modes
+    ops = [np.asarray(o, dtype=np.float64) for o in problem.ops]
+    modes = [np.asarray(m, dtype=np.float64)[:K] for m in res.modes]
+    G = np.ones((ops[0].shape[0], K, K))
+    for d in range(len(modes)):
+        tmp = np.matmul(modes[d][None, :, :], ops[d])
+        G = G * np.matmul(tmp, modes[d].T[None, :, :])
+    return float(np.linalg.cond(G.sum(axis=0)))
+
+
 def verify(Vs, res, tf, n_random=16, seeds=SEEDS):
     """Dense verification: all 2^d corners (once — deterministic) plus
     n_random fresh on-grid samples per seed.  Multi-seed because one
@@ -130,6 +143,10 @@ def verify(Vs, res, tf, n_random=16, seeds=SEEDS):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--budgets", default="128,64,64,64,64,64,64")
+    ap.add_argument("--verify-raw", action="store_true",
+                    help="also verify the raw (pre-Galerkin) combination "
+                    "per stage + report the Gram condition number — "
+                    "diagnoses whether the high-rank update is the floor")
     ap.add_argument("--cascade-update", action="store_true",
                     help="Galerkin-update between stages so each residual "
                     "is of the span-OPTIMAL combination")
@@ -184,7 +201,7 @@ def main():
         t_gal = time.perf_counter() - t0
         t0 = time.perf_counter()
         mx, mc, per_seed = verify(Vs, res_g, tf)
-        print(json.dumps({
+        line = {
             "stage": si, "budgets": budgets[:si], "total_rank": res.n_modes,
             "max_err": f"{mx:.3e}", "corners": f"{mc:.3e}",
             "random_per_seed": {
@@ -193,7 +210,21 @@ def main():
             "stage_s": round(t_stage, 2),
             "galerkin_s": round(t_gal, 2),
             "verify_s": round(time.perf_counter() - t0, 1),
-        }), flush=True)
+        }
+        if args.verify_raw:
+            # floor diagnosis: is the high-rank Galerkin update itself
+            # the limiter?  Verify the raw cascade combination too (each
+            # stage's delta already solved against the exact f64
+            # residual) and estimate the Gram conditioning the update
+            # solves through.
+            mx_r, mc_r, ps_r = verify(Vs, res, tf)
+            line["raw_max_err"] = f"{mx_r:.3e}"
+            line["raw_corners"] = f"{mc_r:.3e}"
+            line["raw_random_per_seed"] = {
+                str(k): f"{v:.3e}" for k, v in ps_r.items()
+            }
+            line["galerkin_cond"] = f"{_gram_cond(sep_pc, res):.2e}"
+        print(json.dumps(line), flush=True)
         if mx < 1e-6:
             log(f"UNDER 1e-6 (union over {len(SEEDS)} seeds) at stage {si}")
             break
