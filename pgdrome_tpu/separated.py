@@ -236,12 +236,19 @@ def _solve_dim(problem, k, Fs, modes, mode_mask, rhs, solver="lu", cg_iters=30,
             coef = coef * _term_weights(problem.ops[j], Fs[j])
     A_k = jnp.einsum("t,tij->ij", coef, problem.ops[k], precision=_PREC)
 
-    # rhs loads: b = Σ_r (Π_{j≠k} c_rj) g_rk
-    rcoef = jnp.ones((rhs[0].shape[0],), dtype=Fs[k].dtype)
+    # rhs loads: b = Σ_r (Π_{j≠k} c_rj) g_rk.  Computed in the RHS
+    # dtype: with rhs_f64=True the stack stays float64 while everything
+    # else is f32 — residual-cascade stages ship rows of magnitude ~1/s
+    # that cancel to O(1) here, and resolving that cancellation in f32
+    # floors the cascade at ~1.5e-6 (measured, PERF.md round-3); the
+    # f64 contraction collapses it exactly, then the O(1) b casts down
+    # losslessly.
+    rcoef = jnp.ones((rhs[0].shape[0],), dtype=rhs[0].dtype)
     for j in range(nd):
         if j != k:
             rcoef = rcoef * _rhs_weights(rhs[j], Fs[j])
     b = jnp.einsum("r,ri->i", rcoef, rhs[k], precision=_PREC)
+    b = b.astype(Fs[k].dtype)
 
     # previous modes: b -= Σ_t Σ_m (Π_{j≠k} F_jᵀ O_tj G_jm) O_tk G_km
     # P[m,t] = Π_{j≠k} (F_jᵀ O_tj) · modes_j[m] — F on the TEST index;
@@ -361,11 +368,13 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
         # init modes, bc entries zeroed, res = sqrt(Σ_d ||b_d||²)
         res = 0.0
         for d in range(nd):
-            rcoef = jnp.ones((rhs[0].shape[0],), dtype=Fs[d].dtype)
+            # rhs-dtype contraction then downcast: see _solve_dim
+            rcoef = jnp.ones((rhs[0].shape[0],), dtype=rhs[0].dtype)
             for j in range(nd):
                 if j != d:
                     rcoef = rcoef * _rhs_weights(rhs[j], Fs[j])
             b = jnp.einsum("r,ri->i", rcoef, rhs[d], precision=_PREC)
+            b = b.astype(Fs[d].dtype)
             Pm = jnp.ones((modes[d].shape[0], P.num_terms), dtype=Fs[d].dtype)
             for j in range(nd):
                 if j != d:
@@ -746,6 +755,7 @@ class SeparatedPGD:
         renorm_sweep: bool = False,
         nonlinear=None,
         newton_max_it: int = 25,
+        rhs_f64: bool = False,
     ):
         if solver not in ("lu", "cg", "chol", "newton"):
             raise ValueError(
@@ -760,8 +770,33 @@ class SeparatedPGD:
                 "direct solvers only; use scan_params=False for "
                 "'newton'/nonlinear"
             )
+        if rhs_f64:
+            # mixed-precision stage solves: ship the rhs stack in f64 so
+            # the load contraction resolves its ~1/s cancellation exactly
+            # (the f32 cascade floor, PERF.md round-3).  Everything else
+            # (ops, factors, solves) stays `dtype`.  Needs x64 — i.e. a
+            # CPU/host backend; TPUs have no f64 (use the hybrid recipe:
+            # early stages on TPU, rhs_f64 finishing stages on CPU).
+            from jax import config as _jcfg
+
+            if not _jcfg.jax_enable_x64:
+                raise ValueError(
+                    "rhs_f64=True needs jax_enable_x64 (CPU/host backend)"
+                )
+            if scan_params:
+                raise ValueError("rhs_f64 is not supported with scan_params")
+            rhs64 = [np.asarray(r, dtype=np.float64) for r in problem.rhs]
+        else:
+            rhs64 = None
         if isinstance(problem.ops[0], np.ndarray):
             problem = problem.as_device(dtype)
+        if rhs64 is not None:
+            problem = SeparatedProblem(
+                ops=list(problem.ops),
+                rhs=[jnp.asarray(r, dtype=jnp.float64) for r in rhs64],
+                mass=list(problem.mass),
+                bc_dofs=list(problem.bc_dofs),
+            )
         self.problem = problem
         # problem data as a runtime pytree: the jitted programs take these
         # as inputs, so compiled executables (and the AOT cache) are

@@ -154,6 +154,10 @@ def main():
                     "stage floor hypothesis)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (before any jax init)")
+    ap.add_argument("--rhs-f64", action="store_true",
+                    help="mixed-precision stages: rhs stack + load "
+                    "contraction in f64, everything else f32 "
+                    "(SeparatedPGD(rhs_f64=True); CPU/x64 only)")
     ap.add_argument("--compress-rhs", type=int, default=0,
                     help="f64-compress each stage's residual rhs stack to "
                     "this rank before the f32 solve.  THE f32 FLOOR FIX "
@@ -208,7 +212,7 @@ def main():
         to_stage = int(parts[3]) if len(parts) > 3 else len(budgets) + 1
         sep_pc_late, _, _ = build(boost=(float(B), int(Q)))
     common = dict(tol=0.0, solver="cg", cg_iters=25, residual_check=False,
-                  dtype=getattr(np, args.dtype))
+                  dtype=getattr(np, args.dtype), rhs_f64=args.rhs_f64)
     t0 = time.perf_counter()
     res = SeparatedPGD(sep_pc, n_max=budgets[0], tol_fp=1e-7,
                        max_fp_it=40, **common).solve_fused()
