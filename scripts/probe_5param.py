@@ -154,6 +154,13 @@ def main():
                     "stage floor hypothesis)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (before any jax init)")
+    ap.add_argument("--save-state", default=None,
+                    help="npz path: save the combined result after the "
+                    "last stage (hybrid recipe hand-off)")
+    ap.add_argument("--resume-state", default=None,
+                    help="npz path: resume the cascade from a saved "
+                    "result instead of solving stage 1 (budgets[0] is "
+                    "ignored; stage numbering continues from the file)")
     ap.add_argument("--rhs-f64", action="store_true",
                     help="mixed-precision stages: rhs stack + load "
                     "contraction in f64, everything else f32 "
@@ -213,11 +220,26 @@ def main():
         sep_pc_late, _, _ = build(boost=(float(B), int(Q)))
     common = dict(tol=0.0, solver="cg", cg_iters=25, residual_check=False,
                   dtype=getattr(np, args.dtype), rhs_f64=args.rhs_f64)
-    t0 = time.perf_counter()
-    res = SeparatedPGD(sep_pc, n_max=budgets[0], tol_fp=1e-7,
-                       max_fp_it=40, **common).solve_fused()
-    log(f"stage 1 ({budgets[0]} modes): {time.perf_counter()-t0:.1f}s")
+    from pgdrome_tpu.separated import PGDResult
+
+    stage_offset = 0
+    if args.resume_state:
+        with np.load(args.resume_state) as z:
+            res = PGDResult(
+                modes=[z[f"m{d}"] for d in range(1 + NUM_PARAMS)],
+                n_modes=int(z["n_modes"]),
+                amplitudes=z["amplitudes"], alpha=z["alpha"],
+                fp_its=z["fp_its"], normU0=float(z["normU0"]),
+            )
+            stage_offset = int(z["stage"]) - 1
+        log(f"resumed rank {res.n_modes} at stage {stage_offset + 1}")
+    else:
+        t0 = time.perf_counter()
+        res = SeparatedPGD(sep_pc, n_max=budgets[0], tol_fp=1e-7,
+                           max_fp_it=40, **common).solve_fused()
+        log(f"stage 1 ({budgets[0]} modes): {time.perf_counter()-t0:.1f}s")
     for si, b in enumerate(budgets[1:], start=2):
+        si += stage_offset
         t0 = time.perf_counter()
         sep_stage = (
             sep_pc_late
@@ -268,6 +290,14 @@ def main():
             }
             line["galerkin_cond"] = f"{_gram_cond(sep_pc, res):.2e}"
         print(json.dumps(line), flush=True)
+        if args.save_state:
+            arrs = {f"m{d}": np.asarray(res.modes[d], dtype=np.float64)
+                    for d in range(1 + NUM_PARAMS)}
+            np.savez(args.save_state, n_modes=res.n_modes,
+                     amplitudes=np.asarray(res.amplitudes),
+                     alpha=np.asarray(res.alpha),
+                     fp_its=np.asarray(res.fp_its),
+                     normU0=res.normU0, stage=si, **arrs)
         if mx < 1e-6:
             log(f"UNDER 1e-6 (union over {len(SEEDS)} seeds) at stage {si}")
             break

@@ -13,7 +13,11 @@ from pgdrome_tpu.models.problems import (
     elastic_truss,
     pgd_problem_from_separated,
 )
-from pgdrome_tpu.separated import SeparatedPGD, evaluate_modes_1d
+from pgdrome_tpu.separated import (
+    SeparatedPGD,
+    SeparatedProblem,
+    evaluate_modes_1d,
+)
 
 
 class TestFastPathParity:
@@ -432,3 +436,75 @@ class TestCompressRhs:
 
         sep, _ = parametric_elliptic(n_x=16, n_p=4, num_params=2)
         assert compress_rhs(sep, 5) is sep
+
+
+class TestRhsF64:
+    """Mixed-precision stage solves: the rhs stack + load contraction in
+    f64 while everything else runs f32 (the residual-cascade f32 floor
+    fix, PERF.md round-3)."""
+
+    def test_cancelling_rhs_recovers_f64_accuracy(self):
+        # engineered cancellation: rhs rows of magnitude C cancel to the
+        # O(1) load g.  f32 contraction noise scales ~C*eps_f32; rhs_f64
+        # resolves the cancellation exactly.
+        from pgdrome_tpu.models.problems import parametric_elliptic
+        from pgdrome_tpu.separated import precondition_dim0
+
+        sep, _ = parametric_elliptic(n_x=32, n_p=8, num_params=1)
+        # precondition as the real pipeline does, so the f32 per-dim
+        # solve (cond O(1)) does not mask the contraction comparison
+        sep_pc, _tf = precondition_dim0(sep, dtype=np.float64)
+        C = 3.0e5
+        g0 = np.asarray(sep_pc.rhs[0], dtype=np.float64)
+        g1 = np.asarray(sep_pc.rhs[1], dtype=np.float64)
+        # stack [(1+C) g; -C g] == g exactly (each dim-1 row identical)
+        rhs0 = np.concatenate([(1.0 + C) * g0, -C * g0], axis=0)
+        rhs1 = np.concatenate([g1, g1], axis=0)
+        sep_c = SeparatedProblem(
+            ops=list(sep_pc.ops), rhs=[rhs0, rhs1], mass=list(sep_pc.mass),
+            bc_dofs=list(sep_pc.bc_dofs),
+        )
+        kw = dict(n_max=4, tol=0.0, tol_fp=1e-7, max_fp_it=40,
+                  residual_check=False)
+        ref = SeparatedPGD(sep_pc, dtype=np.float64, **kw).solve_fused()
+        mixed = SeparatedPGD(sep_c, dtype=np.float32, rhs_f64=True,
+                             **kw).solve_fused()
+        plain = SeparatedPGD(sep_c, dtype=np.float32, **kw).solve_fused()
+
+        def tensor(res):
+            K = res.n_modes
+            return np.einsum(
+                "ki,kj->ij",
+                np.asarray(res.modes[0], dtype=np.float64)[:K],
+                np.asarray(res.modes[1], dtype=np.float64)[:K],
+            )
+
+        t_ref = tensor(ref)
+        scale = np.abs(t_ref).max()
+        err_mixed = np.abs(tensor(mixed) - t_ref).max() / scale
+        err_plain = np.abs(tensor(plain) - t_ref).max() / scale
+        # mixed must reach f32-roundoff-of-the-solution accuracy
+        # (measured 1.7e-7); the plain f32 contraction carries the C*eps
+        # cancellation noise (measured 3.2e-2 ≈ 3e5 * 1e-7)
+        assert err_mixed < 2e-6, err_mixed
+        assert err_plain > 100 * err_mixed, (err_plain, err_mixed)
+
+    def test_matches_plain_when_rhs_benign(self):
+        # no cancellation: rhs_f64 and plain f32 agree to f32 accuracy
+        from pgdrome_tpu.models.problems import parametric_elliptic
+
+        sep, _ = parametric_elliptic(n_x=24, n_p=8, num_params=2)
+        kw = dict(n_max=3, tol=0.0, tol_fp=1e-6, max_fp_it=30,
+                  residual_check=False, dtype=np.float32)
+        a = SeparatedPGD(sep, rhs_f64=True, **kw).solve_fused()
+        b = SeparatedPGD(sep, **kw).solve_fused()
+        np.testing.assert_allclose(
+            np.asarray(a.amplitudes), np.asarray(b.amplitudes), rtol=2e-4
+        )
+
+    def test_scan_params_rejected(self):
+        from pgdrome_tpu.models.problems import parametric_elliptic
+
+        sep, _ = parametric_elliptic(n_x=16, n_p=6, num_params=2)
+        with pytest.raises(ValueError, match="rhs_f64"):
+            SeparatedPGD(sep, rhs_f64=True, scan_params=True)
