@@ -53,7 +53,7 @@ def residual_cascade(problem_pc: SeparatedProblem, budgets,
                      tol_fp: float = 1e-7, solver: str = "cg",
                      cg_iters: int = 25, dtype=np.float32,
                      aot_cache_dir: str | None = None,
-                     stage_problems=None):
+                     stage_problems=None, rhs_f64: bool = False):
     """Multi-stage floor-restarted greedy solve on an (already
     preconditioned) problem: stage 1 solves ``budgets[0]`` modes; each
     further budget forms the f64-exact residual rhs on the host
@@ -72,12 +72,20 @@ def residual_cascade(problem_pc: SeparatedProblem, budgets,
     under 1e-6: budgets (192, 128×6), boost (48, 6) from stage 5 →
     8.7e-7 dense-verified (PERF.md round-3).
 
+    ``rhs_f64``: ship each stage's rhs stack in f64 and contract it at
+    f64 (CPU/x64 backends only) — deep cascades freeze at ~1.5e-6 in
+    pure f32 because the residual stack's rows carry magnitude ~1/s and
+    cancel in the load contraction (measured, PERF.md round-3); with
+    rhs_f64 the cascade converges like full f64.  On TPU (no f64) use
+    the hybrid recipe: early stages f32 on-chip, finishing stages with
+    rhs_f64 on the host.
+
     Later stages use the loose 8-sweep fixed point (measured best for
     corrections, PERF.md).  Returns the combined (uncompressed) result in
     ``problem_pc``'s basis."""
     common = dict(tol=0.0, solver=solver, cg_iters=cg_iters,
                   residual_check=False, dtype=dtype,
-                  aot_cache_dir=aot_cache_dir)
+                  aot_cache_dir=aot_cache_dir, rhs_f64=rhs_f64)
     res = SeparatedPGD(problem_pc, n_max=budgets[0], tol_fp=tol_fp,
                        max_fp_it=40, **common).solve_fused()
     for si, b in enumerate(budgets[1:], start=2):
