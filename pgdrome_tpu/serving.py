@@ -133,13 +133,16 @@ class Vademecum:
         results = []
         pending = []  # (device block, valid rows)
         for start in range(0, samples.shape[0], chunk):
-            sl = samples[start : start + chunk]
-            pending.append((self._sweep(sl), min(chunk, B - start)))
-            if len(pending) > depth:
+            # drain BEFORE dispatching: PJRT allocates the output buffer at
+            # enqueue time, so dispatch-then-drain holds depth+1 live blocks
+            # (3 × 4.3 GB OOMs a 16 GB HBM at bench scale — measured)
+            if len(pending) >= depth:
                 y, valid = pending.pop(0)
                 jax.block_until_ready(y)
                 results.append(consumer(y[:valid] if valid < y.shape[0] else y))
                 del y
+            sl = samples[start : start + chunk]
+            pending.append((self._sweep(sl), min(chunk, B - start)))
         for y, valid in pending:
             jax.block_until_ready(y)
             results.append(consumer(y[:valid] if valid < y.shape[0] else y))
