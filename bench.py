@@ -39,6 +39,7 @@ if os.environ.get("PGDROME_BENCH_QUICK"):  # smoke mode for bench iteration
     N_X, N_P, N_MODES = 128, 32, 10
     N_MODES_SOLVE = 14
     N_MODES_STAGE2 = 8
+    N_MODES_STAGE3 = 8
     CPU_BASELINE_MODES = 10
 else:
     N_X = 1024      # P2 → 2049 space dofs (2047 interior)
@@ -52,6 +53,11 @@ else:
     # f64-exact residual rhs rescaled to O(1) restarts the f32 amplitude
     # floor — separated.residual_problem)
     N_MODES_STAGE2 = 48
+    # third-stage budget: the two-stage pipeline's f32 floor leaves a
+    # >1e-6 pocket the stricter 3-seed×64 verification finds (seed 1234:
+    # 1.047e-6); one more floor restart clears it to ~7.9e-7 at the same
+    # deployed rank (scripts/probe_bound.py probes C/D)
+    N_MODES_STAGE3 = 48
     # fixed measured baseline budget: exactly this many modes are timed
     # (deterministic, ~2-7 min on the 1-core host), the rest extrapolated
     # per-mode — both numbers are reported.  17 of 50 keeps the
@@ -536,6 +542,20 @@ def main():
     )
     res = combine_results(res, delta, s_res)
 
+    # third floor restart: rebuild the f64-exact residual of the combined
+    # two-stage result and re-solve once more.  The two-stage f32 floor
+    # sits at ~1.2e-6 in the worst sample pocket; this stage lands the
+    # whole 3-seed×64 verification under 7.9e-7 (probe_bound.py C/D)
+    t0 = time.perf_counter()
+    sep_res3, s_res3 = residual_problem(sep_pc64, res)
+    t_resid3 = time.perf_counter() - t0
+    log(f"residual build 2: {t_resid3:.2f}s  (‖r‖ = {s_res3:.3e})")
+    delta3, t_solve3, t_first3, aot_status3 = tpu_solve(
+        sep_res3, n_max=N_MODES_STAGE3, tag="stage3", tol_fp=1e-5,
+        max_fp_it=8,
+    )
+    res = combine_results(res, delta3, s_res3)
+
     # postprocess to the deployed rank-N_MODES vademecum (host f64):
     # CP-ALS compression in the boosted collocation metric (the measure
     # the corners are weighted in), then span-optimal coefficients
@@ -586,9 +606,9 @@ def main():
             float("nan"), float("nan"), 0, True,
         )
 
-    # operators-ready → deployable vademecum: both TPU solves, the host
-    # residual build, and the compression/Galerkin postprocess
-    t_total = t_solve + t_resid + t_solve2 + t_post
+    # operators-ready → deployable vademecum: all three TPU solves, the
+    # host residual builds, and the compression/Galerkin postprocess
+    t_total = t_solve + t_resid + t_solve2 + t_resid3 + t_solve3 + t_post
     # measured-only speedup (zero extrapolation leverage): per-mode solve
     # rate ratio over the modes both sides actually ran
     vs_measured = (
@@ -607,6 +627,8 @@ def main():
         "solve_s": round(t_solve, 4),
         "residual_build_s": round(t_resid, 4),
         "stage2_solve_s": round(t_solve2, 4),
+        "residual2_build_s": round(t_resid3, 4),
+        "stage3_solve_s": round(t_solve3, 4),
         "postprocess_s": round(t_post, 4),
         "modes_per_s": round(n_solved / t_solve, 2),
         "max_rel_error_vs_fem": float(f"{max_err:.3e}"),
@@ -627,8 +649,10 @@ def main():
         if sensor_rate else None,
         "first_call_s": round(t_first_call, 2),
         "first_call_stage2_s": round(t_first2, 2),
+        "first_call_stage3_s": round(t_first3, 2),
         "aot_cache": aot_status,
         "aot_cache_stage2": aot_status2,
+        "aot_cache_stage3": aot_status3,
         "setup_s": round(t_setup, 2),
         "setup_cache": setup_cache_status,
         "end_to_end_fresh_s": round(end_to_end_fresh, 1),
