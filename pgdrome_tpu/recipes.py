@@ -53,7 +53,8 @@ def residual_cascade(problem_pc: SeparatedProblem, budgets,
                      tol_fp: float = 1e-7, solver: str = "cg",
                      cg_iters: int = 25, dtype=np.float32,
                      aot_cache_dir: str | None = None,
-                     stage_problems=None, rhs_f64: bool = False):
+                     stage_problems=None, rhs_f64: bool = False,
+                     rhs_comp: bool = False):
     """Multi-stage floor-restarted greedy solve on an (already
     preconditioned) problem: stage 1 solves ``budgets[0]`` modes; each
     further budget forms the f64-exact residual rhs on the host
@@ -76,16 +77,22 @@ def residual_cascade(problem_pc: SeparatedProblem, budgets,
     f64 (CPU/x64 backends only) — deep cascades freeze at ~1.5e-6 in
     pure f32 because the residual stack's rows carry magnitude ~1/s and
     cancel in the load contraction (measured, PERF.md round-3); with
-    rhs_f64 the cascade converges like full f64.  On TPU (no f64) use
-    the hybrid recipe: early stages f32 on-chip, finishing stages with
-    rhs_f64 on the host.
+    rhs_f64 the cascade converges like full f64.
+
+    ``rhs_comp``: the TPU-native alternative — each stage's rhs stack is
+    shipped as double-f32 pairs and contracted compensated on the VPU
+    (ops/ddf32.py, ~2^-48 relative of the stack rows), so deep cascades
+    stay entirely on-chip with no x64 backend.  The host hybrid
+    (early stages f32 on TPU, finishing stages rhs_f64 on CPU) remains
+    the fallback for cancellation beyond dd's ~C·2^-48 resolution.
 
     Later stages use the loose 8-sweep fixed point (measured best for
     corrections, PERF.md).  Returns the combined (uncompressed) result in
     ``problem_pc``'s basis."""
     common = dict(tol=0.0, solver=solver, cg_iters=cg_iters,
                   residual_check=False, dtype=dtype,
-                  aot_cache_dir=aot_cache_dir, rhs_f64=rhs_f64)
+                  aot_cache_dir=aot_cache_dir, rhs_f64=rhs_f64,
+                  rhs_comp=rhs_comp)
     res = SeparatedPGD(problem_pc, n_max=budgets[0], tol_fp=tol_fp,
                        max_fp_it=40, **common).solve_fused()
     for si, b in enumerate(budgets[1:], start=2):

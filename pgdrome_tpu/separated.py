@@ -130,6 +130,28 @@ def _rhs_weights(R_d, F_d):
     return jnp.einsum("ri,i->r", R_d, F_d, precision=_PREC)
 
 
+def _contract_rhs(rhs, Fs, k, nd):
+    """Per-dim rhs assembly b_i = Σ_r (Π_{j≠k} F_j·g_rj) g_rki, in the
+    stack's own precision: plain (R, n) stacks contract in their dtype
+    (f32/f64), double-f32 (R, n, 2) stacks via the compensated ddf32
+    path — both downcast only at the end."""
+    if rhs[k].ndim == 3:  # dd storage (rhs_comp=True)
+        from pgdrome_tpu.ops import ddf32
+
+        rh = jnp.ones((rhs[0].shape[0],), dtype=rhs[k].dtype)
+        rl = jnp.zeros_like(rh)
+        for j in range(nd):
+            if j != k:
+                wh, wl = ddf32.dd_dot(rhs[j], Fs[j])
+                rh, rl = ddf32.dd_mul(rh, rl, wh, wl)
+        return ddf32.dd_contract(rh, rl, rhs[k])
+    rcoef = jnp.ones((rhs[0].shape[0],), dtype=rhs[0].dtype)
+    for j in range(nd):
+        if j != k:
+            rcoef = rcoef * _rhs_weights(rhs[j], Fs[j])
+    return jnp.einsum("r,ri->i", rcoef, rhs[k], precision=_PREC)
+
+
 def _apply_bc_system(A, b, mask):
     """Homogeneous Dirichlet: zero rows/cols, 1 on diag, zero rhs entries."""
     A = A * mask[:, None] * mask[None, :] + jnp.diag(1.0 - mask)
@@ -242,13 +264,10 @@ def _solve_dim(problem, k, Fs, modes, mode_mask, rhs, solver="lu", cg_iters=30,
     # that cancel to O(1) here, and resolving that cancellation in f32
     # floors the cascade at ~1.5e-6 (measured, PERF.md round-3); the
     # f64 contraction collapses it exactly, then the O(1) b casts down
-    # losslessly.
-    rcoef = jnp.ones((rhs[0].shape[0],), dtype=rhs[0].dtype)
-    for j in range(nd):
-        if j != k:
-            rcoef = rcoef * _rhs_weights(rhs[j], Fs[j])
-    b = jnp.einsum("r,ri->i", rcoef, rhs[k], precision=_PREC)
-    b = b.astype(Fs[k].dtype)
+    # losslessly.  With rhs_comp=True the stack is double-f32 (R, n, 2)
+    # and the same cancellation is resolved on-chip (ops/ddf32.py) —
+    # the TPU-native equivalent (no x64 backend needed).
+    b = _contract_rhs(rhs, Fs, k, nd).astype(Fs[k].dtype)
 
     # previous modes: b -= Σ_t Σ_m (Π_{j≠k} F_jᵀ O_tj G_jm) O_tk G_km
     # P[m,t] = Π_{j≠k} (F_jᵀ O_tj) · modes_j[m] — F on the TEST index;
@@ -369,12 +388,7 @@ def make_enrich_step(problem: SeparatedProblem, seq_fp=None, max_fp_it=50,
         res = 0.0
         for d in range(nd):
             # rhs-dtype contraction then downcast: see _solve_dim
-            rcoef = jnp.ones((rhs[0].shape[0],), dtype=rhs[0].dtype)
-            for j in range(nd):
-                if j != d:
-                    rcoef = rcoef * _rhs_weights(rhs[j], Fs[j])
-            b = jnp.einsum("r,ri->i", rcoef, rhs[d], precision=_PREC)
-            b = b.astype(Fs[d].dtype)
+            b = _contract_rhs(rhs, Fs, d, nd).astype(Fs[d].dtype)
             Pm = jnp.ones((modes[d].shape[0], P.num_terms), dtype=Fs[d].dtype)
             for j in range(nd):
                 if j != d:
@@ -756,6 +770,7 @@ class SeparatedPGD:
         nonlinear=None,
         newton_max_it: int = 25,
         rhs_f64: bool = False,
+        rhs_comp: bool = False,
     ):
         if solver not in ("lu", "cg", "chol", "newton"):
             raise ValueError(
@@ -788,12 +803,32 @@ class SeparatedPGD:
             rhs64 = [np.asarray(r, dtype=np.float64) for r in problem.rhs]
         else:
             rhs64 = None
+        if rhs_comp:
+            # the TPU-native counterpart of rhs_f64: the stack is shipped
+            # as double-f32 pairs (R, n, 2) and the load contraction runs
+            # compensated on the VPU (ops/ddf32.py) — ~2^-48 relative,
+            # enough to resolve the cascade cancellation on a backend
+            # with no hardware f64.  Split from the HOST f64 stack before
+            # any device cast (a f32 round-trip would destroy the lo
+            # parts this exists to keep).
+            if rhs_f64:
+                raise ValueError("rhs_comp and rhs_f64 are exclusive")
+            if scan_params:
+                raise ValueError("rhs_comp is not supported with scan_params")
+            from pgdrome_tpu.ops.ddf32 import dd_from_f64
+
+            rhs_dd = [dd_from_f64(np.asarray(r, dtype=np.float64))
+                      for r in problem.rhs]
+        else:
+            rhs_dd = None
         if isinstance(problem.ops[0], np.ndarray):
             problem = problem.as_device(dtype)
-        if rhs64 is not None:
+        if rhs64 is not None or rhs_dd is not None:
             problem = SeparatedProblem(
                 ops=list(problem.ops),
-                rhs=[jnp.asarray(r, dtype=jnp.float64) for r in rhs64],
+                rhs=[jnp.asarray(r, dtype=jnp.float64) for r in rhs64]
+                if rhs64 is not None
+                else [jnp.asarray(r) for r in rhs_dd],
                 mass=list(problem.mass),
                 bc_dofs=list(problem.bc_dofs),
             )

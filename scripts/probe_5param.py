@@ -165,6 +165,11 @@ def main():
                     help="mixed-precision stages: rhs stack + load "
                     "contraction in f64, everything else f32 "
                     "(SeparatedPGD(rhs_f64=True); CPU/x64 only)")
+    ap.add_argument("--rhs-comp", action="store_true",
+                    help="TPU-native floor fix: double-f32 rhs stack + "
+                    "compensated VPU contraction "
+                    "(SeparatedPGD(rhs_comp=True); no x64 needed — deep "
+                    "cascades stay on-chip)")
     ap.add_argument("--compress-rhs", type=int, default=0,
                     help="f64-compress each stage's residual rhs stack to "
                     "this rank before the f32 solve.  THE f32 FLOOR FIX "
@@ -219,7 +224,8 @@ def main():
         to_stage = int(parts[3]) if len(parts) > 3 else len(budgets) + 1
         sep_pc_late, _, _ = build(boost=(float(B), int(Q)))
     common = dict(tol=0.0, solver="cg", cg_iters=25, residual_check=False,
-                  dtype=getattr(np, args.dtype), rhs_f64=args.rhs_f64)
+                  dtype=getattr(np, args.dtype), rhs_f64=args.rhs_f64,
+                  rhs_comp=args.rhs_comp)
     from pgdrome_tpu.separated import PGDResult
 
     stage_offset = 0
