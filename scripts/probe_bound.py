@@ -11,6 +11,10 @@ This probe separates the candidate causes on the exact bench pipeline:
   B. the shipped bench path (compress 112->50 + Galerkin)  -> reproduce.
   C. three-stage cascade (+48 f32 residual modes), uncompressed.
   D. three-stage, compressed to the deployed rank 50.
+  E. (--rhs-comp) TWO-stage with the stage-2 solve in compensated
+     double-f32 (rhs_comp=True, ops/ddf32.py): if the stage-2 f32
+     floor is the rhs-stack cancellation, dd resolves it in ONE
+     restart — dropping stage 3 (and ~0.6 s) from the headline.
 
 Reuses bench.build / bench.tpu_solve / bench.verify so every knob matches
 the shipped pipeline; stage-1/2 executables AOT-hit, stage 3 is one new
@@ -65,6 +69,8 @@ def main():
     ap.add_argument("--stage3-budget", type=int, default=48)
     ap.add_argument("--skip-two-stage", action="store_true",
                     help="skip the A/B reproduction checks")
+    ap.add_argument("--rhs-comp", action="store_true",
+                    help="run probe E (dd stage-2) instead of C/D")
     args = ap.parse_args()
 
     import pgdrome_tpu.config as cfg
@@ -79,9 +85,18 @@ def main():
     sep_res, s_res = residual_problem(sep_pc64, res1)
     delta, *_ = bench.tpu_solve(
         sep_res, n_max=bench.N_MODES_STAGE2, tag="stage2", tol_fp=1e-5,
-        max_fp_it=8,
+        max_fp_it=8, rhs_comp=args.rhs_comp,
     )
     res = combine_results(res1, delta, s_res)
+
+    if args.rhs_comp:
+        check("E_two_stage_dd_rank112_galerkin", sep_pc64, Vs, tf,
+              galerkin_update(sep_pc64, res))
+        check("E_two_stage_dd_compress50", sep_pc64, Vs, tf,
+              galerkin_update(
+                  sep_pc64, compress_modes(res, mass_c, bench.N_MODES,
+                                           n_iters=20)))
+        return
 
     if not args.skip_two_stage:
         check("A_two_stage_rank112_galerkin", sep_pc64, Vs, tf,

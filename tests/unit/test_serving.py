@@ -61,6 +61,23 @@ class TestVademecum:
             rtol=1e-10,
         )
 
+    def test_sensors_stream_matches_sensors(self, trained):
+        # pipelined sensor streaming == the one-shot jitted sweep,
+        # ragged tail included (shares _stream_pipeline with fields)
+        sep, Vs, res = trained
+        vd = Vademecum(Vs, res, dtype=np.float64)
+        pts = np.array([0.2, 0.5, 0.8])
+        samples = np.random.default_rng(5).uniform(0.1, 0.9, size=(45, 2))
+        ref = np.asarray(vd.sensors(pts)(jnp.asarray(samples)))
+        streamed = vd.sensors_stream(pts, samples, chunk=16, depth=2)
+        np.testing.assert_allclose(streamed, ref, rtol=1e-12)
+        assert streamed.shape == (45, 3)
+        # consumer mode: per-chunk shapes
+        sizes = []
+        vd.sensors_stream(pts, samples, chunk=16, depth=2,
+                          consumer=lambda y: sizes.append(y.shape[0]))
+        assert sizes == [16, 16, 13]
+
     def test_sensor_lru_bound(self, trained):
         sep, Vs, res = trained
         vd = Vademecum(Vs, res, dtype=np.float64)
