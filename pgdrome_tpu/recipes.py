@@ -54,7 +54,7 @@ def residual_cascade(problem_pc: SeparatedProblem, budgets,
                      cg_iters: int = 25, dtype=np.float32,
                      aot_cache_dir: str | None = None,
                      stage_problems=None, rhs_f64: bool = False,
-                     rhs_comp: bool = False):
+                     rhs_comp: bool = False, rhs_comp_from: int | None = None):
     """Multi-stage floor-restarted greedy solve on an (already
     preconditioned) problem: stage 1 solves ``budgets[0]`` modes; each
     further budget forms the f64-exact residual rhs on the host
@@ -86,20 +86,30 @@ def residual_cascade(problem_pc: SeparatedProblem, budgets,
     (early stages f32 on TPU, finishing stages rhs_f64 on CPU) remains
     the fallback for cancellation beyond dd's ~C·2^-48 resolution.
 
+    ``rhs_comp_from``: enable rhs_comp only from this 1-based stage
+    index on — the measured all-on-chip recipe: early stages are not
+    cancellation-bound (plain f32 is cheaper and its executables are
+    already cached), the deep stages are.  The 5-parameter vademecum
+    lands at 9.7e-7 with plain stages to the ~1.6e-6 floor and two
+    rhs_comp stages after (PERF.md round-3 #7).
+
     Later stages use the loose 8-sweep fixed point (measured best for
     corrections, PERF.md).  Returns the combined (uncompressed) result in
     ``problem_pc``'s basis."""
-    common = dict(tol=0.0, solver=solver, cg_iters=cg_iters,
-                  residual_check=False, dtype=dtype,
-                  aot_cache_dir=aot_cache_dir, rhs_f64=rhs_f64,
-                  rhs_comp=rhs_comp)
+    def common(si):
+        comp = rhs_comp or (rhs_comp_from is not None and si >= rhs_comp_from)
+        return dict(tol=0.0, solver=solver, cg_iters=cg_iters,
+                    residual_check=False, dtype=dtype,
+                    aot_cache_dir=aot_cache_dir, rhs_f64=rhs_f64,
+                    rhs_comp=comp)
+
     res = SeparatedPGD(problem_pc, n_max=budgets[0], tol_fp=tol_fp,
-                       max_fp_it=40, **common).solve_fused()
+                       max_fp_it=40, **common(1)).solve_fused()
     for si, b in enumerate(budgets[1:], start=2):
         prob_s = (stage_problems or {}).get(si, problem_pc)
         sep_res, s_res = residual_problem(prob_s, res)
         delta = SeparatedPGD(sep_res, n_max=b, tol_fp=1e-5, max_fp_it=8,
-                             **common).solve_fused()
+                             **common(si)).solve_fused()
         res = combine_results(res, delta, s_res)
     return res
 

@@ -13,6 +13,9 @@ Programs warmed (the bench.py / serving shapes):
   * stage-1 fused enrichment (64 modes, cg) on the parametric-elliptic
     north-star shapes
   * stage-2 residual re-solve program (48 modes, fp8)
+  * stage-3 re-solve on the second residual's larger rhs stack (the
+    three-stage headline pipeline; the stack grows again, so it is a
+    distinct program shape)
   * the flagship 4-dim elasticity solve (elasticity_vademecum(n_nu=...),
     bench elasticity_nu phase)
 
@@ -34,7 +37,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def warmup(n_x=1024, n_p=128, num_params=3, n_modes=(64, 48)):
+def warmup(n_x=1024, n_p=128, num_params=3, n_modes=(64, 48, 48)):
     os.environ.setdefault(
         "PGDROME_AOT_CACHE", os.path.expanduser("~/.cache/pgdrome_aot")
     )
@@ -53,7 +56,7 @@ def warmup(n_x=1024, n_p=128, num_params=3, n_modes=(64, 48)):
 
     from pgdrome_tpu.separated import residual_problem
 
-    stage1, stage2 = n_modes
+    stage1, stage2 = n_modes[0], n_modes[1]
     s1 = SeparatedPGD(
         sep_pc, n_max=stage1, tol=0.0, tol_fp=1e-7, max_fp_it=40,
         solver="cg", cg_iters=25, residual_check=False, dtype=np.float32,
@@ -74,10 +77,29 @@ def warmup(n_x=1024, n_p=128, num_params=3, n_modes=(64, 48)):
         solver="cg", cg_iters=25, residual_check=False, dtype=np.float32,
     )
     t0 = time.perf_counter()
-    s2.solve_fused()
+    delta = s2.solve_fused()
     log(
         f"warmup: stage2 ({stage2} modes, residual-shaped rhs) ready in "
         f"{time.perf_counter()-t0:.1f}s — aot cache {s2.last_compile_status}"
+    )
+    if len(n_modes) < 3:
+        return
+    # stage 3 is again a DISTINCT shape: the second residual is taken of
+    # the combined rank-(stage1+stage2) result, so its rhs stack is
+    # larger still (R + T·(K1+K2) rows)
+    from pgdrome_tpu.separated import combine_results
+
+    stage3 = n_modes[2]
+    sep_res3, _ = residual_problem(sep_pc, combine_results(res, delta, 1.0))
+    s3 = SeparatedPGD(
+        sep_res3, n_max=stage3, tol=0.0, tol_fp=1e-5, max_fp_it=8,
+        solver="cg", cg_iters=25, residual_check=False, dtype=np.float32,
+    )
+    t0 = time.perf_counter()
+    s3.solve_fused()
+    log(
+        f"warmup: stage3 ({stage3} modes, second-residual rhs) ready in "
+        f"{time.perf_counter()-t0:.1f}s — aot cache {s3.last_compile_status}"
     )
 
 def warmup_elasticity_nu(quick=False):
@@ -116,7 +138,7 @@ def main(argv=None):
                     help="tiny shapes (smoke test, seconds)")
     args = ap.parse_args(argv)
     if args.quick:
-        warmup(n_x=64, n_p=16, num_params=2, n_modes=(6, 4))
+        warmup(n_x=64, n_p=16, num_params=2, n_modes=(6, 4, 4))
     else:
         warmup()
     warmup_elasticity_nu(quick=args.quick)

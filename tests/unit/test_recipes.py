@@ -251,6 +251,37 @@ class TestResidualCascade:
         # the measure re-weighting plausibly costs
         assert errs["boost"] < 10 * errs["plain"] + 1e-7, errs
 
+    def test_rhs_comp_from_stage(self):
+        # rhs_comp_from=2: stage 1 plain f32, later stages compensated
+        # double-f32 — the measured all-on-chip hybrid as one call.
+        # On a benign (no-cancellation) problem all precision variants
+        # agree to f32 accuracy; this checks the wiring end-to-end.
+        from pgdrome_tpu.recipes import residual_cascade
+        from pgdrome_tpu.separated import precondition_dim0
+
+        sep, _ = parametric_elliptic(n_x=32, n_p=8, num_params=2)
+        pc, _tf = precondition_dim0(sep, dtype=np.float64)
+        kw = dict(dtype=np.float32, solver="cg", cg_iters=25)
+        a = residual_cascade(pc, (6, 4, 4), rhs_comp_from=2, **kw)
+        b = residual_cascade(pc, (6, 4, 4), rhs_comp=True, **kw)
+        assert a.n_modes == b.n_modes
+
+        def tensor(res):
+            K = res.n_modes
+            t = np.einsum(
+                "ki,kj->kij",
+                np.asarray(res.modes[0], dtype=np.float64)[:K],
+                np.asarray(res.modes[1], dtype=np.float64)[:K],
+            )
+            return np.einsum(
+                "kij,kl->ijl", t,
+                np.asarray(res.modes[2], dtype=np.float64)[:K],
+            )
+
+        ta, tb = tensor(a), tensor(b)
+        scale = np.abs(tb).max()
+        assert np.abs(ta - tb).max() / scale < 1e-3
+
     def test_extra_stage_improves(self):
         # a third floor-restart must not hurt and typically halves the
         # remaining error (PERF.md 5-param measurements)
