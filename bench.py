@@ -279,7 +279,7 @@ def sweep_throughput(Vs, res, tf, n_samples=524_288):
     # each phase measures independently: a transient RESOURCE_EXHAUSTED in
     # one (the outputs are 4.3 GB each at this scale) must not void the
     # others' numbers
-    rate = rate_p = rate_s = None
+    rate = rate_p = rate_s = rate_bf16 = None
     try:
         out = sweep(batches[0])  # compile
         jax.block_until_ready(out)
@@ -337,6 +337,37 @@ def sweep_throughput(Vs, res, tf, n_samples=524_288):
     except Exception as e:
         log(f"sweep (pipelined) skipped: {e}")
 
+    # bf16-output streaming (opt-in serving dtype): the halved store
+    # doubles the HBM-bounded chunk (1M keeps two blocks in flight) AND
+    # halves the kernel's own output traffic — measured 18.5 M fields/s,
+    # above the f32 marginal; output quantization ~2e-3 relative
+    rate_bf16 = None
+    try:
+        import jax.numpy as _jnp
+
+        big = jnp.concatenate(batches, axis=0)
+        ck = 2 * n_samples
+        vd.fields_stream(  # compile + warm
+            big[: 2 * ck], consumer=lambda y: None, chunk=ck, depth=2,
+            out_dtype=_jnp.bfloat16,
+        )
+        dt_b = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            vd.fields_stream(
+                big, consumer=lambda y: None, chunk=ck, depth=2,
+                out_dtype=_jnp.bfloat16,
+            )
+            dt_b = min(dt_b, time.perf_counter() - t0)
+        rate_bf16 = big.shape[0] / dt_b
+        log(
+            f"vademecum serving stream bf16 (chunk {ck}, depth-2): "
+            f"{dt_b*1e3:.1f} ms → {rate_bf16:,.0f} fields/s"
+        )
+        del big
+    except Exception as e:
+        log(f"sweep (bf16 stream) skipped: {e}")
+
     # sensor/QoI serving path: 8 sensor points instead of the full field —
     # output traffic drops n_pts/n0 (~4e-3), so the sweep runs
     # compute-bound; batch 16x larger (input/output both tiny)
@@ -381,7 +412,7 @@ def sweep_throughput(Vs, res, tf, n_samples=524_288):
         )
     except Exception as e:
         log(f"sensor sweep skipped: {e}")
-    return rate, rate_p, rate_s
+    return rate, rate_p, rate_s, rate_bf16
 
 
 def elasticity_nu_phase():
@@ -588,12 +619,12 @@ def main():
     end_to_end_fresh = time.perf_counter() - T_PROCESS_START
     log(f"end-to-end fresh process: {end_to_end_fresh:.1f}s")
     try:
-        sweep_rate, sweep_rate_pipelined, sensor_rate = sweep_throughput(
+        sweep_rate, sweep_rate_pipelined, sensor_rate, sweep_rate_bf16 = sweep_throughput(
             Vs, res, tf
         )
     except Exception as e:  # never block the headline metric
         log(f"sweep throughput skipped: {e}")
-        sweep_rate = sweep_rate_pipelined = sensor_rate = None
+        sweep_rate = sweep_rate_pipelined = sensor_rate = sweep_rate_bf16 = None
     # flagship 4-dim elasticity solve line (fault-tolerant like the sweeps)
     try:
         nu_fields = elasticity_nu_phase()
@@ -653,6 +684,8 @@ def main():
         "sweep_fields_per_s": round(sweep_rate) if sweep_rate else None,
         "sweep_fields_per_s_pipelined": round(sweep_rate_pipelined)
         if sweep_rate_pipelined else None,
+        "sweep_fields_per_s_bf16": round(sweep_rate_bf16)
+        if sweep_rate_bf16 else None,
         "sensor_sweep_responses_per_s": round(sensor_rate)
         if sensor_rate else None,
         "first_call_s": round(t_first_call, 2),

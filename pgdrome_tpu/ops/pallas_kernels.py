@@ -41,7 +41,8 @@ def _on_tpu() -> bool:
 # ------------------------------------------------------- fused sweep kernel
 
 def make_fused_sweep(spaces, modes, n_modes, block_b: int = 512,
-                     block_n: int = 2048, interpret: bool | None = None):
+                     block_n: int = 2048, interpret: bool | None = None,
+                     out_dtype=None):
     """Fully fused vademecum sweep: samples (B, d−1) → fields (B, n0) in
     ONE kernel — cell locate (arithmetic, uniform grids), two-hot basis
     weights, per-dim mode evaluation, mode product, and the rank-1
@@ -66,6 +67,12 @@ def make_fused_sweep(spaces, modes, n_modes, block_b: int = 512,
     K = modes[0].shape[0]
     n0 = modes[0].shape[1]
     interpret = (not _on_tpu()) if interpret is None else interpret
+    # out_dtype: optional narrower OUTPUT quantization (compute stays
+    # true-f32 in VMEM; only the HBM store narrows).  bfloat16 halves the
+    # output traffic/footprint — at bench scale that lets 1M-sample
+    # chunks keep two in flight under 16 GB HBM, which is what pushes the
+    # streamed field rate to the compute-marginal ~17.5 M/s (PERF.md).
+    out_dtype = jnp.float32 if out_dtype is None else jnp.dtype(out_dtype)
 
     def _round_up(x, m):
         return -(-x // m) * m
@@ -142,7 +149,7 @@ def make_fused_sweep(spaces, modes, n_modes, block_b: int = 512,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )
+        ).astype(out_dtype)
 
     def sweep(samples):
         samples = jnp.asarray(samples, dtype=jnp.float32)
@@ -162,7 +169,7 @@ def make_fused_sweep(spaces, modes, n_modes, block_b: int = 512,
                 pl.BlockSpec((K128, bn), lambda i, j: (0, j)),
             ],
             out_specs=pl.BlockSpec((bb, bn), lambda i, j: (i, j)),
-            out_shape=jax.ShapeDtypeStruct((B, n0), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((B, n0), out_dtype),
             interpret=interpret,
         )(gp, sT, tabs, m0)
 

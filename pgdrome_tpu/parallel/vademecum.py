@@ -20,7 +20,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pgdrome_tpu.separated import evaluate_modes_1d, _PREC
 
 
-def make_sweep_fn(spaces, modes, n_modes, method="xla"):
+def make_sweep_fn(spaces, modes, n_modes, method="xla", out_dtype=None):
     """Build the jitted sweep: samples (B, d-1) → fields (B, n0).
 
     spaces: per-dim function spaces (free dims 1..d-1 must be 1D scalar);
@@ -30,7 +30,13 @@ def make_sweep_fn(spaces, modes, n_modes, method="xla"):
     by sharded_sweep), 'fused' (the Pallas kernel — single-chip, uniform
     P1/P2 parameter grids; bit-identical output, measured 2.7× the XLA
     rate at bench scale), or 'auto' (fused on TPU when its constraints
-    hold, else xla)."""
+    hold, else xla).
+
+    out_dtype: optional narrower OUTPUT dtype (e.g. jnp.bfloat16) —
+    compute stays full precision, only the final store narrows (~4e-3
+    relative quantization).  Halved output bytes double the streamable
+    chunk, which is what lifts the pipelined field-serving rate to its
+    compute margin on HBM-bound chips (serving.fields_stream)."""
     if method in ("fused", "auto"):
         if np.dtype(np.asarray(modes[0]).dtype) == np.float64:
             # the fused kernel runs float32 — silently serving f32 fields
@@ -46,7 +52,8 @@ def make_sweep_fn(spaces, modes, n_modes, method="xla"):
                 from pgdrome_tpu.ops.pallas_kernels import make_fused_sweep, _on_tpu
 
                 if method == "fused" or _on_tpu():
-                    return make_fused_sweep(spaces, modes, n_modes)
+                    return make_fused_sweep(spaces, modes, n_modes,
+                                            out_dtype=out_dtype)
             except ValueError:
                 if method == "fused":
                     raise
@@ -70,7 +77,8 @@ def make_sweep_fn(spaces, modes, n_modes, method="xla"):
         if k_pad:
             fac = jnp.pad(fac, ((0, 0), (0, k_pad)))
         # pin true-f32 precision: TPU matmuls default to bf16 inputs
-        return jnp.einsum("bk,ki->bi", fac, modes0_mm, precision=_PREC)
+        out = jnp.einsum("bk,ki->bi", fac, modes0_mm, precision=_PREC)
+        return out if out_dtype is None else out.astype(out_dtype)
 
     return jax.jit(sweep)
 

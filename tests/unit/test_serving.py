@@ -61,6 +61,32 @@ class TestVademecum:
             rtol=1e-10,
         )
 
+    def test_fields_stream_bf16_output(self, trained):
+        # out_dtype=bfloat16: compute stays full precision, only the
+        # output store narrows (~4e-3 relative) — the halved blocks are
+        # what let HBM-bound field serving double its chunk (PERF.md)
+        import jax.numpy as jnp
+
+        sep, Vs, res = trained
+        vd = Vademecum(Vs, res, dtype=np.float32)
+        samples = np.random.default_rng(6).uniform(
+            0.1, 0.9, size=(40, 2)
+        ).astype(np.float32)
+        ref = np.asarray(vd.fields(jnp.asarray(samples)), dtype=np.float64)
+        dtypes = []
+        out = vd.fields_stream(
+            samples, chunk=16, depth=2, out_dtype=jnp.bfloat16,
+            consumer=lambda y: (dtypes.append(y.dtype), np.asarray(
+                y, dtype=np.float64))[1],
+        )
+        assert all(d == jnp.bfloat16 for d in dtypes)
+        got = np.concatenate(out, axis=0)
+        scale = np.abs(ref).max()
+        assert np.abs(got - ref).max() / scale < 1.6e-2  # bf16 quantization
+        # the f32 path is unaffected (separate cached sweep)
+        exact = vd.fields_stream(samples, chunk=16, depth=2)
+        np.testing.assert_allclose(exact, ref.astype(np.float32), rtol=1e-6)
+
     def test_sensors_stream_matches_sensors(self, trained):
         # pipelined sensor streaming == the one-shot jitted sweep,
         # ragged tail included (shares _stream_pipeline with fields)
