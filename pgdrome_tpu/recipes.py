@@ -157,7 +157,7 @@ def two_stage_minres(sep: SeparatedProblem, n_stage1: int = 128,
                      n_stage2: int = 64, precondition_dims=(0, 1),
                      tol_fp: float = 1e-6, max_fp_it: int = 50,
                      dtype=np.float32, aot_cache_dir: str | None = None,
-                     extra_stages=()):
+                     extra_stages=(), rhs_comp: bool = False):
     """The transient / non-symmetric minres pipeline (PERF.md).
 
     sep: the HOST-f64 separated problem.  Greedy Galerkin has no
@@ -170,10 +170,16 @@ def two_stage_minres(sep: SeparatedProblem, n_stage1: int = 128,
     :func:`residual_cascade`'s — each f64 restart attacks the previous
     stage's own f32 correction floor).
 
+    ``rhs_comp``: contract the RESIDUAL stages' rhs stacks in
+    compensated double-f32 on-chip (ops/ddf32.py) — the residual NE
+    stack ships rescaled rows that cancel in the load contraction,
+    same mechanism as the elliptic cascades.  Stage 1 stays plain (its
+    rhs is benign).
+
     Returns the combined, Galerkin-updated result in NODAL bases for
     every dim (ready for evaluation/serving)."""
 
-    def minres_stage(problem, n_max):
+    def minres_stage(problem, n_max, comp=False):
         ne = normal_equations(problem)
         tfs = []
         for d in precondition_dims:
@@ -186,12 +192,13 @@ def two_stage_minres(sep: SeparatedProblem, n_stage1: int = 128,
         s = SeparatedPGD(ne, n_max=n_max, tol=0.0, tol_fp=tol_fp,
                          max_fp_it=max_fp_it, solver="chol",
                          residual_check=False, dtype=dtype,
-                         renorm_sweep=True, aot_cache_dir=aot_cache_dir)
+                         renorm_sweep=True, aot_cache_dir=aot_cache_dir,
+                         rhs_comp=comp)
         return _to_nodal(s.solve_fused(), tfs)
 
     res = minres_stage(sep, n_stage1)
     for b in (n_stage2,) + tuple(extra_stages):
         sep_res, s_res = residual_problem(sep, res)
-        delta = minres_stage(sep_res, b)
+        delta = minres_stage(sep_res, b, comp=rhs_comp)
         res = combine_results(res, delta, s_res)
     return galerkin_update(sep, res)
