@@ -113,6 +113,8 @@ def main():
     variants = {
         "base": dict(extra_stages=(), rhs_comp=False),
         "extra": dict(extra_stages=(64,), rhs_comp=False),
+        "extra2": dict(extra_stages=(64, 64), rhs_comp=False),
+        "extra3": dict(extra_stages=(64, 64, 64), rhs_comp=False),
         "dd": dict(extra_stages=(), rhs_comp=True),
         "dd_extra": dict(extra_stages=(64,), rhs_comp=True),
     }
