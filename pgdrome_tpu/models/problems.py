@@ -358,6 +358,7 @@ def moving_heat_source(
     k: float = 0.05,
     source_rank: int = 40,
     separation: str = "greedy",
+    separation_tol: float = 1e-5,
     dtype=None,
 ):
     """Moving heat-source welding/AM surrogate: space ⊗ time ⊗ power ⊗
@@ -405,7 +406,12 @@ def moving_heat_source(
     X, Tm, Vm = np.meshgrid(x_grid, t_grid, v_grid, indexing="ij")
     g = np.exp(-((X - xc0 - Vm * Tm) ** 2) / af**2)
     if separation == "hierarchical":
-        factors = separate_hierarchical(g, tol=1e-5, max_terms=source_rank)
+        # separation_tol bounds the per-level SVD truncation: at rank 256
+        # tol=1e-5 achieves ~2.7e-5 while tol=1e-7 reaches ~5.0e-7 — the
+        # knob that matters once the solver cascade passes ~3e-5
+        # (scripts/probe_minres_floor.py --sep-tol)
+        factors = separate_hierarchical(g, tol=separation_tol,
+                                        max_terms=source_rank)
     else:
         factors = separate(g, source_rank, tol=1e-12)
     sep_err = separation_error(g, factors)
