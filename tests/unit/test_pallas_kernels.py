@@ -29,6 +29,33 @@ class TestFusedSweep:
         assert out.shape == ref.shape
         np.testing.assert_allclose(out, ref, atol=5e-7 * np.abs(ref).max())
 
+    def test_bf16_output(self):
+        # out_dtype narrows only the store: bf16 output within its
+        # quantization of the f32 kernel, same shape
+        import jax.numpy as jnp
+
+        from pgdrome_tpu.models.problems import parametric_elliptic
+        from pgdrome_tpu.separated import SeparatedPGD
+        from pgdrome_tpu.ops.pallas_kernels import make_fused_sweep
+
+        sep, Vs = parametric_elliptic(n_x=40, n_p=16, num_params=2)
+        res = SeparatedPGD(
+            sep, n_max=6, tol=1e-12, tol_fp=1e-8, dtype=np.float32
+        ).solve()
+        modes = [jnp.asarray(m) for m in res.modes]
+        samples = np.random.default_rng(1).uniform(
+            0.05, 0.95, size=(50, 2)
+        ).astype(np.float32)
+        f32 = np.asarray(
+            make_fused_sweep(Vs, modes, res.n_modes, block_b=64,
+                             block_n=128)(samples), dtype=np.float64
+        )
+        out = make_fused_sweep(Vs, modes, res.n_modes, block_b=64,
+                               block_n=128, out_dtype=jnp.bfloat16)(samples)
+        assert out.dtype == jnp.bfloat16 and out.shape == f32.shape
+        err = np.abs(np.asarray(out, dtype=np.float64) - f32).max()
+        assert err < 1.6e-2 * np.abs(f32).max()
+
     def test_p2_param_dims(self):
         # degree-2 parameter spaces exercise the 3-point two-hot branch
         import jax.numpy as jnp
