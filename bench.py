@@ -303,16 +303,25 @@ def sweep_throughput(Vs, res, tf, n_samples=524_288):
     # Vademecum.fields_stream dispatches depth-2 chunks behind one call
     # (no caller-side tricks, round-2 VERDICT #5); the consumer drops each
     # block, so this measures sustained serving rate with bounded HBM
-    from pgdrome_tpu.serving import Vademecum
-    from pgdrome_tpu.separated import PGDResult
-
-    res_full = PGDResult(
-        modes=modes, n_modes=res.n_modes,
-        amplitudes=np.asarray(res.amplitudes),
-        alpha=np.asarray(res.alpha), fp_its=np.asarray(res.fp_its),
-    )
-    vd = Vademecum(Vs, res_full)
+    # the shared serving container is itself phase-isolated: a failure
+    # here must not void the already-measured sync rate (phases check
+    # `vd is not None`)
+    vd = None
     try:
+        from pgdrome_tpu.serving import Vademecum
+        from pgdrome_tpu.separated import PGDResult
+
+        res_full = PGDResult(
+            modes=modes, n_modes=res.n_modes,
+            amplitudes=np.asarray(res.amplitudes),
+            alpha=np.asarray(res.alpha), fp_its=np.asarray(res.fp_its),
+        )
+        vd = Vademecum(Vs, res_full)
+    except Exception as e:
+        log(f"serving container skipped: {e}")
+    try:
+        if vd is None:
+            raise RuntimeError("no serving container")
         big = jnp.concatenate(batches, axis=0)  # 4 x n_samples rows
         vd.fields_stream(  # compile + warm
             big[: 2 * n_samples], consumer=lambda y: None,
@@ -341,10 +350,11 @@ def sweep_throughput(Vs, res, tf, n_samples=524_288):
     # doubles the HBM-bounded chunk (1M keeps two blocks in flight) AND
     # halves the kernel's own output traffic — measured 18.5 M fields/s,
     # above the f32 marginal; output quantization ~2e-3 relative
-    rate_bf16 = None
     try:
         import jax.numpy as _jnp
 
+        if vd is None:
+            raise RuntimeError("no serving container")
         big = jnp.concatenate(batches, axis=0)
         ck = 2 * n_samples
         vd.fields_stream(  # compile + warm
@@ -383,6 +393,8 @@ def sweep_throughput(Vs, res, tf, n_samples=524_288):
         ss = float(jnp.max(jnp.abs(sensor_ref(probe))))
         assert ds <= 1e-6 * ss, f"sensor path mismatch: {ds} vs scale {ss}"
         log(f"sensor parity fused-vs-xla: max abs diff {ds:.2e}")
+        if vd is None:
+            raise RuntimeError("no serving container")
         # product streaming path (VERDICT #5, sensor side): the sensor
         # output is tiny (no HBM bound), so Vademecum.sensors_stream can
         # take a big batch in 16x-field-sweep chunks and hide the ~40 ms

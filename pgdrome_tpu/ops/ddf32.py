@@ -91,18 +91,17 @@ def dd_mul_f(xh, xl, f):
 
 def dd_sum(h, l, axis=0):
     """Compensated reduction along ``axis``: pairwise binary-tree fold of
-    dd_add, fully vectorized (log2(n) elementwise passes — no scan)."""
+    dd_add, fully vectorized (log2(n) elementwise passes — no scan).
+    Odd levels are padded by one zero row only (an up-front pad to the
+    next power of two would nearly double the first folds' memory and
+    flops at e.g. n=2049; zero-padding is exact under dd_add)."""
     h = jnp.moveaxis(h, axis, 0)
     l = jnp.moveaxis(l, axis, 0)
-    n = h.shape[0]
-    size = 1
-    while size < n:
-        size *= 2
-    if size != n:
-        pad = [(0, size - n)] + [(0, 0)] * (h.ndim - 1)
-        h = jnp.pad(h, pad)
-        l = jnp.pad(l, pad)
+    pad1 = [(0, 1)] + [(0, 0)] * (h.ndim - 1)
     while h.shape[0] > 1:
+        if h.shape[0] % 2:
+            h = jnp.pad(h, pad1)
+            l = jnp.pad(l, pad1)
         half = h.shape[0] // 2
         h, l = dd_add(h[:half], l[:half], h[half:], l[half:])
     return h[0], l[0]

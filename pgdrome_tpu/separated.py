@@ -785,6 +785,10 @@ class SeparatedPGD:
                 "direct solvers only; use scan_params=False for "
                 "'newton'/nonlinear"
             )
+        if rhs_comp and rhs_f64:
+            # checked before the x64 guard: a TPU user combining the two
+            # should be told to drop rhs_f64, not to enable x64
+            raise ValueError("rhs_comp and rhs_f64 are exclusive")
         if rhs_f64:
             # mixed-precision stage solves: ship the rhs stack in f64 so
             # the load contraction resolves its ~1/s cancellation exactly
@@ -811,8 +815,6 @@ class SeparatedPGD:
             # with no hardware f64.  Split from the HOST f64 stack before
             # any device cast (a f32 round-trip would destroy the lo
             # parts this exists to keep).
-            if rhs_f64:
-                raise ValueError("rhs_comp and rhs_f64 are exclusive")
             if scan_params:
                 raise ValueError("rhs_comp is not supported with scan_params")
             from pgdrome_tpu.ops.ddf32 import dd_from_f64
@@ -821,16 +823,31 @@ class SeparatedPGD:
                       for r in problem.rhs]
         else:
             rhs_dd = None
+        if rhs64 is not None:
+            rhs_dev = [jnp.asarray(r, dtype=jnp.float64) for r in rhs64]
+        elif rhs_dd is not None:
+            rhs_dev = [jnp.asarray(r) for r in rhs_dd]
+        else:
+            rhs_dev = None
         if isinstance(problem.ops[0], np.ndarray):
-            problem = problem.as_device(dtype)
-        if rhs64 is not None or rhs_dd is not None:
+            if rhs_dev is not None:
+                # don't cast+upload the doomed f32 rhs stack via
+                # as_device just to replace it — on deep cascades it is
+                # the largest array and the host link is ~60-120 MB/s
+                problem = SeparatedProblem(
+                    ops=[jnp.asarray(np.asarray(o), dtype=dtype)
+                         for o in problem.ops],
+                    rhs=rhs_dev,
+                    mass=[jnp.asarray(np.asarray(m), dtype=dtype)
+                          for m in problem.mass],
+                    bc_dofs=list(problem.bc_dofs),
+                )
+            else:
+                problem = problem.as_device(dtype)
+        elif rhs_dev is not None:
             problem = SeparatedProblem(
-                ops=list(problem.ops),
-                rhs=[jnp.asarray(r, dtype=jnp.float64) for r in rhs64]
-                if rhs64 is not None
-                else [jnp.asarray(r) for r in rhs_dd],
-                mass=list(problem.mass),
-                bc_dofs=list(problem.bc_dofs),
+                ops=list(problem.ops), rhs=rhs_dev,
+                mass=list(problem.mass), bc_dofs=list(problem.bc_dofs),
             )
         self.problem = problem
         # problem data as a runtime pytree: the jitted programs take these
