@@ -167,6 +167,29 @@ class TestMinresExtraStages:
         e2, e3 = err(res2), err(res3)
         assert e3 <= e2 * 1.2 + 1e-12, (e2, e3)
 
+    def test_rhs_comp_residual_stages(self):
+        # rhs_comp routes the residual stages through the compensated dd
+        # contraction; on a benign stack it must track the plain result
+        # (the at-scale payoff is measured in scripts/probe_minres_floor
+        # — dd breaks the 1.5e-6 wide-cascade floor)
+        sep, Vs, factors, sep_err = moving_heat_source(
+            n_x=32, n_t=24, n_P=5, n_v=6, af=0.15, source_rank=16
+        )
+        plain = two_stage_minres(sep, n_stage1=8, n_stage2=5,
+                                 dtype=np.float32)
+        comp = two_stage_minres(sep, n_stage1=8, n_stage2=5,
+                                dtype=np.float32, rhs_comp=True)
+        assert comp.n_modes == plain.n_modes
+        t_p = np.einsum(
+            "ki,kj->ij", np.asarray(plain.modes[0], dtype=np.float64),
+            np.asarray(plain.modes[1], dtype=np.float64),
+        )
+        t_c = np.einsum(
+            "ki,kj->ij", np.asarray(comp.modes[0], dtype=np.float64),
+            np.asarray(comp.modes[1], dtype=np.float64),
+        )
+        assert np.abs(t_c - t_p).max() <= 1e-3 * np.abs(t_p).max()
+
 
 class TestTransientServing:
     def test_minres_result_serves_via_vademecum(self):
