@@ -109,14 +109,22 @@ def build():
         # stacks + transform + spaces keeps the snapshot ~170 MB (≈2 s read)
         return sep_pc64, tf, Vs, {"sizes": tuple(sep64.sizes)}
 
+    from pgdrome_tpu.fem.assembly import (
+        load_vector,
+        mass_matrix,
+        stiffness_matrix,
+    )
+
     t0 = time.perf_counter()
     (sep_pc64, tf, Vs, meta), status = cached_setup(
         _build,
         key_data=["bench_build_v1", N_X, N_P, NUM_PARAMS, 2,
                   BOUNDARY_BOOST, "f64"],
-        # source-hashed: editing assembly/preconditioning code invalidates
-        # stale snapshots instead of serving them
-        code_objects=(parametric_elliptic, precondition_dim),
+        # source-hashed: only the PASSED functions' own source enters the
+        # key, so the fem assembly helpers the builder calls are listed
+        # too — editing any of them invalidates stale snapshots
+        code_objects=(parametric_elliptic, precondition_dim,
+                      stiffness_matrix, mass_matrix, load_vector),
     )
     t_setup = time.perf_counter() - t0
     log(f"setup: {t_setup:.2f}s (cache {status})")

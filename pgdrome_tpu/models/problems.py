@@ -528,11 +528,17 @@ def elasticity_vademecum(
     Mp = mass_matrix(Vp)
     ME_w = mass_matrix(VE, weight=lambda E: E)
     if param_discretization == "collocation":
-        # row-sum lumping (exact for the linear weights): diagonal
-        # operators block-diagonalize the tensor system per (λp, λE) grid
-        # point; norm matrices stay consistent (bookkeeping only)
-        Mp_op = np.diag(Mp.sum(axis=1))
-        ME_w_op = np.diag(ME_w.sum(axis=1))
+        # POINTWISE lumping (like the ν dim below): diagonal entries
+        # w_i·weight(x_i) so the plain weights w_i cancel per grid point.
+        # Row-sums of the WEIGHTED consistent mass are not the same
+        # thing — (ME_w·1)_i = (M·E)_i carries the (2E_0+E_1)/3 endpoint
+        # bias that breaks per-grid-point FEM parity at the box corners.
+        # Norm matrices stay consistent (bookkeeping only).
+        Mp_op = np.diag(Mp.sum(axis=1))  # weight 1: row sums == w_i
+        ME_w_op = np.diag(
+            mass_matrix(VE).sum(axis=1)
+            * VE.tabulate_dof_coordinates()[:, 0]
+        )
     else:
         Mp_op, ME_w_op = Mp, ME_w
 
@@ -548,7 +554,15 @@ def elasticity_vademecum(
     bR = boundary_load_vector(
         Vx, g2, lambda m: abs(m[1] - L[1]) < 1e-9 and m[0] > L[0] / 2
     )
-    bp = load_vector(Vp, lambda p: p)
+    if param_discretization == "collocation":
+        # the load must be lumped like the operators, or the diagonal
+        # weights don't cancel per grid point: consistent Mp@p biases the
+        # endpoint rows by h/3 ((2·p0+p1)/3 ≠ p0), breaking the promised
+        # per-grid-point FEM parity exactly at the parameter-box corners
+        bp = Mp.sum(axis=1) * Vp.tabulate_dof_coordinates()[:, 0]
+    else:
+        bp = load_vector(Vp, lambda p: p)
+    # the ones-load is exact either way: load_vector(V, 1) == row sums
     bE = load_vector(VE, lambda E: np.ones_like(E))
 
     bc_x = DirichletBC(Vx, (0.0, 0.0), lambda p: abs(p[0]) < 1e-9)

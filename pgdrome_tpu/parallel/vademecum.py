@@ -20,6 +20,37 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pgdrome_tpu.separated import evaluate_modes_1d, _PREC
 
 
+def _try_fused(spaces, dim0_modes, other_modes, n_modes, method, kind,
+               out_dtype=None):
+    """Shared fused-kernel eligibility gate for the field and sensor
+    sweeps: f64 modes are refused explicitly on method='fused' (the
+    kernel is float32-only — silently serving f32 from an f64 vademecum
+    would break the dtype contract), 'auto' takes the kernel on TPU when
+    its constraints hold and quietly falls back to XLA otherwise.
+    Returns the jitted fused sweep or None (→ caller's XLA path)."""
+    if np.dtype(np.asarray(dim0_modes).dtype) == np.float64:
+        if method == "fused":
+            raise ValueError(
+                f"fused {kind} kernel is float32-only; use method='xla' "
+                "for float64 modes"
+            )
+        return None
+    try:
+        from pgdrome_tpu.ops.pallas_kernels import make_fused_sweep, _on_tpu
+
+        if method == "fused" or _on_tpu():
+            return make_fused_sweep(
+                spaces,
+                [jnp.asarray(dim0_modes)]
+                + [jnp.asarray(m) for m in other_modes],
+                n_modes, out_dtype=out_dtype,
+            )
+    except ValueError:  # kernel constraints (grids/degree) not met
+        if method == "fused":
+            raise
+    return None
+
+
 def make_sweep_fn(spaces, modes, n_modes, method="xla", out_dtype=None):
     """Build the jitted sweep: samples (B, d-1) → fields (B, n0).
 
@@ -38,25 +69,10 @@ def make_sweep_fn(spaces, modes, n_modes, method="xla", out_dtype=None):
     chunk, which is what lifts the pipelined field-serving rate to its
     compute margin on HBM-bound chips (serving.fields_stream)."""
     if method in ("fused", "auto"):
-        if np.dtype(np.asarray(modes[0]).dtype) == np.float64:
-            # the fused kernel runs float32 — silently serving f32 fields
-            # from an f64 vademecum would contradict the dtype contract
-            # (mirror the Vademecum ctor's explicit-failure philosophy)
-            if method == "fused":
-                raise ValueError(
-                    "fused sweep kernel is float32-only; use method='xla' "
-                    "for float64 modes"
-                )
-        else:
-            try:
-                from pgdrome_tpu.ops.pallas_kernels import make_fused_sweep, _on_tpu
-
-                if method == "fused" or _on_tpu():
-                    return make_fused_sweep(spaces, modes, n_modes,
-                                            out_dtype=out_dtype)
-            except ValueError:
-                if method == "fused":
-                    raise
+        fused = _try_fused(spaces, modes[0], modes[1:], n_modes, method,
+                           "sweep", out_dtype=out_dtype)
+        if fused is not None:
+            return fused
         # 'auto' falls through to the XLA path
     nd = len(spaces)
     modes0 = jnp.asarray(modes[0])
@@ -112,26 +128,10 @@ def make_sensor_sweep_fn(spaces, modes, n_modes, points, method="auto"):
          for k in range(n_max)]
     ).reshape(n_max, -1).astype(modes0.dtype)
     if method in ("fused", "auto"):
-        if np.dtype(modes0.dtype) == np.float64:
-            # float32-only kernel: see make_sweep_fn
-            if method == "fused":
-                raise ValueError(
-                    "fused sensor kernel is float32-only; use method='xla' "
-                    "for float64 modes"
-                )
-        else:
-            try:
-                from pgdrome_tpu.ops.pallas_kernels import make_fused_sweep, _on_tpu
-
-                if method == "fused" or _on_tpu():
-                    return make_fused_sweep(
-                        spaces,
-                        [jnp.asarray(table)] + [jnp.asarray(m) for m in modes[1:]],
-                        n_modes,
-                    )
-            except ValueError:
-                if method == "fused":
-                    raise
+        fused = _try_fused(spaces, table, modes[1:], n_modes, method,
+                           "sensor")
+        if fused is not None:
+            return fused
         # 'auto' falls through to the XLA path
     mode_mask = (np.arange(n_max) < n_modes).astype(modes0.dtype)
     # MXU-preferred contraction width (see make_sweep_fn)

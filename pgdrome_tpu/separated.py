@@ -789,6 +789,19 @@ class SeparatedPGD:
             # checked before the x64 guard: a TPU user combining the two
             # should be told to drop rhs_f64, not to enable x64
             raise ValueError("rhs_comp and rhs_f64 are exclusive")
+        if (rhs_comp or rhs_f64) and not (
+            isinstance(problem.rhs[0], np.ndarray)
+            and problem.rhs[0].dtype == np.float64
+        ):
+            # a problem already cast to device f32 has no lo parts left to
+            # preserve — dd_from_f64 of a round-tripped f32 stack is all
+            # zeros and the mixed-precision flag silently does nothing.
+            # Explicit failure over silent no-op (repo policy).
+            raise ValueError(
+                "rhs_f64/rhs_comp need the HOST float64 problem (builders' "
+                "convention) — this problem's rhs is already "
+                f"{'device' if not isinstance(problem.rhs[0], np.ndarray) else str(problem.rhs[0].dtype)}"
+            )
         if rhs_f64:
             # mixed-precision stage solves: ship the rhs stack in f64 so
             # the load contraction resolves its ~1/s cancellation exactly
@@ -1118,6 +1131,12 @@ class SeparatedPGD:
                     # False-keyed (default-path) entries are unchanged
                     "renorm-v2" if self._renorm_sweep else False,
                 ]
+                if self._solver == "newton":
+                    # the Newton iteration cap is baked into the compiled
+                    # while_loop bound — two caps must not share a cache
+                    # entry.  Appended only when active so non-newton
+                    # keys (and warm entries) stay stable.
+                    key_data.append(("newton_max_it", self._newton_max_it))
                 if self._nonlinear is not None:
                     # appended only when active, so the default path's
                     # cache keys (and warm entries) stay stable; plain

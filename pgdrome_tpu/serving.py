@@ -42,6 +42,14 @@ def _stream_pipeline(fn, samples, chunk, depth, consumer):
     samples = jnp.asarray(samples)
     B = samples.shape[0]
     collect = consumer is None
+    if B == 0:
+        # np.concatenate([]) raises; an empty query batch is a valid
+        # server input and should produce an empty result.  The shape
+        # probe reuses the normal chunk shape (warm cache: no compile).
+        if collect:
+            y0 = fn(jnp.zeros((chunk,) + samples.shape[1:], samples.dtype))
+            return np.zeros((0,) + y0.shape[1:], np.asarray(y0[:0]).dtype)
+        return []
     if collect:
         out_np = []
         consumer = lambda y: out_np.append(np.asarray(y))  # noqa: E731

@@ -582,14 +582,27 @@ class PGDProblem:
         B = np.asarray(B, dtype=np.float64)
         fct_F = Function(self.V[dim])
         n = A.shape[0]
-        if n >= 3 and not (
-            np.any(np.triu(A, 2)) or np.any(np.tril(A, -2))
-        ):
+        # tridiagonality check WITHOUT materializing n² triu/tril copies
+        # (the ~60-120 MB/s host makes every dense copy ~0.5 s at scale,
+        # and this runs once per dim per fixed-point iteration): the
+        # matrix is tridiagonal iff its nonzero count matches its three
+        # diagonals' nonzero count
+        tri_nnz = (
+            np.count_nonzero(np.diagonal(A))
+            + np.count_nonzero(np.diagonal(A, 1))
+            + np.count_nonzero(np.diagonal(A, -1))
+        )
+        if n >= 3 and np.count_nonzero(A) == tri_nnz:
             from pgdrome_tpu.utils.native import thomas_solve
 
             dl = np.concatenate([[0.0], np.diagonal(A, -1)])
             du = np.concatenate([np.diagonal(A, 1), [0.0]])
-            fct_F.array = thomas_solve(dl, np.diagonal(A).copy(), du, B)
-        else:
-            fct_F.array = np.asarray(solve_dense(A, B))
+            x = thomas_solve(dl, np.diagonal(A).copy(), du, B)
+            if np.all(np.isfinite(x)):
+                fct_F.array = x
+                return fct_F
+            # unpivoted Thomas hit a zero/tiny pivot (indefinite FP
+            # combos can do this) — fall through to the pivoted dense LU,
+            # matching the robustness of the reference's spsolve
+        fct_F.array = np.asarray(solve_dense(A, B))
         return fct_F

@@ -10,9 +10,10 @@ executables) for the HOST half of time-to-first-solution: together a fresh
 process goes from operators-on-disk to solving in seconds.
 
 The cache key hashes the caller's parameters AND the source code of the
-functions that produce the value (builder + transforms), so editing the
-assembly or preconditioning code invalidates stale entries instead of
-serving them.  Values are arbitrary picklable pytrees —
+PASSED functions (builder + transforms) — their OWN source only, not
+their callees' — so pass every function whose edits should invalidate
+the snapshot (e.g. the fem assembly helpers a builder calls), or bump
+key_data when touching deeper internals.  Values are arbitrary picklable pytrees —
 :class:`~pgdrome_tpu.separated.SeparatedProblem` and
 :class:`~pgdrome_tpu.separated.Dim0Transform` both pickle cleanly (the
 transform stores its Cholesky factor data, not closures).
@@ -90,16 +91,24 @@ def cached_setup(build_fn, key_data, code_objects=(), cache_dir=None):
                 pass
 
     value = build_fn()
+    tmp = None
     try:
         # atomic publish: a concurrent reader must never see a short file
         fd, tmp = tempfile.mkstemp(dir=cache_dir, suffix=".tmp")
         with os.fdopen(fd, "wb") as f:
             pickle.dump(value, f, protocol=pickle.HIGHEST_PROTOCOL)
         os.replace(tmp, path)
+        tmp = None
         LOGGER.info(
             "setup cache store: %s (%.1f MB)", path,
             os.path.getsize(path) / 1e6,
         )
     except Exception as e:  # unpicklable value / full disk: keep going
         LOGGER.warning("setup cache store failed (%s); caching disabled", e)
+    finally:
+        if tmp is not None:  # failed store: don't leak the partial .tmp
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
     return value, "miss"

@@ -33,6 +33,7 @@ def log(*a):
 
 
 def build(boost=(16.0, 6)):
+    from pgdrome_tpu.fem.assembly import load_vector, stiffness_matrix
     from pgdrome_tpu.models.problems import parametric_elliptic
     from pgdrome_tpu.separated import precondition_dim, precondition_dim0
     from pgdrome_tpu.utils.setup_cache import cached_setup
@@ -48,7 +49,8 @@ def build(boost=(16.0, 6)):
     (sep_pc64, tf), status = cached_setup(
         _build,
         key_data=["probe5_build_v1", N_X, N_P, NUM_PARAMS, boost],
-        code_objects=(parametric_elliptic, precondition_dim),
+        code_objects=(parametric_elliptic, precondition_dim,
+                      stiffness_matrix, load_vector),
     )
     log(f"setup cache {status} (boost {boost})")
     # spaces are cheap to rebuild (meshes only)

@@ -39,6 +39,7 @@ def log(*a):
 
 def build(source_rank=160, sep_tol=1e-5):
     from pgdrome_tpu.models.problems import moving_heat_source
+    from pgdrome_tpu.utils.separation import separate_hierarchical
     from pgdrome_tpu.utils.setup_cache import cached_setup
 
     def _build():
@@ -52,7 +53,7 @@ def build(source_rank=160, sep_tol=1e-5):
         _build,
         key_data=["probe_minres_build_v1", N_X, N_T, N_P, N_V, 0.12,
                   source_rank, "hierarchical", sep_tol],
-        code_objects=(moving_heat_source,),
+        code_objects=(moving_heat_source, separate_hierarchical),
     )
     log(f"setup cache {status}; separation floor {sep_err:.3e} "
         f"(source rank {source_rank})")

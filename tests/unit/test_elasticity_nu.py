@@ -129,15 +129,10 @@ class TestFastPathFlagship:
                               max_fp_it=100)
         res = galerkin_update(sep, solver.solve())
 
-        # effective per-grid-point parameter values of the lumped
-        # discretization: ratios of the diagonal operator entries to the
-        # plain lumped masses (interior points: the grid values themselves)
-        from pgdrome_tpu.fem.assembly import mass_matrix
-
-        w_p = np.diagonal(np.asarray(sep.ops[1][0]))
-        p_eff = np.asarray(sep.rhs[1][0]) / w_p
-        w_E = mass_matrix(Vs[2]).sum(axis=1)
-        E_eff = np.diagonal(np.asarray(sep.ops[2][0])) / w_E
+        # pointwise lumping makes the effective per-grid-point values the
+        # GRID VALUES THEMSELVES, endpoints included — the box corners are
+        # exactly where row-sum lumping / consistent loads carried an h/3
+        # bias (round-3 code-review finding, fixed in elasticity_vademecum)
         nu_grid = Vs[3].tabulate_dof_coordinates()[:, 0]
 
         K1 = np.asarray(sep.ops[0][0])  # E0-scaled
@@ -145,9 +140,13 @@ class TestFastPathFlagship:
         mask = np.asarray(sep.bc_masks[0], dtype=np.float64)
         p_grid = Vs[1].tabulate_dof_coordinates()[:, 0]
         E_grid = Vs[2].tabulate_dof_coordinates()[:, 0]
-        for (a, b_i, c) in [(2, 1, 3), (4, 4, 5)]:
-            K = E_eff[b_i] * (_nu_f1(nu_grid[c]) * K1 + _nu_f2(nu_grid[c]) * K2)
-            rhs_x = p_eff[a] * (bL + bR)
+        n_p, n_E, n_nu = len(p_grid), len(E_grid), len(nu_grid)
+        # interior points + box-corner grid points (p index 1: p_grid[0]
+        # is 0.0 → the trivial zero solution, nothing to verify there)
+        for (a, b_i, c) in [(2, 1, 3), (4, 4, 5), (1, 0, n_nu - 1),
+                            (n_p - 1, n_E - 1, 0)]:
+            K = E_grid[b_i] * (_nu_f1(nu_grid[c]) * K1 + _nu_f2(nu_grid[c]) * K2)
+            rhs_x = p_grid[a] * (bL + bR)
             A = K * mask[:, None] * mask[None, :] + np.diag(1.0 - mask)
             u_ref = np.linalg.solve(A, rhs_x * mask)
 
@@ -195,21 +194,18 @@ class TestFastPathFlagship:
         full0 = tf.modes_to_full(res.modes[0])
         assert full0.shape[1] == sep.sizes[0]
 
-        # per-grid-point FEM reference via the effective lumped values
-        w_p = np.diagonal(np.asarray(sep.ops[1][0]))
-        p_eff = np.asarray(sep.rhs[1][0]) / w_p
-        w_E = mass_matrix(Vs[2]).sum(axis=1)
-        E_eff = np.diagonal(np.asarray(sep.ops[2][0])) / w_E
+        # per-grid-point FEM reference at the grid values themselves
+        # (pointwise collocation lumping — see test above)
         nu_grid = Vs[3].tabulate_dof_coordinates()[:, 0]
         p_grid = Vs[1].tabulate_dof_coordinates()[:, 0]
         E_grid = Vs[2].tabulate_dof_coordinates()[:, 0]
         mask = np.asarray(sep.bc_masks[0], dtype=np.float64)
         for (a, b_i, c) in [(2, 1, 3), (4, 4, 5)]:
-            K = E_eff[b_i] * (
+            K = E_grid[b_i] * (
                 _nu_f1(nu_grid[c]) * K1 + _nu_f2(nu_grid[c]) * K2
             )
             A = K * mask[:, None] * mask[None, :] + np.diag(1.0 - mask)
-            u_ref = np.linalg.solve(A, p_eff[a] * (bL + bR) * mask)
+            u_ref = np.linalg.solve(A, p_grid[a] * (bL + bR) * mask)
             fac = np.ones(res.n_modes)
             for j, val in enumerate((p_grid[a], E_grid[b_i], nu_grid[c])):
                 vals = np.asarray(
