@@ -154,6 +154,94 @@ def make_sensor_sweep_fn(spaces, modes, n_modes, points, method="auto"):
     return jax.jit(sweep)
 
 
+def make_sensor_jacobian_fn(spaces, modes, n_modes, points):
+    """Build the jitted parameter-sensitivity sweep: samples (B, d-1) →
+    Jacobian (B, n_pts·value_size, d-1) of the sensor responses w.r.t.
+    the parameters.
+
+    PGD gives ∂u/∂p_j analytically: the rank-1 structure turns the
+    Jacobian into the same factor-product/table contraction as the sensor
+    sweep with one factor differentiated per output column —
+    ∂r_p/∂p_j = Σ_k table[k,p] · f'_{j,k}(p_j) · Π_{l≠j} f_{l,k}(p_l)
+    (evaluate_modes_1d(derivative=True) supplies f').  The reference has
+    no batched analogue: its sensitivity story is finite differences over
+    per-sample evaluate calls (model.py:724-860).  Cost: (d-1) sensor-
+    sweep matmuls per call — forward-mode efficiency without tracing
+    jacfwd through the sweep (numerically identical a.e.; parity-tested
+    against jax.jacfwd in tests/unit/test_serving_analytics.py)."""
+    from pgdrome_tpu.fem.interpolate import eval_dofs_at_points
+
+    nd = len(spaces)
+    modes0 = np.asarray(modes[0])
+    n_max = modes0.shape[0]
+    pts = np.asarray(points)
+    table = np.stack(
+        [np.asarray(eval_dofs_at_points(spaces[0], modes0[k], pts))
+         for k in range(n_max)]
+    ).reshape(n_max, -1).astype(modes0.dtype)
+    mode_mask = (np.arange(n_max) < n_modes).astype(modes0.dtype)
+    k_pad = (-n_max) % 128 if n_max < 128 else 0
+    table_mm = jnp.asarray(
+        np.pad(table, ((0, k_pad), (0, 0))) if k_pad else table
+    )
+    mask = jnp.asarray(mode_mask)
+
+    def jac(samples):
+        vals, dvals = [], []
+        for j in range(1, nd):
+            p_j = samples[:, j - 1]
+            vals.append(evaluate_modes_1d(spaces[j], modes[j], p_j))
+            dvals.append(
+                evaluate_modes_1d(spaces[j], modes[j], p_j, derivative=True)
+            )
+        cols = []
+        for j in range(nd - 1):
+            fac = dvals[j]
+            for l in range(nd - 1):
+                if l != j:
+                    fac = fac * vals[l]
+            fac = fac * mask[None, :]
+            if k_pad:
+                fac = jnp.pad(fac, ((0, 0), (0, k_pad)))
+            cols.append(jnp.einsum("bk,kp->bp", fac, table_mm,
+                                   precision=_PREC))
+        return jnp.stack(cols, axis=-1)  # (B, n_pts, d-1)
+
+    return jax.jit(jac)
+
+
+def make_factor_moments_fn(spaces, modes, n_modes):
+    """Build the jitted streaming-moment accumulator:
+    fn(samples (B, d-1), w (B,)) → (Σ_b w_b·fac_b  (n_max,),
+                                    Σ_b w_b·fac_b fac_bᵀ  (n_max, n_max)).
+
+    ``fac_b`` is the per-sample mode-product factor vector, so ANY linear
+    output's Monte-Carlo moments follow from these two reductions alone:
+    mean field = f̄ᵀ M₀, variance field = diag(M₀ᵀ Cov M₀) — the (B, n0)
+    field batch is never materialized and the sweep runs at the
+    compute-bound sensor rate, not the HBM-bound field rate.  ``w`` is a
+    0/1 validity mask (tail-chunk padding; w²=w is assumed).  Outputs are
+    per-chunk partial sums — accumulate across chunks on the host in f64
+    (serving.Vademecum.factor_moments)."""
+    nd = len(spaces)
+    n_max = np.asarray(modes[1]).shape[0] if nd > 1 else modes[0].shape[0]
+    dtype = np.asarray(modes[1 if nd > 1 else 0]).dtype
+    mask = jnp.asarray((np.arange(n_max) < n_modes).astype(dtype))
+
+    def acc(samples, w):
+        fac = jnp.ones((samples.shape[0], n_max), dtype=dtype)
+        for j in range(1, nd):
+            fac = fac * evaluate_modes_1d(
+                spaces[j], modes[j], samples[:, j - 1]
+            )
+        fac = fac * mask[None, :] * w[:, None]
+        s1 = jnp.sum(fac, axis=0)
+        s2 = jnp.einsum("bk,bl->kl", fac, fac, precision=_PREC)
+        return s1, s2
+
+    return jax.jit(acc)
+
+
 def sharded_sweep(spaces, modes, n_modes, samples, mesh=None):
     """Run the sweep with the sample axis sharded over the mesh's 'dp' axis
     (XLA inserts any needed collectives; mode buffers are replicated)."""

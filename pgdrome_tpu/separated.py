@@ -1759,7 +1759,8 @@ def make_evaluator(result_modes, n_modes):
     return reconstruct
 
 
-def evaluate_modes_1d(V, modes_buf, points, xp=jnp, method="auto"):
+def evaluate_modes_1d(V, modes_buf, points, xp=jnp, method="auto",
+                      derivative=False):
     """Evaluate all buffered modes of a 1D space at a batch of points:
     returns (npoints, n_max).  Shared cell-locate + basis.
 
@@ -1769,12 +1770,26 @@ def evaluate_modes_1d(V, modes_buf, points, xp=jnp, method="auto"):
     against the mode table on the MXU.  TPU gathers of short rows run at
     ~4 GB/s; the matmul form measured ~11% faster end-to-end at B=512k
     and is numerically the same sum (≤1e-7 f32 reordering).  Large tables
-    or host numpy fall back to the gather."""
-    from pgdrome_tpu.fem.interpolate import _locate_1d, _shape_1d_x
+    or host numpy fall back to the gather.
+
+    derivative=True evaluates d(mode)/dp instead (chain-ruled reference
+    shape derivatives, one-sided at cell boundaries) — the building block
+    for parameter-sensitivity sweeps (parallel.vademecum
+    make_sensor_jacobian_fn)."""
+    from pgdrome_tpu.fem.interpolate import (
+        _dshape_1d_x,
+        _locate_1d,
+        _shape_1d_x,
+    )
 
     pts = xp.asarray(points)
     cell, xi = _locate_1d(V.mesh(), pts, xp)
-    basis = _shape_1d_x(V.degree, xi, xp)  # (B, nl)
+    if derivative:
+        verts = xp.asarray(V.mesh().coordinates()[:, 0])
+        h = verts[cell + 1] - verts[cell]
+        basis = _dshape_1d_x(V.degree, xi, xp) / h[..., None]  # (B, nl)
+    else:
+        basis = _shape_1d_x(V.degree, xi, xp)  # (B, nl)
     ed = xp.asarray(V.element_dofs)
     local = ed[cell]  # (B, nl)
     ndof = modes_buf.shape[1]

@@ -14,6 +14,16 @@ with the jitted batch paths:
 * :meth:`Vademecum.errors` — batched relative-L2 errors vs FOM fields
   (reference PGDErrorComputation.evaluate_error semantics,
   model.py:1768-1825).
+* :meth:`Vademecum.sensors_jacobian` — batched parameter sensitivities
+  ∂r/∂p at fixed sensor points (analytic through the rank-1 structure).
+* :meth:`Vademecum.moments` / :meth:`Vademecum.factor_moments` —
+  streaming Monte-Carlo mean/variance FIELDS over arbitrarily large
+  sample batches, reduced on-device to K-sized factor moments (the
+  (B, n0) fields are never materialized).
+* :meth:`Vademecum.derivative` — the du/dx vademecum: dim-0 modes
+  replaced by their exact DG(degree−1) derivatives once, so spatial-
+  derivative fields/sensors serve at full sweep rate (the reference
+  differentiates per evaluated sample, model.py:1088-1206).
 * :meth:`Vademecum.save` / :meth:`Vademecum.load` — single-file HDF5
   persistence of the deployed (full-dof, mode-trimmed) decomposition.
 * :meth:`Vademecum.to_pgd` — bridge into the reference-style PGD container
@@ -125,6 +135,7 @@ class Vademecum:
 
         self._sensor_cache = OrderedDict()
         self._sensor_cache_max = 8
+        self._moments_fn = None
 
     @property
     def num_dims(self):
@@ -227,6 +238,132 @@ class Vademecum:
         else:
             self._sensor_cache.move_to_end(key)
         return fn
+
+    def sensors_jacobian(self, points):
+        """The jitted parameter-sensitivity sweep for a fixed point set:
+        returns fn(samples (B, d-1)) → (B, n_pts·value_size, d-1) with
+        ∂(sensor response)/∂p_j in column j — analytic through the PGD
+        rank-1 structure (one differentiated factor per column), no
+        finite differences.  Cached alongside :meth:`sensors` (same
+        LRU)."""
+        from pgdrome_tpu.parallel.vademecum import make_sensor_jacobian_fn
+
+        pts = np.asarray(points, dtype=np.float64)
+        key = ("jac", pts.tobytes(), pts.shape)
+        fn = self._sensor_cache.get(key)
+        if fn is None:
+            fn = make_sensor_jacobian_fn(
+                self.spaces, self._modes, self.n_modes, pts
+            )
+            self._sensor_cache[key] = fn
+            while len(self._sensor_cache) > self._sensor_cache_max:
+                self._sensor_cache.popitem(last=False)
+        else:
+            self._sensor_cache.move_to_end(key)
+        return fn
+
+    def factor_moments(self, samples, chunk=8_388_608, depth=2):
+        """Streaming first/second raw moments of the mode-product factor
+        vector over the sample batch: returns ``(fbar (K,), C (K, K))``
+        with fbar = E[fac], C = E[fac facᵀ] — K = the padded mode count.
+
+        Chunked like :meth:`sensors_stream` (the per-chunk outputs are a
+        K-vector and a K×K matrix — no HBM pressure), device-reduced in
+        f32, host-accumulated across chunks in f64.  The tail chunk is
+        padded and masked with a 0/1 weight row, so every dispatch hits
+        one compiled shape."""
+        import jax
+
+        from pgdrome_tpu.parallel.vademecum import make_factor_moments_fn
+
+        if self._moments_fn is None:
+            self._moments_fn = make_factor_moments_fn(
+                self.spaces, self._modes, self.n_modes
+            )
+        fn = self._moments_fn
+        samples = jnp.asarray(samples)
+        B = int(samples.shape[0])
+        if B == 0:
+            raise ValueError("factor_moments needs at least one sample")
+        chunk = min(chunk, B)
+        pad = (-B) % chunk
+        if pad:
+            filler = jnp.broadcast_to(samples[:1], (pad, samples.shape[1]))
+            samples = jnp.concatenate([samples, filler], axis=0)
+        ones = jnp.ones((chunk,), samples.dtype)
+        n_max = int(self._modes[1].shape[0])
+        s1 = np.zeros(n_max, np.float64)
+        s2 = np.zeros((n_max, n_max), np.float64)
+        pending = []
+        for start in range(0, int(samples.shape[0]), chunk):
+            if len(pending) >= depth:
+                y1, y2 = pending.pop(0)
+                jax.block_until_ready(y2)
+                s1 += np.asarray(y1, np.float64)
+                s2 += np.asarray(y2, np.float64)
+            valid = min(chunk, B - start)
+            w = ones if valid == chunk else (
+                jnp.arange(chunk) < valid
+            ).astype(samples.dtype)
+            pending.append(fn(samples[start : start + chunk], w))
+        for y1, y2 in pending:
+            jax.block_until_ready(y2)
+            s1 += np.asarray(y1, np.float64)
+            s2 += np.asarray(y2, np.float64)
+        return s1 / B, s2 / B
+
+    def moments(self, samples, chunk=8_388_608, depth=2):
+        """Monte-Carlo mean and variance FIELDS over the sample batch:
+        returns ``(mean (n0·value_size,), var (n0·value_size,))``.
+
+        Exact reduction through the separated structure — with
+        fac_b the per-sample factor vector and M₀ the dim-0 mode table,
+        mean = f̄ᵀM₀ and var_i = (M₀ᵀ Cov M₀)_{ii}: only the K/K² factor
+        moments are accumulated on device (:meth:`factor_moments`), the
+        field-sized outer products happen once on the host in f64.
+        Serving-rate analogue: the sensor sweep (compute-bound), NOT the
+        HBM-bound field sweep — UQ moment fields over 10⁸ samples cost
+        seconds.  The (tiny) covariance subtraction runs in f64, so
+        var ≳ 1e-10·mean² stays meaningful; device accumulation is f32
+        (relative error ~1e-6 on C's entries)."""
+        fbar, C = self.factor_moments(samples, chunk=chunk, depth=depth)
+        M0 = np.asarray(self._modes[0], np.float64)  # (n_max, n0)
+        mean = fbar @ M0
+        cov = C - np.outer(fbar, fbar)
+        var = np.einsum("ki,ki->i", cov @ M0, M0)
+        return mean, np.maximum(var, 0.0)
+
+    def derivative(self):
+        """The du/dx vademecum: a new container over the DG(degree−1)
+        space with every dim-0 mode replaced by its exact derivative
+        (fem.derivative.derivative_function — the reference's
+        create_derivation_fct, model.py:1088-1206, applied ONCE per mode
+        instead of per evaluated sample).  All serving paths —
+        :meth:`fields`, :meth:`sensors`, streams, :meth:`moments` — then
+        serve spatial-derivative quantities at full sweep rate."""
+        from pgdrome_tpu.fem.derivative import derivative_function
+        from pgdrome_tpu.fem.function import Function
+        from pgdrome_tpu.separated import PGDResult
+
+        V0 = self.spaces[0]
+        modes0 = np.asarray(self._modes[0])
+        dfs = [
+            derivative_function(Function(V0, modes0[k]))
+            for k in range(modes0.shape[0])
+        ]
+        dmodes = np.stack([np.asarray(f.array) for f in dfs])
+        res = PGDResult(
+            modes=[dmodes] + [np.asarray(m) for m in self._modes[1:]],
+            n_modes=self.n_modes,
+            amplitudes=np.asarray(self._result.amplitudes),
+            alpha=np.asarray(self._result.alpha),
+            fp_its=np.asarray(self._result.fp_its),
+            normU0=self._result.normU0,
+        )
+        return Vademecum(
+            [dfs[0].function_space()] + self.spaces[1:], res,
+            method=self._method, dtype=modes0.dtype,
+        )
 
     def errors(self, samples, fom_fields):
         """Relative L2 errors vs precomputed FOM fields over the batch."""
