@@ -432,7 +432,51 @@ def sweep_throughput(Vs, res, tf, n_samples=524_288):
         )
     except Exception as e:
         log(f"sensor sweep skipped: {e}")
-    return rate, rate_p, rate_s, rate_bf16
+
+    # UQ-moments phase: exact Monte-Carlo mean/variance FIELDS via the
+    # on-device factor-moment reduction (serving analytics) — per chunk
+    # only a (K,) + (K, K) partial sum leaves the chip, so the sweep is
+    # compute-bound like the sensor path, not HBM-bound like the field
+    # path.  Correctness is asserted on-chip against the direct field
+    # batch before timing.
+    rate_m = None
+    try:
+        if vd is None:
+            raise RuntimeError("no serving container")
+        mean_p, var_p = vd.moments(probe, chunk=probe.shape[0])
+        up = np.asarray(sweep_ref(probe), np.float64)
+        scale = float(np.abs(up).max())
+        dm = float(np.abs(mean_p - up.mean(axis=0)).max())
+        dv = float(np.abs(var_p - up.var(axis=0)).max())
+        assert dm <= 1e-5 * scale and dv <= 1e-5 * scale**2, (
+            f"moments mismatch: mean {dm}, var {dv} vs scale {scale}"
+        )
+        log(f"moments parity vs direct fields: mean {dm:.2e}, var {dv:.2e}")
+        n_chunk = 16 * n_samples
+        try:
+            mbig = sbig  # reuse the sensor phase's 4-chunk batch
+        except NameError:
+            mbig = jnp.asarray(
+                rng.uniform(
+                    0.02, 0.98, size=(4 * n_chunk, NUM_PARAMS)
+                ).astype(np.float32)
+            )
+        vd.factor_moments(  # compile + warm this chunk shape
+            mbig[: 2 * n_chunk], chunk=n_chunk, depth=2
+        )
+        dt_m = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            vd.moments(mbig, chunk=n_chunk, depth=2)
+            dt_m = min(dt_m, time.perf_counter() - t0)
+        rate_m = mbig.shape[0] / dt_m
+        log(
+            f"UQ moment fields (mean+var, depth-2): {mbig.shape[0]} samples "
+            f"in {dt_m*1e3:.1f} ms → {rate_m:,.0f} samples/s"
+        )
+    except Exception as e:
+        log(f"moments sweep skipped: {e}")
+    return rate, rate_p, rate_s, rate_bf16, rate_m
 
 
 def elasticity_nu_phase():
@@ -639,12 +683,12 @@ def main():
     end_to_end_fresh = time.perf_counter() - T_PROCESS_START
     log(f"end-to-end fresh process: {end_to_end_fresh:.1f}s")
     try:
-        sweep_rate, sweep_rate_pipelined, sensor_rate, sweep_rate_bf16 = sweep_throughput(
-            Vs, res, tf
-        )
+        (sweep_rate, sweep_rate_pipelined, sensor_rate, sweep_rate_bf16,
+         moments_rate) = sweep_throughput(Vs, res, tf)
     except Exception as e:  # never block the headline metric
         log(f"sweep throughput skipped: {e}")
-        sweep_rate = sweep_rate_pipelined = sensor_rate = sweep_rate_bf16 = None
+        sweep_rate = sweep_rate_pipelined = sensor_rate = None
+        sweep_rate_bf16 = moments_rate = None
     # flagship 4-dim elasticity solve line (fault-tolerant like the sweeps)
     try:
         nu_fields = elasticity_nu_phase()
@@ -708,6 +752,8 @@ def main():
         if sweep_rate_bf16 else None,
         "sensor_sweep_responses_per_s": round(sensor_rate)
         if sensor_rate else None,
+        "uq_moments_samples_per_s": round(moments_rate)
+        if moments_rate else None,
         "first_call_s": round(t_first_call, 2),
         "first_call_stage2_s": round(t_first2, 2),
         "first_call_stage3_s": round(t_first3, 2),

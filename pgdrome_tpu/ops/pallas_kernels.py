@@ -151,7 +151,12 @@ def make_fused_sweep(spaces, modes, n_modes, block_b: int = 512,
             precision=jax.lax.Precision.HIGHEST,
         ).astype(out_dtype)
 
-    def sweep(samples):
+    # the tables enter as jit INPUTS (not closure constants): the compiled
+    # executable is value-independent — one persisted program serves every
+    # same-shaped vademecum (retrains, mode-count changes via the folded
+    # mask, re-weighted models) exactly like the solver's data-as-inputs
+    # design (separated._ProblemArrays)
+    def sweep_impl(samples, gp_in, tabs_in, m0_in):
         samples = jnp.asarray(samples, dtype=jnp.float32)
         B = samples.shape[0]
         sT = samples.T
@@ -171,6 +176,17 @@ def make_fused_sweep(spaces, modes, n_modes, block_b: int = 512,
             out_specs=pl.BlockSpec((bb, bn), lambda i, j: (i, j)),
             out_shape=jax.ShapeDtypeStruct((B, n0), out_dtype),
             interpret=interpret,
-        )(gp, sT, tabs, m0)
+        )(gp_in, sT, tabs_in, m0_in)
 
-    return jax.jit(sweep)
+    jitted = jax.jit(sweep_impl)
+
+    def sweep(samples):
+        return jitted(samples, gp, tabs, m0)
+
+    # (jitted fn, table operands, program-identity key parts) — the aot
+    # wiring in parallel/vademecum._try_fused uses these to persist the
+    # value-independent executable
+    sweep._aot_parts = (jitted, (gp, tabs, m0),
+                        ("fused-vi", tuple(degs), str(out_dtype),
+                         bool(interpret), bb, bn))
+    return sweep

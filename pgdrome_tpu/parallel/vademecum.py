@@ -20,14 +20,53 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pgdrome_tpu.separated import evaluate_modes_1d, _PREC
 
 
+def _serving_key(kind, spaces, n_modes, arrays, extra=()):
+    """Persistent-AOT key_data for an XLA-path serving program: these
+    bake the mode tables (and the spaces' vertex arrays) in as jit
+    constants, so the program identity is (builder version, kind, space
+    meshes/degrees, mode bytes, knobs).  The fused path is keyed
+    value-independently instead (its tables are jit inputs —
+    _aot_wrap_fused)."""
+    from pgdrome_tpu.utils.aot_cache import array_fingerprint
+
+    return [
+        "serving_v1", kind,
+        tuple((s.degree, s.value_size) for s in spaces),
+        array_fingerprint(*[s.mesh().coordinates() for s in spaces]),
+        int(n_modes), array_fingerprint(*arrays), *extra,
+    ]
+
+
+def _aot_wrap_fused(fused):
+    """Persist the fused sweep's VALUE-INDEPENDENT executable: the mode
+    tables are jit inputs (pallas_kernels.make_fused_sweep), so the cache
+    key is just the kernel identity + shapes — one persisted program
+    serves every same-shaped vademecum across retrains."""
+    from pgdrome_tpu.utils.aot_cache import aot_jit, default_cache_dir
+
+    if default_cache_dir() is None:
+        return fused
+    jitted, consts, ident = fused._aot_parts
+    inner = aot_jit(jitted, ["serving_v2", *ident])
+
+    def call(samples):
+        out = inner(samples, *consts)
+        call.last_status = inner.last_status
+        return out
+
+    call.last_status = None
+    return call
+
+
 def _try_fused(spaces, dim0_modes, other_modes, n_modes, method, kind,
-               out_dtype=None):
+               out_dtype=None, aot=True):
     """Shared fused-kernel eligibility gate for the field and sensor
     sweeps: f64 modes are refused explicitly on method='fused' (the
     kernel is float32-only — silently serving f32 from an f64 vademecum
     would break the dtype contract), 'auto' takes the kernel on TPU when
     its constraints hold and quietly falls back to XLA otherwise.
-    Returns the jitted fused sweep or None (→ caller's XLA path)."""
+    Returns the fused sweep (AOT-persisted when enabled) or None
+    (→ caller's XLA path)."""
     if np.dtype(np.asarray(dim0_modes).dtype) == np.float64:
         if method == "fused":
             raise ValueError(
@@ -39,19 +78,21 @@ def _try_fused(spaces, dim0_modes, other_modes, n_modes, method, kind,
         from pgdrome_tpu.ops.pallas_kernels import make_fused_sweep, _on_tpu
 
         if method == "fused" or _on_tpu():
-            return make_fused_sweep(
+            fused = make_fused_sweep(
                 spaces,
                 [jnp.asarray(dim0_modes)]
                 + [jnp.asarray(m) for m in other_modes],
                 n_modes, out_dtype=out_dtype,
             )
+            return _aot_wrap_fused(fused) if aot else fused
     except ValueError:  # kernel constraints (grids/degree) not met
         if method == "fused":
             raise
     return None
 
 
-def make_sweep_fn(spaces, modes, n_modes, method="xla", out_dtype=None):
+def make_sweep_fn(spaces, modes, n_modes, method="xla", out_dtype=None,
+                  aot=True):
     """Build the jitted sweep: samples (B, d-1) → fields (B, n0).
 
     spaces: per-dim function spaces (free dims 1..d-1 must be 1D scalar);
@@ -67,13 +108,24 @@ def make_sweep_fn(spaces, modes, n_modes, method="xla", out_dtype=None):
     compute stays full precision, only the final store narrows (~4e-3
     relative quantization).  Halved output bytes double the streamable
     chunk, which is what lifts the pipelined field-serving rate to its
-    compute margin on HBM-bound chips (serving.fields_stream)."""
+    compute margin on HBM-bound chips (serving.fields_stream).
+
+    aot: route the jitted program through the persistent AOT-executable
+    cache when $PGDROME_AOT_CACHE is set (fresh serving processes reload
+    in ~1 s instead of re-paying the remote compile; utils/aot_cache).
+    Single-device only — sharded_sweep passes aot=False."""
+    from pgdrome_tpu.utils.aot_cache import aot_jit
+
     if method in ("fused", "auto"):
         fused = _try_fused(spaces, modes[0], modes[1:], n_modes, method,
-                           "sweep", out_dtype=out_dtype)
+                           "sweep", out_dtype=out_dtype, aot=aot)
         if fused is not None:
             return fused
         # 'auto' falls through to the XLA path
+    key = _serving_key(
+        "sweep", spaces, n_modes, modes,
+        extra=(np.dtype(out_dtype).name if out_dtype else "-",),
+    ) if aot else None
     nd = len(spaces)
     modes0 = jnp.asarray(modes[0])
     n_max = modes0.shape[0]
@@ -96,7 +148,8 @@ def make_sweep_fn(spaces, modes, n_modes, method="xla", out_dtype=None):
         out = jnp.einsum("bk,ki->bi", fac, modes0_mm, precision=_PREC)
         return out if out_dtype is None else out.astype(out_dtype)
 
-    return jax.jit(sweep)
+    jitted = jax.jit(sweep)
+    return aot_jit(jitted, key + ["xla"]) if aot else jitted
 
 
 def make_sensor_sweep_fn(spaces, modes, n_modes, points, method="auto"):
@@ -117,6 +170,7 @@ def make_sensor_sweep_fn(spaces, modes, n_modes, points, method="auto"):
     the per-dim factor machinery, NOT the output write, dominates the XLA
     sensor sweep at large B — measured 3.5 M → fused ~field-sweep rate)."""
     from pgdrome_tpu.fem.interpolate import eval_dofs_at_points
+    from pgdrome_tpu.utils.aot_cache import aot_jit
 
     nd = len(spaces)
     modes0 = np.asarray(modes[0])
@@ -133,6 +187,10 @@ def make_sensor_sweep_fn(spaces, modes, n_modes, points, method="auto"):
         if fused is not None:
             return fused
         # 'auto' falls through to the XLA path
+    key = _serving_key(
+        "sensor", spaces, n_modes, modes,
+        extra=(pts.tobytes(), pts.shape),
+    )
     mode_mask = (np.arange(n_max) < n_modes).astype(modes0.dtype)
     # MXU-preferred contraction width (see make_sweep_fn)
     k_pad = (-n_max) % 128 if n_max < 128 else 0
@@ -151,7 +209,7 @@ def make_sensor_sweep_fn(spaces, modes, n_modes, points, method="auto"):
             fac = jnp.pad(fac, ((0, 0), (0, k_pad)))
         return jnp.einsum("bk,kp->bp", fac, table_mm, precision=_PREC)
 
-    return jax.jit(sweep)
+    return aot_jit(jax.jit(sweep), key + ["xla"])
 
 
 def make_sensor_jacobian_fn(spaces, modes, n_modes, points):
@@ -170,11 +228,16 @@ def make_sensor_jacobian_fn(spaces, modes, n_modes, points):
     jacfwd through the sweep (numerically identical a.e.; parity-tested
     against jax.jacfwd in tests/unit/test_serving_analytics.py)."""
     from pgdrome_tpu.fem.interpolate import eval_dofs_at_points
+    from pgdrome_tpu.utils.aot_cache import aot_jit
 
     nd = len(spaces)
     modes0 = np.asarray(modes[0])
     n_max = modes0.shape[0]
     pts = np.asarray(points)
+    key = _serving_key(
+        "jacobian", spaces, n_modes, modes,
+        extra=(pts.tobytes(), pts.shape),
+    )
     table = np.stack(
         [np.asarray(eval_dofs_at_points(spaces[0], modes0[k], pts))
          for k in range(n_max)]
@@ -207,7 +270,7 @@ def make_sensor_jacobian_fn(spaces, modes, n_modes, points):
                                    precision=_PREC))
         return jnp.stack(cols, axis=-1)  # (B, n_pts, d-1)
 
-    return jax.jit(jac)
+    return aot_jit(jax.jit(jac), key)
 
 
 def make_factor_moments_fn(spaces, modes, n_modes):
@@ -223,23 +286,39 @@ def make_factor_moments_fn(spaces, modes, n_modes):
     0/1 validity mask (tail-chunk padding; w²=w is assumed).  Outputs are
     per-chunk partial sums — accumulate across chunks on the host in f64
     (serving.Vademecum.factor_moments)."""
+    from pgdrome_tpu.utils.aot_cache import aot_jit
+
+    key = _serving_key("moments", spaces, n_modes, modes[1:])
     nd = len(spaces)
     n_max = np.asarray(modes[1]).shape[0] if nd > 1 else modes[0].shape[0]
     dtype = np.asarray(modes[1 if nd > 1 else 0]).dtype
     mask = jnp.asarray((np.arange(n_max) < n_modes).astype(dtype))
+    # factor computation through the fused kernel with an IDENTITY dim-0
+    # table (fields = fac @ I = the masked factors themselves): the XLA
+    # factor path materializes a (B, ndof_p) two-hot weight matrix in HBM
+    # per parameter dim — measured 3.7 M samples/s at bench scale vs
+    # ~90 M through the kernel, whose weights/factors live in VMEM
+    fac_fused = _try_fused(
+        spaces, np.eye(n_max, dtype=dtype), modes[1:], n_modes, "auto",
+        "moments", aot=False,
+    )
 
     def acc(samples, w):
-        fac = jnp.ones((samples.shape[0], n_max), dtype=dtype)
-        for j in range(1, nd):
-            fac = fac * evaluate_modes_1d(
-                spaces[j], modes[j], samples[:, j - 1]
-            )
-        fac = fac * mask[None, :] * w[:, None]
+        if fac_fused is not None:
+            fac = fac_fused(samples)  # mode mask folded into the identity
+        else:
+            fac = jnp.ones((samples.shape[0], n_max), dtype=dtype)
+            for j in range(1, nd):
+                fac = fac * evaluate_modes_1d(
+                    spaces[j], modes[j], samples[:, j - 1]
+                )
+            fac = fac * mask[None, :]
+        fac = fac * w[:, None]
         s1 = jnp.sum(fac, axis=0)
         s2 = jnp.einsum("bk,bl->kl", fac, fac, precision=_PREC)
         return s1, s2
 
-    return jax.jit(acc)
+    return aot_jit(jax.jit(acc), key)
 
 
 def sharded_sweep(spaces, modes, n_modes, samples, mesh=None):
@@ -248,7 +327,9 @@ def sharded_sweep(spaces, modes, n_modes, samples, mesh=None):
     if mesh is None:
         devs = jax.devices()
         mesh = Mesh(np.array(devs), ("dp",))
-    sweep = make_sweep_fn(spaces, modes, n_modes)
+    # aot=False: persisted executables are pinned single-device; the
+    # sharded path needs the live jitted fn so GSPMD can partition it
+    sweep = make_sweep_fn(spaces, modes, n_modes, aot=False)
     samples = jnp.asarray(samples)
     sharding = NamedSharding(mesh, P("dp"))
     # pad B to a multiple of the dp axis

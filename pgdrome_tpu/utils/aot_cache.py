@@ -66,6 +66,60 @@ def _key_from_data(key_data):
     return h.hexdigest()[:32]
 
 
+def aot_jit(jitted, key_data=None, cache_dir=None, max_shapes=16):
+    """Per-shape persistent-AOT dispatch for fixed-shape serving programs.
+
+    Wraps a ``jax.jit``-ed callable: on the first call with a given
+    argument signature the executable is fetched from (or compiled into)
+    the persistent cache via :func:`compile_cached`; later same-shape
+    calls dispatch the loaded executable directly.  With caching disabled
+    (no $PGDROME_AOT_CACHE) the plain jitted callable is returned
+    unchanged — zero overhead, zero behavior change.
+
+    ``key_data`` must uniquely determine the PROGRAM (the serving sweeps
+    bake mode tables in as constants — hash their bytes into it); the
+    call-shape signature is appended automatically.  Single-device
+    programs only: loaded executables are pinned to device 0
+    (sharded paths must pass the plain jitted fn instead)."""
+    cache_dir = cache_dir or default_cache_dir()
+    if cache_dir is None:
+        return jitted
+
+    table = {}
+
+    def call(*args):
+        import jax.numpy as jnp
+
+        args = tuple(jnp.asarray(a) for a in args)
+        sig = tuple((a.shape, str(a.dtype)) for a in args)
+        fn = table.get(sig)
+        if fn is None:
+            kd = list(key_data or []) + [repr(sig)]
+            fn, call.last_status = compile_cached(
+                jitted, args, cache_dir=cache_dir, key_data=kd
+            )
+            if len(table) >= max_shapes:
+                table.clear()
+            table[sig] = fn
+        return fn(*args)
+
+    call.last_status = None  # 'hit'/'miss' of the most recent compile
+    return call
+
+
+def array_fingerprint(*arrays):
+    """sha256 over the raw bytes + shape/dtype of each array — the
+    key_data entry for programs that close over array constants."""
+    import numpy as np
+
+    h = hashlib.sha256()
+    for a in arrays:
+        a = np.asarray(a)
+        h.update(repr((a.shape, str(a.dtype))).encode())
+        h.update(a.tobytes())
+    return h.hexdigest()
+
+
 def compile_cached(jitted, args, cache_dir=None, verbose=False, key_data=None):
     """``jitted.lower(*args).compile()`` with a persistent executable cache.
 

@@ -69,3 +69,124 @@ class TestAotCache:
         s = SeparatedPGD(sep, n_max=3, tol=0.0, residual_check=False)
         s.solve_fused()
         assert s.last_compile_status == "off"
+
+
+class TestServingAot:
+    """aot_jit: the per-shape persistent-executable wrapper the serving
+    sweep builders route through when $PGDROME_AOT_CACHE is set."""
+
+    def _trained(self):
+        from pgdrome_tpu.separated import SeparatedPGD as S
+
+        sep, Vs = parametric_elliptic(n_x=16, n_p=4, num_params=2)
+        res = S(sep, n_max=4, tol=0.0, residual_check=False).solve()
+        return Vs, res
+
+    def test_sweep_roundtrip_and_hit(self, monkeypatch):
+        import jax.numpy as jnp
+
+        from pgdrome_tpu.parallel.vademecum import make_sweep_fn
+
+        Vs, res = self._trained()
+        modes = [jnp.asarray(m) for m in res.modes]
+        samples = np.random.default_rng(0).uniform(0.1, 0.9, size=(13, 2))
+        monkeypatch.delenv("PGDROME_AOT_CACHE", raising=False)
+        plain = make_sweep_fn(Vs, modes, res.n_modes)
+        ref = np.asarray(plain(jnp.asarray(samples)))
+        with tempfile.TemporaryDirectory() as d:
+            monkeypatch.setenv("PGDROME_AOT_CACHE", d)
+            fn1 = make_sweep_fn(Vs, modes, res.n_modes)
+            out1 = np.asarray(fn1(jnp.asarray(samples)))
+            assert fn1.last_status == "miss"
+            assert any(f.endswith(".pjrt") for f in os.listdir(d))
+            # fresh builder (simulates a new serving process): same key →
+            # executable load, not a recompile
+            fn2 = make_sweep_fn(Vs, modes, res.n_modes)
+            out2 = np.asarray(fn2(jnp.asarray(samples)))
+            assert fn2.last_status == "hit"
+            np.testing.assert_allclose(out1, ref, rtol=1e-12)
+            np.testing.assert_allclose(out2, ref, rtol=1e-12)
+
+    def test_distinct_shapes_distinct_entries(self, monkeypatch):
+        import jax.numpy as jnp
+
+        from pgdrome_tpu.parallel.vademecum import make_sweep_fn
+
+        Vs, res = self._trained()
+        modes = [jnp.asarray(m) for m in res.modes]
+        with tempfile.TemporaryDirectory() as d:
+            monkeypatch.setenv("PGDROME_AOT_CACHE", d)
+            fn = make_sweep_fn(Vs, modes, res.n_modes)
+            rng = np.random.default_rng(1)
+            fn(jnp.asarray(rng.uniform(0.1, 0.9, size=(8, 2))))
+            fn(jnp.asarray(rng.uniform(0.1, 0.9, size=(16, 2))))
+            entries = [f for f in os.listdir(d) if f.endswith(".pjrt")]
+            assert len(entries) == 2
+
+    def test_different_modes_different_key(self, monkeypatch):
+        # the program bakes the mode values in as constants: changing them
+        # MUST change the cache key (a stale hit would serve wrong fields)
+        import jax.numpy as jnp
+
+        from pgdrome_tpu.parallel.vademecum import make_sweep_fn
+
+        Vs, res = self._trained()
+        modes = [jnp.asarray(m) for m in res.modes]
+        samples = jnp.asarray(
+            np.random.default_rng(2).uniform(0.1, 0.9, size=(9, 2))
+        )
+        with tempfile.TemporaryDirectory() as d:
+            monkeypatch.setenv("PGDROME_AOT_CACHE", d)
+            out1 = np.asarray(make_sweep_fn(Vs, modes, res.n_modes)(samples))
+            scaled = [modes[0] * 2.0] + modes[1:]
+            fn2 = make_sweep_fn(Vs, scaled, res.n_modes)
+            out2 = np.asarray(fn2(samples))
+            assert fn2.last_status == "miss"
+            np.testing.assert_allclose(out2, 2.0 * out1, rtol=1e-12)
+
+    def test_sensors_and_moments_through_cache(self, monkeypatch):
+        import jax.numpy as jnp
+
+        from pgdrome_tpu.serving import Vademecum
+
+        Vs, res = self._trained()
+        samples = np.random.default_rng(3).uniform(0.1, 0.9, size=(21, 2))
+        pts = np.array([0.3, 0.7])
+        monkeypatch.delenv("PGDROME_AOT_CACHE", raising=False)
+        vd_plain = Vademecum(Vs, res, dtype=np.float64)
+        ref_s = np.asarray(vd_plain.sensors(pts)(jnp.asarray(samples)))
+        ref_m = vd_plain.moments(samples, chunk=8)
+        with tempfile.TemporaryDirectory() as d:
+            monkeypatch.setenv("PGDROME_AOT_CACHE", d)
+            vd = Vademecum(Vs, res, dtype=np.float64)
+            np.testing.assert_allclose(
+                np.asarray(vd.sensors(pts)(jnp.asarray(samples))),
+                ref_s, rtol=1e-12,
+            )
+            mean, var = vd.moments(samples, chunk=8)
+            np.testing.assert_allclose(mean, ref_m[0], rtol=1e-12)
+            np.testing.assert_allclose(var, ref_m[1], rtol=1e-10, atol=1e-18)
+            assert any(f.endswith(".pjrt") for f in os.listdir(d))
+
+    def test_sharded_sweep_bypasses_aot(self, monkeypatch):
+        # sharded path must keep the live jitted fn (persisted executables
+        # are single-device); with the cache ON it must still shard-run
+        import jax.numpy as jnp
+
+        from pgdrome_tpu.parallel.vademecum import sharded_sweep
+
+        Vs, res = self._trained()
+        modes = [jnp.asarray(m) for m in res.modes]
+        samples = np.random.default_rng(4).uniform(0.1, 0.9, size=(19, 2))
+        with tempfile.TemporaryDirectory() as d:
+            monkeypatch.setenv("PGDROME_AOT_CACHE", d)
+            out = np.asarray(
+                sharded_sweep(Vs, modes, res.n_modes, samples)
+            )
+            from pgdrome_tpu.parallel.vademecum import make_sweep_fn
+
+            monkeypatch.delenv("PGDROME_AOT_CACHE")
+            ref = np.asarray(
+                make_sweep_fn(Vs, modes, res.n_modes)(jnp.asarray(samples))
+            )
+            np.testing.assert_allclose(out, ref, rtol=1e-12)

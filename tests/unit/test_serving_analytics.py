@@ -185,3 +185,37 @@ class TestDerivativeVademecum:
         du = np.asarray(dvd.fields(jnp.asarray(samples)), np.float64)
         np.testing.assert_allclose(mean, du.mean(axis=0), rtol=1e-10)
         np.testing.assert_allclose(var, du.var(axis=0), rtol=1e-8, atol=1e-18)
+
+
+class TestFusedFactorPath:
+    def test_fused_identity_factors_match_xla(self, trained):
+        # the moments accumulator's TPU path: fused kernel with an
+        # identity dim-0 table returns the masked mode-product factors
+        # (interpret mode here; bit-parity asserted on-chip by bench.py)
+        import jax.numpy as jnp
+
+        from pgdrome_tpu.ops.pallas_kernels import make_fused_sweep
+
+        _, Vs, res = trained
+        n_max = np.asarray(res.modes[1]).shape[0]
+        modes32 = [
+            jnp.asarray(np.asarray(m, np.float32)) for m in res.modes
+        ]
+        fused = make_fused_sweep(
+            Vs, [jnp.asarray(np.eye(n_max, dtype=np.float32))]
+            + modes32[1:], res.n_modes,
+        )
+        samples = np.random.default_rng(11).uniform(
+            0.1, 0.9, size=(17, 2)
+        ).astype(np.float32)
+        fac = np.asarray(fused(jnp.asarray(samples)))
+        ref = np.ones((17, n_max), np.float64)
+        for j in (1, 2):
+            ref *= np.asarray(
+                evaluate_modes_1d(
+                    Vs[j], np.asarray(modes32[j], np.float64),
+                    samples[:, j - 1].astype(np.float64), xp=np,
+                )
+            )
+        ref[:, res.n_modes:] = 0.0
+        np.testing.assert_allclose(fac, ref, rtol=2e-6, atol=2e-6)
