@@ -20,17 +20,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from pgdrome_tpu.separated import evaluate_modes_1d, _PREC
 
 
+_CODE_FP = None
+
+
+def _code_fingerprint():
+    """sha256 of the serving-program builder sources (this module +
+    the Pallas kernels + evaluate_modes_1d's module): editing any of
+    them MUST invalidate persisted serving executables — a stale hit
+    silently serves the OLD program (caught live: the fused factor-
+    moments rewrite hit the previous XLA program's cache entry)."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        import hashlib
+
+        import pgdrome_tpu.ops.pallas_kernels as pk
+        import pgdrome_tpu.separated as sp
+
+        h = hashlib.sha256()
+        for mod in (__file__, pk.__file__, sp.__file__):
+            with open(mod, "rb") as f:
+                h.update(f.read())
+        _CODE_FP = h.hexdigest()[:16]
+    return _CODE_FP
+
+
 def _serving_key(kind, spaces, n_modes, arrays, extra=()):
     """Persistent-AOT key_data for an XLA-path serving program: these
     bake the mode tables (and the spaces' vertex arrays) in as jit
-    constants, so the program identity is (builder version, kind, space
+    constants, so the program identity is (builder code, kind, space
     meshes/degrees, mode bytes, knobs).  The fused path is keyed
     value-independently instead (its tables are jit inputs —
     _aot_wrap_fused)."""
     from pgdrome_tpu.utils.aot_cache import array_fingerprint
 
     return [
-        "serving_v1", kind,
+        "serving_v1", _code_fingerprint(), kind,
         tuple((s.degree, s.value_size) for s in spaces),
         array_fingerprint(*[s.mesh().coordinates() for s in spaces]),
         int(n_modes), array_fingerprint(*arrays), *extra,
@@ -47,7 +71,7 @@ def _aot_wrap_fused(fused):
     if default_cache_dir() is None:
         return fused
     jitted, consts, ident = fused._aot_parts
-    inner = aot_jit(jitted, ["serving_v2", *ident])
+    inner = aot_jit(jitted, ["serving_v2", _code_fingerprint(), *ident])
 
     def call(samples):
         out = inner(samples, *consts)

@@ -149,6 +149,10 @@ def main():
                     help="override N_X (reduced-scale CPU experiments)")
     ap.add_argument("--np", type=int, default=None, dest="n_p",
                     help="override N_P")
+    ap.add_argument("--num-params", type=int, default=None,
+                    help="override NUM_PARAMS (dimensionality-frontier "
+                    "probes: 10 params = an 11-dim separated tensor; "
+                    "verify sweeps all 2^d corners)")
     ap.add_argument("--dtype", default="float32",
                     choices=("float32", "float64"),
                     help="stage-solve dtype: float64 on CPU isolates the "
@@ -200,11 +204,13 @@ def main():
                     "plain measure once corners clear the bound")
     args = ap.parse_args()
     budgets = [int(b) for b in args.budgets.split(",")]
-    global N_X, N_P
+    global N_X, N_P, NUM_PARAMS
     if args.nx:
         N_X = args.nx
     if args.n_p:
         N_P = args.n_p
+    if args.num_params:
+        NUM_PARAMS = args.num_params
     if args.cpu:
         import jax
 

@@ -190,3 +190,30 @@ class TestServingAot:
                 make_sweep_fn(Vs, modes, res.n_modes)(jnp.asarray(samples))
             )
             np.testing.assert_allclose(out, ref, rtol=1e-12)
+
+    def test_code_change_invalidates_serving_key(self, monkeypatch):
+        # regression (caught live on-chip): editing a serving-program
+        # builder must MISS the cache — a stale hit silently serves the
+        # OLD program.  The key embeds a source fingerprint; simulate a
+        # code edit by patching it.
+        import jax.numpy as jnp
+
+        import pgdrome_tpu.parallel.vademecum as pv
+
+        Vs, res = self._trained()
+        modes = [jnp.asarray(m) for m in res.modes]
+        samples = jnp.asarray(
+            np.random.default_rng(5).uniform(0.1, 0.9, size=(7, 2))
+        )
+        with tempfile.TemporaryDirectory() as d:
+            monkeypatch.setenv("PGDROME_AOT_CACHE", d)
+            fn1 = pv.make_sweep_fn(Vs, modes, res.n_modes)
+            fn1(samples)
+            assert fn1.last_status == "miss"
+            fn2 = pv.make_sweep_fn(Vs, modes, res.n_modes)
+            fn2(samples)
+            assert fn2.last_status == "hit"
+            monkeypatch.setattr(pv, "_CODE_FP", "simulated-code-edit")
+            fn3 = pv.make_sweep_fn(Vs, modes, res.n_modes)
+            fn3(samples)
+            assert fn3.last_status == "miss"
