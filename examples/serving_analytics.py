@@ -1,0 +1,77 @@
+"""Serving analytics on a trained vademecum: parameter sensitivities,
+streaming UQ moment fields, and spatial-derivative serving.
+
+Each of these is a batched path the reference (BAMresearch/PGDrome)
+would run one sample at a time (model.py:724-860 evaluate loop,
+1088-1206 per-sample derivative projection); here they are jitted batch
+sweeps — on TPU the moment reduction measured 73 M samples/s at bench
+scale (PERF.md "serving analytics").
+
+Run: python examples/serving_analytics.py   (CPU works; forces the CPU
+backend by default so the example is reproducible anywhere)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+if not os.environ.get("SERVING_ANALYTICS_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+import jax.numpy as jnp
+
+import pgdrome_tpu.config as cfg
+from pgdrome_tpu.models.problems import parametric_elliptic
+from pgdrome_tpu.separated import SeparatedPGD
+from pgdrome_tpu.serving import Vademecum
+
+cfg.use_full_f32_matmul()
+
+# train a small 2-parameter surrogate (see vademecum_fast_path.py for the
+# full-scale pipeline with preconditioning + floor restarts)
+sep, spaces = parametric_elliptic(n_x=128, n_p=32, num_params=2)
+res = SeparatedPGD(sep, n_max=12, tol=1e-12, tol_fp=1e-8).solve()
+vd = Vademecum(spaces, res, dtype=res.modes[0].dtype)
+print(f"trained: rank {vd.n_modes}, {vd.num_dims}-dim decomposition")
+
+rng = np.random.default_rng(0)
+samples = rng.uniform(0.1, 0.9, size=(10_000, 2))
+
+# --- parameter sensitivities at sensor points (analytic, no FD) --------
+pts = np.array([0.25, 0.5, 0.75])
+J = np.asarray(vd.sensors_jacobian(pts)(jnp.asarray(samples)))
+print(f"sensors_jacobian: {J.shape} = (batch, points, params); "
+      f"mean |du/dp1| at x=0.5: {np.abs(J[:, 1, 0]).mean():.4f}")
+
+# --- streaming UQ moment fields ----------------------------------------
+# exact Monte-Carlo mean/variance of the FULL FIELD over the batch; only
+# (K,) + (K, K) factor moments are reduced per chunk — the (B, n_dofs)
+# field batch never materializes
+mean, var = vd.moments(samples, chunk=4096)
+i = int(np.argmax(var))
+x = spaces[0].tabulate_dof_coordinates()[i, 0]
+print(f"moments over {len(samples)} samples: max field std "
+      f"{np.sqrt(var[i]):.5f} at x={x:.3f} (mean there {mean[i]:.5f})")
+
+# cross-check on a small sub-batch
+u = np.asarray(vd.fields(jnp.asarray(samples[:512])), np.float64)
+m2, v2 = vd.moments(samples[:512], chunk=256)
+assert np.allclose(m2, u.mean(axis=0), rtol=1e-6)
+assert np.allclose(v2, u.var(axis=0), rtol=1e-4, atol=1e-12)
+
+# --- spatial-derivative serving -----------------------------------------
+# du/dx vademecum: dim-0 modes DG(deg-1)-projected once; every serving
+# path (fields/sensors/streams/moments) then works on derivatives
+dvd = vd.derivative()
+flux_sensors = np.asarray(dvd.sensors(pts)(jnp.asarray(samples[:100])))
+print(f"derivative vademecum: du/dx at {len(pts)} points for 100 samples "
+      f"-> {flux_sensors.shape}; range [{flux_sensors.min():.3f}, "
+      f"{flux_sensors.max():.3f}]")
+dmean, dvar = dvd.moments(samples, chunk=4096)
+print(f"du/dx moment fields: max flux std {np.sqrt(dvar.max()):.5f}")
+print("OK")
