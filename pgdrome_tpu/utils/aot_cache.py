@@ -66,6 +66,36 @@ def _key_from_data(key_data):
     return h.hexdigest()[:32]
 
 
+def prune(cache_dir=None, max_age_days=30.0):
+    """Delete cache entries not touched in ``max_age_days`` (by atime,
+    falling back to mtime).  Keys embed code fingerprints, so edited
+    builders orphan their old entries — long-lived hosts should prune
+    periodically (``python -m pgdrome_tpu.warmup --prune-days N``).
+    Returns (n_removed, bytes_removed)."""
+    import time
+
+    cache_dir = cache_dir or default_cache_dir()
+    if cache_dir is None or not os.path.isdir(cache_dir):
+        return 0, 0
+    cutoff = time.time() - max_age_days * 86400.0
+    n, freed = 0, 0
+    for name in os.listdir(cache_dir):
+        if not name.endswith(".pjrt"):
+            continue
+        path = os.path.join(cache_dir, name)
+        try:
+            st = os.stat(path)
+            if max(st.st_atime, st.st_mtime) < cutoff:
+                freed += st.st_size
+                os.unlink(path)
+                n += 1
+        except OSError:  # concurrent removal
+            pass
+    if n:
+        LOGGER.info("aot cache pruned: %d entries, %.1f MB", n, freed / 1e6)
+    return n, freed
+
+
 def aot_jit(jitted, key_data=None, cache_dir=None, max_shapes=16):
     """Per-shape persistent-AOT dispatch for fixed-shape serving programs.
 

@@ -136,7 +136,18 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--quick", action="store_true",
                     help="tiny shapes (smoke test, seconds)")
+    ap.add_argument("--prune-days", type=float, default=None,
+                    help="first prune AOT-cache entries untouched for "
+                    "this many days (orphaned keys from code edits)")
     args = ap.parse_args(argv)
+    if args.prune_days is not None:
+        from pgdrome_tpu.utils.aot_cache import prune
+
+        os.environ.setdefault(
+            "PGDROME_AOT_CACHE", os.path.expanduser("~/.cache/pgdrome_aot")
+        )
+        n, freed = prune(max_age_days=args.prune_days)
+        log(f"pruned {n} entries ({freed/1e6:.1f} MB)")
     if args.quick:
         warmup(n_x=64, n_p=16, num_params=2, n_modes=(6, 4, 4))
     else:

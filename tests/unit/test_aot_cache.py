@@ -217,3 +217,23 @@ class TestServingAot:
             fn3 = pv.make_sweep_fn(Vs, modes, res.n_modes)
             fn3(samples)
             assert fn3.last_status == "miss"
+
+    def test_prune_by_age(self, monkeypatch):
+        import time
+
+        from pgdrome_tpu.utils.aot_cache import prune
+
+        with tempfile.TemporaryDirectory() as d:
+            old = os.path.join(d, "old.pjrt")
+            new = os.path.join(d, "new.pjrt")
+            for p in (old, new):
+                with open(p, "wb") as f:
+                    f.write(b"x" * 100)
+            past = time.time() - 10 * 86400
+            os.utime(old, (past, past))
+            n, freed = prune(cache_dir=d, max_age_days=5.0)
+            assert n == 1 and freed == 100
+            assert os.path.exists(new) and not os.path.exists(old)
+            # no cache dir configured -> no-op
+            monkeypatch.delenv("PGDROME_AOT_CACHE", raising=False)
+            assert prune() == (0, 0)
