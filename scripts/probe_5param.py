@@ -172,6 +172,18 @@ def main():
                     "sweep costs ~6 min/stage of host FEM)")
     ap.add_argument("--verify-every", type=int, default=1,
                     help="verify every Nth stage (and always the last)")
+    ap.add_argument("--stage-fp-it", type=int, default=8,
+                    help="max fixed-point sweeps per stage mode (the "
+                    "3/5-param recipes use 8; an 11-dim alternating "
+                    "solve may need more sweeps per rank-1 direction)")
+    ap.add_argument("--stage-tol-fp", type=float, default=1e-5)
+    ap.add_argument("--boost", default=None,
+                    help="'B,Q' or 'none': override the (16, 6) boundary "
+                    "boost.  The boost is PER-DIM, so the corner weight "
+                    "is B^d — 16^10 = 1e12 at 10 params drowns the "
+                    "interior below the corners' f32 noise floor (the "
+                    "measured round-3 stall); scale B so B^d stays "
+                    "~4k (the 3-param level): B = 4096^(1/d)")
     ap.add_argument("--dtype", default="float32",
                     choices=("float32", "float64"),
                     help="stage-solve dtype: float64 on CPU isolates the "
@@ -243,7 +255,13 @@ def main():
         SeparatedPGD, combine_results, galerkin_update, residual_problem,
     )
 
-    sep_pc, tf, Vs = build()
+    boost = (16.0, 6)
+    if args.boost == "none":
+        boost = None
+    elif args.boost:
+        b, q = args.boost.split(",")
+        boost = (float(b), int(q))
+    sep_pc, tf, Vs = build(boost=boost)
     sep_pc_late, from_stage, to_stage = None, None, None
     if args.late_boost:
         parts = args.late_boost.split(",")
@@ -287,7 +305,8 @@ def main():
             sep_res = compress_rhs(sep_res, args.compress_rhs, n_iters=12)
             log(f"stage {si}: rhs compressed to {args.compress_rhs} "
                 f"({time.perf_counter()-t_c:.1f}s)")
-        delta = SeparatedPGD(sep_res, n_max=b, tol_fp=1e-5, max_fp_it=8,
+        delta = SeparatedPGD(sep_res, n_max=b, tol_fp=args.stage_tol_fp,
+                             max_fp_it=args.stage_fp_it,
                              **common).solve_fused()
         res = combine_results(res, delta, s_res)
         if args.cascade_update:

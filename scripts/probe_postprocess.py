@@ -27,6 +27,9 @@ import bench  # reuse the bench pipeline (functions are importable)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", default="20,12,8,5")
+    ap.add_argument("--jacobian-rate", action="store_true",
+                    help="also measure the sensors_jacobian serving rate "
+                    "at bench scale (8 points, streamed depth-2)")
     args = ap.parse_args()
 
     import pgdrome_tpu.config as cfg
@@ -67,6 +70,45 @@ def main():
             "max_err": f"{max_err:.3e}",
             "per_seed": {str(k): f"{v:.3e}" for k, v in per_seed.items()},
             "rank": f"{n_solved}->{res_g.n_modes}",
+        }), flush=True)
+
+    if args.jacobian_rate:
+        import jax.numpy as jnp
+
+        from pgdrome_tpu.separated import PGDResult
+        from pgdrome_tpu.serving import Vademecum, _stream_pipeline
+
+        res_c = compress_modes(res0, mass_c, bench.N_MODES, n_iters=20)
+        res_g = galerkin_update(sep_pc64, res_c)
+        full0 = tf.modes_to_full(np.asarray(res_g.modes[0])).astype(
+            np.float32
+        )
+        res_srv = PGDResult(
+            modes=[full0] + [np.asarray(m, np.float32)
+                             for m in res_g.modes[1:]],
+            n_modes=res_g.n_modes,
+            amplitudes=np.asarray(res_g.amplitudes),
+            alpha=np.asarray(res_g.alpha), fp_its=np.asarray(res_g.fp_its),
+        )
+        vd = Vademecum(Vs, res_srv)
+        pts = np.linspace(0.1, 0.9, 8)
+        jac = vd.sensors_jacobian(pts)
+        rng = np.random.default_rng(3)
+        n_chunk = 4 * 524_288
+        big = jnp.asarray(rng.uniform(
+            0.02, 0.98, size=(4 * n_chunk, bench.NUM_PARAMS)
+        ).astype(np.float32))
+        _stream_pipeline(jac, big[: 2 * n_chunk], n_chunk, 2,
+                         lambda y: None)  # compile + warm
+        dt = np.inf
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _stream_pipeline(jac, big, n_chunk, 2, lambda y: None)
+            dt = min(dt, time.perf_counter() - t0)
+        print(json.dumps({
+            "jacobian_samples_per_s": round(big.shape[0] / dt),
+            "points": 8, "params": bench.NUM_PARAMS,
+            "chunk": n_chunk,
         }), flush=True)
 
 
