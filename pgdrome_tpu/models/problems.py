@@ -118,6 +118,25 @@ def parametric_elliptic(
                 if isinstance(boundary_boost, (tuple, list))
                 else (float(boundary_boost), 6)
             )
+            # the boost compounds PER DIM: the tensor measure at a box
+            # corner is beta^num_params.  16^3 = 4e3 (the proven bench
+            # level) is fine; 16^10 = 1e12 drowns the interior below the
+            # corner rows' f32 noise floor — measured round 3: the
+            # 10-param cascade stalled at ~6e-4 until beta was rescaled
+            # to 4096^(1/d).  Warn rather than raise (f64 orchestration
+            # solves tolerate more).
+            if beta ** num_params > 1e7:
+                import warnings
+
+                warnings.warn(
+                    f"boundary_boost compounds to beta^d = "
+                    f"{beta ** num_params:.1e} at the parameter-box "
+                    f"corners; f32 solves lose the interior below the "
+                    f"corner noise floor. Scale beta to keep beta^d "
+                    f"~ 4e3 (beta = {4096.0 ** (1.0 / num_params):.2f} "
+                    f"for {num_params} params).",
+                    stacklevel=2,
+                )
             for j in range(num_params):
                 pc = Vp[j].tabulate_dof_coordinates()[:, 0]
                 mid = 0.5 * (pc.min() + pc.max())

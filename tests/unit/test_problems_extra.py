@@ -383,3 +383,29 @@ class TestMinresFusedPath:
         print("minres fused-vs-host full-tensor err:", err, res32.n_modes)
         assert res32.n_modes == res64.n_modes == 20
         assert err < 2e-2
+
+
+class TestBoostCompoundingWarning:
+    def test_warns_when_boost_compounds_past_f32(self):
+        import warnings
+
+        from pgdrome_tpu.models.problems import parametric_elliptic
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            parametric_elliptic(n_x=8, n_p=4, num_params=10,
+                                boundary_boost=(16.0, 6))
+        assert any("compounds" in str(x.message) for x in w)
+
+    def test_no_warning_at_proven_levels(self):
+        import warnings
+
+        from pgdrome_tpu.models.problems import parametric_elliptic
+
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            parametric_elliptic(n_x=8, n_p=4, num_params=3,
+                                boundary_boost=(16.0, 6))
+            parametric_elliptic(n_x=8, n_p=4, num_params=10,
+                                boundary_boost=(2.3, 6))
+        assert not [x for x in w if "compounds" in str(x.message)]
