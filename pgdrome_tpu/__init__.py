@@ -47,6 +47,7 @@ from pgdrome_tpu.separated import (
     normal_equations,
 )
 from pgdrome_tpu.recipes import (
+    adaptive_cascade,
     residual_cascade,
     two_stage_elliptic,
     two_stage_minres,
@@ -93,6 +94,7 @@ __all__ = [
     "galerkin_update",
     "normal_equations",
     "Vademecum",
+    "adaptive_cascade",
     "residual_cascade",
     "two_stage_elliptic",
     "two_stage_minres",

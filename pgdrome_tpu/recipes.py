@@ -114,6 +114,125 @@ def residual_cascade(problem_pc: SeparatedProblem, budgets,
     return res
 
 
+def adaptive_cascade(problem_pc: SeparatedProblem, verify, *,
+                     bound: float = 1e-6, n_stage1: int = 128,
+                     stage_budget: int = 128, max_stages: int = 12,
+                     boost_problem: SeparatedProblem | None = None,
+                     boost_margin: float = 2.0,
+                     rhs_comp="auto", rhs_comp_below: float = 1e-5,
+                     stall_stages: int = 3,
+                     tol_fp: float = 1e-7, solver: str = "cg",
+                     cg_iters: int = 25, dtype=np.float32,
+                     aot_cache_dir: str | None = None, log=None,
+                     init_result: PGDResult | None = None,
+                     checkpoint=None):
+    """Error-DRIVEN residual cascade: solve until a verified bound, not a
+    fixed stage list.  This packages the measured multi-parameter
+    discipline (PERF.md round-3, scripts/probe_5param.py) as one call:
+
+    * after every stage the SPAN-OPTIMAL (Galerkin-updated) result is
+      verified through the user's ``verify`` callback;
+    * while the CORNERS bind (corner error above ``bound`` and more than
+      ``boost_margin``× the interior error) and a ``boost_problem`` is
+      given, the next stage's residual targets that corner-boosted
+      measure — and reverts to the plain measure as soon as corners clear
+      (leaving the boost on stalls the interior: the measured
+      "boost window" failure, PERF.md round-3 #8);
+    * once the error enters the cancellation-bound region
+      (below ``rhs_comp_below``), stages switch to the compensated
+      double-f32 rhs contraction (``rhs_comp="auto"``; pass True/False to
+      force) — the on-chip fix for the ~1.5e-6 pure-f32 stack floor;
+    * stops at ``bound``, at ``max_stages``, or when the best verified
+      error hasn't improved for ``stall_stages`` stages; returns the BEST
+      Galerkin-updated result seen, not the last.
+
+    ``verify(result) -> float | {"corners": c, "interior": i, ...}`` must
+    measure the result against ground truth (e.g.
+    :func:`pgdrome_tpu.models.problems.elliptic_dense_verifier`); a bare
+    float is treated as both corner and interior error (no boost
+    steering).  Like the probes, the cascade itself continues from the
+    RAW combination — the Galerkin update is for verification/deployment
+    only (updating mid-cascade measured worse, PERF.md).
+
+    ``init_result``: warm-start from an existing (raw, uncompressed)
+    combination instead of solving stage 1 — continue an interrupted
+    cascade, or hand off from a fixed-budget :func:`residual_cascade`
+    (``n_stage1`` is then ignored; stage 1 just verifies the input).
+
+    ``checkpoint``: optional ``fn(stage_dict, raw_result)`` called after
+    each stage's verification — persist the raw combination so a killed
+    run (remote-compile stalls) resumes via ``init_result`` instead of
+    re-solving.
+
+    Returns ``(best_result, history)``: history is one dict per stage
+    with rank, errors, measure/precision decisions, and timing."""
+    import time
+
+    def common(comp):
+        return dict(tol=0.0, solver=solver, cg_iters=cg_iters,
+                    residual_check=False, dtype=dtype,
+                    aot_cache_dir=aot_cache_dir, rhs_comp=comp)
+
+    def _split(v):
+        if isinstance(v, dict):
+            return float(v["corners"]), float(v["interior"])
+        return float(v), float(v)
+
+    say = log or (lambda *a: None)
+    history = []
+    best_err, best_res, best_stage = np.inf, None, 0
+    corners = interior = np.inf
+    res = None
+    for si in range(1, max_stages + 1):
+        t0 = time.perf_counter()
+        boosted = comp = False
+        if si == 1:
+            res = init_result if init_result is not None else SeparatedPGD(
+                problem_pc, n_max=n_stage1, tol_fp=tol_fp,
+                max_fp_it=40, **common(False)).solve_fused()
+        else:
+            boosted = (
+                boost_problem is not None
+                and corners > bound
+                and corners > boost_margin * interior
+            )
+            prob_s = boost_problem if boosted else problem_pc
+            if isinstance(rhs_comp, bool):
+                comp = rhs_comp
+            else:  # "auto": engage in the cancellation-bound region
+                comp = (
+                    max(corners, interior) < rhs_comp_below
+                    and np.dtype(dtype) != np.float64
+                )
+            sep_res, s_res = residual_problem(prob_s, res)
+            delta = SeparatedPGD(sep_res, n_max=stage_budget, tol_fp=1e-5,
+                                 max_fp_it=8, **common(comp)).solve_fused()
+            res = combine_results(res, delta, s_res)
+        res_g = galerkin_update(problem_pc, res)
+        corners, interior = _split(verify(res_g))
+        mx = max(corners, interior)
+        history.append({
+            "stage": si, "rank": res.n_modes, "corners": corners,
+            "interior": interior, "max": mx, "boosted": boosted,
+            "rhs_comp": comp, "stage_s": round(time.perf_counter() - t0, 2),
+        })
+        say(f"adaptive stage {si}: rank {res.n_modes} corners {corners:.2e} "
+            f"interior {interior:.2e}"
+            + (" [boost]" if boosted else "")
+            + (" [dd]" if comp else ""))
+        if checkpoint is not None:
+            checkpoint(history[-1], res)
+        if mx < best_err:
+            best_err, best_res, best_stage = mx, res_g, si
+        if mx < bound:
+            break
+        if si - best_stage >= stall_stages:
+            say(f"adaptive cascade stalled: best {best_err:.2e} at stage "
+                f"{best_stage}, no improvement for {stall_stages} stages")
+            break
+    return best_res, history
+
+
 def two_stage_elliptic(sep: SeparatedProblem, n_stage1: int = 64,
                        n_stage2: int = 48, n_deploy: int | None = 50,
                        tol_fp: float = 1e-7, solver: str = "cg",

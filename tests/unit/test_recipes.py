@@ -345,3 +345,123 @@ class TestResidualCascade:
         e2, e3 = max_err(res2, tf2), max_err(res3, tf3)
         assert res3.n_modes == res2.n_modes + 6
         assert e3 <= e2 * 1.2, f"stage-3 hurt: {e3:.3e} vs {e2:.3e}"
+
+
+class TestEllipticDenseVerifier:
+    def test_converged_solve_verifies_small(self):
+        from pgdrome_tpu.models.problems import elliptic_dense_verifier
+        from pgdrome_tpu.separated import SeparatedPGD, precondition_dim0
+
+        sep, Vs = parametric_elliptic(n_x=64, n_p=16, num_params=2,
+                                      degree_x=2)
+        sep_pc, tf = precondition_dim0(sep, dtype=np.float64)
+        res = SeparatedPGD(sep_pc, n_max=24, tol=0.0, tol_fp=1e-9,
+                           residual_check=False,
+                           dtype=np.float64).solve_fused()
+        verify = elliptic_dense_verifier(Vs, tf, n_random=4,
+                                         seeds=(7, 101))
+        errs = verify(res)
+        assert set(errs) == {"corners", "interior", "max"}
+        assert errs["max"] == max(errs["corners"], errs["interior"])
+        assert errs["max"] < 1e-5, errs
+
+    def test_corner_cap_subsets_corners(self):
+        from pgdrome_tpu.models.problems import elliptic_dense_verifier
+        from pgdrome_tpu.separated import SeparatedPGD, precondition_dim0
+
+        sep, Vs = parametric_elliptic(n_x=32, n_p=8, num_params=3,
+                                      degree_x=2)
+        sep_pc, tf = precondition_dim0(sep, dtype=np.float64)
+        res = SeparatedPGD(sep_pc, n_max=10, tol=0.0, tol_fp=1e-8,
+                           residual_check=False,
+                           dtype=np.float64).solve_fused()
+        full = elliptic_dense_verifier(Vs, tf, n_random=2, seeds=(7,))
+        capped = elliptic_dense_verifier(Vs, tf, n_random=2, seeds=(7,),
+                                         corner_cap=4)
+        # the capped sweep sees a subset of corners, so its corner max
+        # cannot exceed the full one; interiors are identical draws
+        assert capped(res)["corners"] <= full(res)["corners"] + 1e-15
+        assert capped(res)["interior"] == full(res)["interior"]
+
+
+class TestAdaptiveCascade:
+    def _problem(self, boost=None):
+        from pgdrome_tpu.separated import precondition_dim0
+
+        sep, Vs = parametric_elliptic(n_x=64, n_p=16, num_params=2,
+                                      degree_x=2, boundary_boost=boost)
+        sep_pc, tf = precondition_dim0(sep, dtype=np.float64)
+        return sep_pc, tf, Vs
+
+    def test_reaches_bound_and_stops(self):
+        from pgdrome_tpu.models.problems import elliptic_dense_verifier
+        from pgdrome_tpu.recipes import adaptive_cascade
+
+        sep_pc, tf, Vs = self._problem()
+        verify = elliptic_dense_verifier(Vs, tf, n_random=6,
+                                         seeds=(7, 101))
+        best, history = adaptive_cascade(
+            sep_pc, verify, bound=5e-5, n_stage1=16, stage_budget=10,
+            max_stages=8, dtype=np.float32,
+        )
+        assert history[-1]["max"] < 5e-5
+        # stops AT the bound, not at max_stages
+        assert len(history) < 8
+        # best is the Galerkin-updated result of the bound-meeting stage
+        assert best.n_modes == history[-1]["rank"]
+        assert verify(best)["max"] < 5e-5
+
+    def test_measure_and_precision_steering(self):
+        """Scripted verifier: the boost window opens exactly while
+        corners bind (> bound and > margin x interior) and dd stages
+        engage exactly below rhs_comp_below."""
+        from pgdrome_tpu.recipes import adaptive_cascade
+
+        sep_pc, _, _ = self._problem()
+        sep_boost, _, _ = self._problem(boost=(16.0, 6))
+        script = iter([
+            {"corners": 1e-3, "interior": 1e-5},   # -> stage 2 boosted
+            {"corners": 1.5e-5, "interior": 1e-5},  # -> stage 3 plain+dd
+            {"corners": 2e-3, "interior": 1e-3},    # (stage 3 result)
+        ])
+        best, history = adaptive_cascade(
+            sep_pc, lambda res: next(script), bound=1e-7,
+            n_stage1=8, stage_budget=6, max_stages=3,
+            boost_problem=sep_boost, boost_margin=2.0,
+            rhs_comp="auto", rhs_comp_below=1e-4, dtype=np.float32,
+        )
+        assert [h["boosted"] for h in history] == [False, True, False]
+        assert [h["rhs_comp"] for h in history] == [False, False, True]
+        # best tracks the smallest verified max (stage 2), not the last
+        assert best.n_modes == history[1]["rank"]
+
+    def test_stall_stops_early_and_returns_best(self):
+        from pgdrome_tpu.recipes import adaptive_cascade
+
+        sep_pc, _, _ = self._problem()
+        best, history = adaptive_cascade(
+            sep_pc, lambda res: 1e-3, bound=1e-9,
+            n_stage1=8, stage_budget=6, max_stages=10,
+            stall_stages=2, dtype=np.float32,
+        )
+        # stage 1 is the best forever -> stalls after 2 more stages
+        assert len(history) == 3
+        assert best.n_modes == history[0]["rank"]
+
+    def test_warm_start_from_init_result(self):
+        from pgdrome_tpu.models.problems import elliptic_dense_verifier
+        from pgdrome_tpu.recipes import adaptive_cascade
+        from pgdrome_tpu.separated import SeparatedPGD
+
+        sep_pc, tf, Vs = self._problem()
+        init = SeparatedPGD(sep_pc, n_max=16, tol=0.0, tol_fp=1e-7,
+                            residual_check=False,
+                            dtype=np.float32).solve_fused()
+        verify = elliptic_dense_verifier(Vs, tf, n_random=6,
+                                         seeds=(7, 101))
+        best, history = adaptive_cascade(
+            sep_pc, verify, bound=5e-5, stage_budget=10, max_stages=8,
+            dtype=np.float32, init_result=init,
+        )
+        assert history[0]["rank"] == init.n_modes  # stage 1 = the input
+        assert history[-1]["max"] < 5e-5
