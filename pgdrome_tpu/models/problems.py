@@ -186,7 +186,8 @@ def parametric_elliptic(
 
 def elliptic_dense_verifier(Vs, tf=None, n_random: int = 16,
                             seeds=(7, 101, 1234, 777),
-                            corner_cap: int | None = None):
+                            corner_cap: int | None = None,
+                            n_edge: int = 0):
     """Dense held-out verifier for :func:`parametric_elliptic` results:
     returns ``verify(result) -> {"corners", "interior", "max"}`` with the
     max relative L2 error vs a PER-SAMPLE banded f64 FEM solve at all
@@ -203,7 +204,15 @@ def elliptic_dense_verifier(Vs, tf=None, n_random: int = 16,
     (``precondition_dim0``), or None for nodal-basis modes.
     corner_cap: verify a fixed-seed corner subset + both all-lo/all-hi
     extremes instead of all 2^d (the full sweep at 10 params costs
-    ~6 min of host FEM per call)."""
+    ~6 min of host FEM per call).
+    n_edge: additionally verify this many EDGE/FACE samples per seed —
+    a random 1..d-1 dims pinned at the box extremes, the rest random
+    interior grid points.  Corners + random-interior draws never probe
+    this region (a random draw has every dim interior w.h.p.), yet
+    boundary-boosted greedy measures target extremeness per dim, so
+    partial-extreme pockets are exactly what they can leave behind.
+    Edge errors count toward "corners" in the returned dict (they are
+    boundary errors for steering purposes)."""
     from scipy.linalg import solve_banded
 
     from pgdrome_tpu.separated import evaluate_modes_1d
@@ -273,10 +282,24 @@ def elliptic_dense_verifier(Vs, tf=None, n_random: int = 16,
         mi = 0.0
         for seed in seeds:
             rng = np.random.default_rng(seed)
-            randoms = grid[
-                rng.integers(1, len(grid) - 1, size=(n_random, num_params))
-            ]
-            mi = max(mi, float(_errors(res, full0, randoms).max()))
+            if n_random:
+                randoms = grid[
+                    rng.integers(1, len(grid) - 1,
+                                 size=(n_random, num_params))
+                ]
+                mi = max(mi, float(_errors(res, full0, randoms).max()))
+            if n_edge:
+                pts = grid[
+                    rng.integers(1, len(grid) - 1,
+                                 size=(n_edge, num_params))
+                ]
+                for r in range(n_edge):
+                    k = int(rng.integers(1, num_params)) if num_params > 1 else 1
+                    dims = rng.choice(num_params, size=k, replace=False)
+                    pts[r, dims] = np.where(
+                        rng.integers(0, 2, size=k) == 0, lo, hi
+                    )
+                mc = max(mc, float(_errors(res, full0, pts).max()))
         return {"corners": mc, "interior": mi, "max": max(mc, mi)}
 
     return verify

@@ -465,3 +465,21 @@ class TestAdaptiveCascade:
         )
         assert history[0]["rank"] == init.n_modes  # stage 1 = the input
         assert history[-1]["max"] < 5e-5
+
+    def test_edge_samples_extend_the_sweep(self):
+        from pgdrome_tpu.models.problems import elliptic_dense_verifier
+        from pgdrome_tpu.separated import SeparatedPGD, precondition_dim0
+
+        sep, Vs = parametric_elliptic(n_x=32, n_p=8, num_params=3,
+                                      degree_x=2)
+        sep_pc, tf = precondition_dim0(sep, dtype=np.float64)
+        res = SeparatedPGD(sep_pc, n_max=10, tol=0.0, tol_fp=1e-8,
+                           residual_check=False,
+                           dtype=np.float64).solve_fused()
+        plain = elliptic_dense_verifier(Vs, tf, n_random=2, seeds=(7,))
+        edged = elliptic_dense_verifier(Vs, tf, n_random=2, seeds=(7,),
+                                        n_edge=6)
+        e_p, e_e = plain(res), edged(res)
+        # same interior draw; edge sweep can only raise the boundary max
+        assert e_e["interior"] == e_p["interior"]
+        assert e_e["corners"] >= e_p["corners"]
