@@ -980,11 +980,23 @@ class SeparatedPGD:
         while n < self.n_max:
             attempt = 0
             while True:
-                init = (
-                    self._random_init(n, attempt)
-                    if (self._fp_init == "randomized" or attempt > 0)
-                    else None
-                )
+                if callable(self._fp_init) and attempt == 0:
+                    # custom per-mode fixed-point seed: fn(mode_index,
+                    # sizes) -> per-dim vectors.  High-dim corner capture
+                    # needs this: an end-localized rank-1 target has
+                    # ~(1/n_p)^(d-1) overlap with the default ones init,
+                    # so the alternating sweeps never find it (measured
+                    # at 10 params — PERF.md round-3 frontier notes);
+                    # seeding the parameter factors at the box boundary
+                    # removes the barrier.  Stall retries still fall back
+                    # to the randomized init.
+                    init = self._fp_init(n, self.problem.sizes)
+                else:
+                    init = (
+                        self._random_init(n, attempt)
+                        if (self._fp_init == "randomized" or attempt > 0)
+                        else None
+                    )
                 with self.metrics.step():
                     modes_new, normU, alpha, fp_its, res = (
                         self._enrich(modes, n, data=self._data)

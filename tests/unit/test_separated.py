@@ -169,6 +169,33 @@ class TestFpInitAndStallRetry:
             r1.amplitudes[:4], r2.amplitudes[:4], rtol=1e-2
         )
 
+    def test_callable_fp_init_same_leading_modes(self):
+        # custom per-mode fixed-point seeds (high-dim corner capture:
+        # an end-localized rank-1 target has ~(1/n_p)^(d-1) overlap with
+        # the ones init, so corner stages must be seeded — PERF.md
+        # round-3 frontier): fn(mode, sizes) -> per-dim vectors.  On a
+        # benign problem the seeding must not change the dominant modes.
+        from pgdrome_tpu.models.problems import parametric_elliptic
+
+        sep, Vs = parametric_elliptic(n_x=40, n_p=16, num_params=2)
+        calls = []
+
+        def init(n, sizes):
+            calls.append(n)
+            rng = np.random.default_rng(1000 + n)
+            return tuple(
+                rng.uniform(0.5, 1.0, size=s) for s in sizes
+            )
+
+        r1 = SeparatedPGD(sep, n_max=6, tol=1e-13, tol_fp=1e-9).solve()
+        r2 = SeparatedPGD(
+            sep, n_max=6, tol=1e-13, tol_fp=1e-9, fp_init=init
+        ).solve()
+        assert calls == list(range(6))  # seeded every mode
+        np.testing.assert_allclose(
+            r1.amplitudes[:4], r2.amplitudes[:4], rtol=1e-2
+        )
+
     def test_structural_stall_not_hidden_by_retries(self):
         # greedy Galerkin on the non-symmetric moving-source operator stalls
         # structurally at mode 4 (randomized retries also collapse); the
