@@ -42,7 +42,7 @@ import numpy as np
 os.environ.setdefault("PGDROME_AOT_CACHE", "/root/.cache/pgdrome_aot")
 os.environ.setdefault("PGDROME_SETUP_CACHE", "/root/.cache/pgdrome_setup")
 
-NUM_PARAMS = 10
+NUM_PARAMS = 10  # --num-params overrides
 N_X, N_P = 1024, 128
 
 
@@ -79,6 +79,11 @@ def main():
     ap.add_argument("--resume", default=None,
                     help="npz state (scripts/probe_5param.py --save-state "
                     "format) to warm-start from")
+    ap.add_argument("--num-params", type=int, default=10)
+    ap.add_argument("--n-edge", type=int, default=0,
+                    help="edge/face samples per seed in the per-stage "
+                    "verification (boundary-bound steering sees them as "
+                    "corner errors)")
     ap.add_argument("--max-stages", type=int, default=8)
     ap.add_argument("--budget", type=int, default=128)
     ap.add_argument("--bound", type=float, default=1e-6)
@@ -88,6 +93,8 @@ def main():
     ap.add_argument("--corner-cap", type=int, default=64)
     ap.add_argument("--state-out", default="/tmp/p10_adaptive_state.npz")
     args = ap.parse_args()
+    global NUM_PARAMS
+    NUM_PARAMS = args.num_params
 
     import warnings
 
@@ -126,7 +133,7 @@ def main():
 
     verify = elliptic_dense_verifier(
         Vs, tf, n_random=16, seeds=(7, 101, 1234, 777),
-        corner_cap=args.corner_cap,
+        corner_cap=args.corner_cap, n_edge=args.n_edge,
     )
 
     def checkpoint(stage_line, raw):
