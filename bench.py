@@ -166,11 +166,16 @@ def tpu_solve(sep32, n_max=None, tag="stage1", tol_fp=1e-7, max_fp_it=40,
     return res, t_solve, t_total, solver.last_compile_status
 
 
-def verify(Vs, res, tf, n_check=64, seeds=(7, 101, 1234)):
+def verify(Vs, res, tf, n_check=64, seeds=(7, 101, 1234), n_edge=16):
     """Max relative L2 error vs per-sample f64 FEM over a dense held-out
     set: all 2^NUM_PARAMS corners of the parameter box PLUS n_check random
     on-grid samples PER SEED (multi-seed so the <1e-6 bound is not a
-    one-draw fluke — round-2 VERDICT weak #5).  The FEM reference is
+    one-draw fluke — round-2 VERDICT weak #5) PLUS n_edge EDGE/FACE
+    samples per seed (a random 1..d-1 dims pinned at the extremes, the
+    rest random interior — random draws have every dim interior w.h.p.,
+    so without these the partial-extreme region a per-dim boost measure
+    can under-serve is never probed; the round-3 edge audit caught a real
+    above-bound pocket there at 5 params).  The FEM reference is
     assembled independently per sample and solved banded (P2 stiffness is
     pentadiagonal), so the dense sweep costs ~10 ms/sample — matches the
     error-sampling discipline of the reference (model.py:1768-1825) at FOM
@@ -194,16 +199,30 @@ def verify(Vs, res, tf, n_check=64, seeds=(7, 101, 1234)):
             rng.integers(1, len(grid) - 1, size=(n_check, NUM_PARAMS))
         ]
         errs = _verify_samples(Vx, Vs, res, full0, randoms)
+        if n_edge:
+            pts = grid[
+                rng.integers(1, len(grid) - 1, size=(n_edge, NUM_PARAMS))
+            ]
+            for r in range(n_edge):
+                k = int(rng.integers(1, NUM_PARAMS))
+                dims = rng.choice(NUM_PARAMS, size=k, replace=False)
+                pts[r, dims] = np.where(
+                    rng.integers(0, 2, size=k) == 0, lo, hi
+                )
+            errs = np.concatenate(
+                [errs, _verify_samples(Vx, Vs, res, full0, pts)]
+            )
         per_seed[seed] = float(errs.max())
         overall = max(overall, per_seed[seed])
         ok = "OK" if per_seed[seed] < TOL else "ABOVE BOUND"
         log(
-            f"verification seed {seed} ({n_check} random samples): "
-            f"max {per_seed[seed]:.3e} [{ok}]"
+            f"verification seed {seed} ({n_check} random + {n_edge} "
+            f"edge samples): max {per_seed[seed]:.3e} [{ok}]"
         )
     log(
         f"verification union ({len(corners)} corners + "
-        f"{len(seeds)}x{n_check} random): max {overall:.3e}"
+        f"{len(seeds)}x({n_check} random + {n_edge} edge)): "
+        f"max {overall:.3e}"
     )
     return overall, per_seed
 
@@ -735,6 +754,7 @@ def main():
         "postprocess_s": round(t_post, 4),
         "modes_per_s": round(n_solved / t_solve, 2),
         "max_rel_error_vs_fem": float(f"{max_err:.3e}"),
+        "verification_set": "8 corners + 3 seeds x (64 random + 16 edge)",
         "max_rel_error_per_seed": {
             str(k): float(f"{v:.3e}") for k, v in err_per_seed.items()
         },
