@@ -483,3 +483,68 @@ class TestAdaptiveCascade:
         # same interior draw; edge sweep can only raise the boundary max
         assert e_e["interior"] == e_p["interior"]
         assert e_e["corners"] >= e_p["corners"]
+
+
+class TestCornerSeededInit:
+    def test_seed_shapes_and_side_selection(self):
+        from pgdrome_tpu.models.problems import corner_seeded_init
+
+        corners = np.array([[0.0, 1.0, 0.0], [1.0, 1.0, 1.0]])
+        init = corner_seeded_init(corners, 0.0, 1.0, q=6, bg=0.0)
+        sizes = (17, 9, 9, 9)
+        f = init(0, sizes)  # targets corner [lo, hi, lo]
+        assert tuple(len(v) for v in f) == sizes
+        # corner[0] = [0, 1, 0]: dim1 lo, dim2 hi, dim3 lo — the bump
+        # peaks at the targeted end and is zero on the other half
+        assert f[1][0] == 1.0 and f[1][-1] == 0.0
+        assert np.argmax(f[1]) == 0          # lo-side bump peaks at start
+        assert np.argmax(f[2]) == len(f[2]) - 1  # hi side
+        assert np.argmax(f[3]) == 0
+        # modes cycle through the corner list
+        f1 = init(1, sizes)
+        assert np.argmax(f1[1]) == len(f1[1]) - 1  # all-hi corner
+        # deterministic per mode index
+        np.testing.assert_array_equal(init(0, sizes)[0], f[0])
+
+    def test_targeted_stage_beats_ones_init_on_corners(self):
+        """The frontier mechanism at test scale: same measure, same
+        budget, a corner-seeded residual stage must not lose to the
+        ones-init one on the measured corner max (f64 — no precision
+        confound)."""
+        from pgdrome_tpu.models.problems import (
+            corner_seeded_init, elliptic_dense_verifier,
+            parametric_elliptic,
+        )
+        from pgdrome_tpu.separated import (
+            SeparatedPGD, combine_results, galerkin_update,
+            precondition_dim0, residual_problem,
+        )
+
+        sep, Vs = parametric_elliptic(n_x=48, n_p=12, num_params=4,
+                                      degree_x=2, boundary_boost=(8.0, 6))
+        pc, tf = precondition_dim0(sep, dtype=np.float64)
+        verifier = elliptic_dense_verifier(Vs, tf, n_random=4, seeds=(7,))
+        common = dict(tol=0.0, solver="cg", cg_iters=25,
+                      residual_check=False, dtype=np.float64)
+        base = SeparatedPGD(pc, n_max=12, tol_fp=1e-7, max_fp_it=40,
+                            **common).solve_fused()
+        ce0 = verifier.sample_errors(galerkin_update(pc, base),
+                                     verifier.corners)
+        worst = verifier.corners[np.argsort(ce0)[::-1]]
+        grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+        sep_res, s_res = residual_problem(pc, base)
+
+        d_ones = SeparatedPGD(sep_res, n_max=8, tol_fp=1e-5, max_fp_it=20,
+                              **common).solve()
+        d_seed = SeparatedPGD(sep_res, n_max=8, tol_fp=1e-5, max_fp_it=20,
+                              fp_init=corner_seeded_init(
+                                  worst, grid[1], grid[-2]),
+                              **common).solve()
+        e_ones = verifier.sample_errors(
+            galerkin_update(pc, combine_results(base, d_ones, s_res)),
+            verifier.corners).max()
+        e_seed = verifier.sample_errors(
+            galerkin_update(pc, combine_results(base, d_seed, s_res)),
+            verifier.corners).max()
+        print("corner max ones/seeded:", e_ones, e_seed)
+        assert e_seed <= e_ones * 1.05
