@@ -548,3 +548,39 @@ class TestCornerSeededInit:
             verifier.corners).max()
         print("corner max ones/seeded:", e_ones, e_seed)
         assert e_seed <= e_ones * 1.05
+
+
+class TestRhsZeroRowPadding:
+    def test_zero_rhs_rows_are_inert(self):
+        """Padding the rhs stack with zero rows (shape-stabilization for
+        cascade stages on remote backends - probe_10param_grind_tpu) must
+        not change the solve."""
+        from pgdrome_tpu.separated import (
+            SeparatedPGD, SeparatedProblem, precondition_dim0,
+            residual_problem,
+        )
+
+        sep, Vs = parametric_elliptic(n_x=48, n_p=12, num_params=2,
+                                      degree_x=2)
+        pc, tf = precondition_dim0(sep, dtype=np.float64)
+        common = dict(tol=0.0, solver="cg", cg_iters=25,
+                      residual_check=False, dtype=np.float64)
+        base = SeparatedPGD(pc, n_max=8, tol_fp=1e-7, **common).solve_fused()
+        sep_res, s_res = residual_problem(pc, base)
+        R = sep_res.rhs[0].shape[0]
+        padded = SeparatedProblem(
+            ops=sep_res.ops,
+            rhs=[np.concatenate(
+                [r, np.zeros((16, r.shape[1]), dtype=r.dtype)])
+                for r in sep_res.rhs],
+            mass=sep_res.mass,
+            bc_dofs=[np.flatnonzero(m == 0.0) for m in sep_res.bc_masks],
+        )
+        d1 = SeparatedPGD(sep_res, n_max=6, tol_fp=1e-6, **common).solve_fused()
+        d2 = SeparatedPGD(padded, n_max=6, tol_fp=1e-6, **common).solve_fused()
+        assert padded.rhs[0].shape[0] == R + 16
+        np.testing.assert_allclose(
+            np.asarray(d1.amplitudes), np.asarray(d2.amplitudes),
+            rtol=1e-10,
+        )
+        np.testing.assert_allclose(d1.normU0, d2.normU0, rtol=1e-12)
