@@ -466,6 +466,35 @@ class TestAdaptiveCascade:
         assert history[0]["rank"] == init.n_modes  # stage 1 = the input
         assert history[-1]["max"] < 5e-5
 
+    def test_checkpoint_called_per_stage_and_resumable(self):
+        """The per-stage checkpoint receives (stage_line, RAW result) and
+        the raw result warm-starts a new cascade (the killed-run resume
+        path the probes rely on)."""
+        from pgdrome_tpu.recipes import adaptive_cascade
+
+        sep_pc, tf, Vs = self._problem()
+        script = iter([1e-3, 5e-4, 2e-4])
+        saved = []
+        adaptive_cascade(
+            sep_pc, lambda res: next(script), bound=1e-7,
+            n_stage1=8, stage_budget=6, max_stages=3,
+            dtype=np.float32,
+            checkpoint=lambda line, raw: saved.append((dict(line), raw)),
+        )
+        assert [line["stage"] for line, _ in saved] == [1, 2, 3]
+        # checkpointed raw rank matches the history line; ranks grow
+        ranks = [line["rank"] for line, _ in saved]
+        assert all(line["rank"] == raw.n_modes for line, raw in saved)
+        assert ranks == sorted(ranks) and ranks[-1] > ranks[0]
+        # resume: warm-starting from the last checkpoint verifies the
+        # input as stage 1 at the same rank (no re-solve of the past)
+        _, history2 = adaptive_cascade(
+            sep_pc, lambda res: 1e-3, bound=1e-7,
+            stage_budget=6, max_stages=1, dtype=np.float32,
+            init_result=saved[-1][1],
+        )
+        assert history2[0]["rank"] == ranks[-1]
+
     def test_edge_samples_extend_the_sweep(self):
         from pgdrome_tpu.models.problems import elliptic_dense_verifier
         from pgdrome_tpu.separated import SeparatedPGD, precondition_dim0
