@@ -373,6 +373,38 @@ class Vademecum:
             self.spaces, self._modes, self.n_modes, samples, fom_fields
         )
 
+    def attach_certifier(self, certifier):
+        """Attach a :class:`pgdrome_tpu.parallel.certify.Certifier` so
+        :meth:`residuals` / :meth:`error_bound` serve certified error
+        queries alongside fields/sensors.  Not persisted by
+        :meth:`save` — the certifier closes over the separated operator
+        stacks, which the snapshot intentionally omits; re-attach after
+        :meth:`load`."""
+        self._certifier = certifier
+        return self
+
+    def residuals(self, samples):
+        """Per-sample relative algebraic residuals (certifier required:
+        see :func:`pgdrome_tpu.parallel.certify.make_certifier`)."""
+        if getattr(self, "_certifier", None) is None:
+            raise RuntimeError(
+                "no certifier attached — build one with "
+                "parallel.certify.make_certifier(sep, spaces, result, tf=tf) "
+                "and attach_certifier(...)"
+            )
+        return self._certifier.residuals(samples)
+
+    def error_bound(self, samples):
+        """Calibrated per-sample error bounds η·residual (certifier must
+        be attached and calibrated)."""
+        if getattr(self, "_certifier", None) is None:
+            raise RuntimeError(
+                "no certifier attached — build one with "
+                "parallel.certify.make_certifier(sep, spaces, result, tf=tf) "
+                "and attach_certifier(...)"
+            )
+        return self._certifier.bound(samples)
+
     def to_pgd(self, name="vademecum", name_coord=None):
         """Bridge into the reference-style PGD container (model layer:
         evaluate/reducers/derivatives, pxdmf/HDF5 export)."""

@@ -1,0 +1,209 @@
+"""Certified residual-based error indicators (parallel/certify.py).
+
+The reference certifies by sampling FOM solves (PGDErrorComputation,
+reference model.py:1666-1825); this is the TPU-native complement — the
+per-sample algebraic residual, batched on device, verified here against
+a direct f64 numpy residual, against boost invariance, and for the
+calibrated-bound workflow end to end."""
+
+import numpy as np
+import pytest
+
+from pgdrome_tpu.models.problems import (
+    elliptic_dense_verifier,
+    parametric_elliptic,
+)
+from pgdrome_tpu.parallel.certify import (
+    Certifier,
+    make_certifier,
+    make_residual_indicator,
+)
+from pgdrome_tpu.separated import (
+    SeparatedPGD,
+    evaluate_modes_1d,
+    precondition_dim0,
+)
+
+
+@pytest.fixture(scope="module")
+def solved():
+    sep, Vs = parametric_elliptic(n_x=64, n_p=16, num_params=2, degree_x=2)
+    sep_pc, tf = precondition_dim0(sep, dtype=np.float64)
+    res = SeparatedPGD(
+        sep_pc, n_max=16, tol=0.0, tol_fp=1e-8,
+        residual_check=False, dtype=np.float32,
+    ).solve_fused()
+    grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+    rng = np.random.default_rng(0)
+    samples = grid[rng.integers(1, len(grid) - 1, size=(12, 2))]
+    return sep, Vs, tf, res, grid, samples
+
+
+def _direct_residuals(sep, Vs, tf, res, grid, samples):
+    """f64 numpy ground truth: assemble K(p), b(p) per sample."""
+    full0 = tf.modes_to_full(
+        np.asarray(res.modes[0])[: res.n_modes]
+    ).astype(np.float64)
+    ops0 = np.asarray(sep.ops[0])
+    mask = np.asarray(sep.bc_masks[0])
+    out = []
+    for p in samples:
+        theta = np.ones(sep.num_terms)
+        rho = np.ones(sep.num_rhs)
+        w = np.ones(res.n_modes)
+        for d in range(1, sep.num_dims):
+            od = np.asarray(sep.ops[d])
+            gi = np.argmin(np.abs(grid - p[d - 1]))
+            theta *= np.array(
+                [np.diag(od[t])[gi] for t in range(sep.num_terms)]
+            )
+            rho *= np.asarray(sep.rhs[d])[:, gi]
+            mv = np.asarray(
+                evaluate_modes_1d(
+                    Vs[d], res.modes[d], np.asarray([p[d - 1]]), xp=np
+                )
+            )[0]
+            w *= mv[: res.n_modes].astype(np.float64)
+        u = w @ full0
+        K = np.einsum("t,tij->ij", theta, ops0)
+        b = rho @ np.asarray(sep.rhs[0])
+        r = (b - K @ u) * mask
+        out.append(np.linalg.norm(r) / np.linalg.norm(b * mask))
+    return np.asarray(out)
+
+
+class TestResidualIndicator:
+    def test_matches_direct_f64_residual(self, solved):
+        sep, Vs, tf, res, grid, samples = solved
+        ind = make_residual_indicator(sep, Vs, res, tf=tf,
+                                      precondition=False)
+        vals = ind(samples)
+        direct = _direct_residuals(sep, Vs, tf, res, grid, samples)
+        # dd contraction of the f32 mode set vs exact f64: ~2^-48 plus
+        # f32 interpolation-weight rounding — well under 1e-5 relative
+        assert np.all(np.abs(vals - direct) / direct < 1e-5)
+
+    def test_energy_norm_matches_host_transform(self, solved):
+        sep, Vs, tf, res, grid, samples = solved
+        vals = make_residual_indicator(sep, Vs, res, tf=tf)(samples)
+        # host f64 ground truth with the L⁻¹-transformed tables
+        full0 = tf.modes_to_full(
+            np.asarray(res.modes[0])[: res.n_modes]
+        ).astype(np.float64)
+        ops0 = np.asarray(sep.ops[0])
+        direct = []
+        for k, p in enumerate(samples):
+            theta = np.ones(sep.num_terms)
+            rho = np.ones(sep.num_rhs)
+            w = np.ones(res.n_modes)
+            for d in range(1, sep.num_dims):
+                od = np.asarray(sep.ops[d])
+                gi = np.argmin(np.abs(grid - p[d - 1]))
+                theta *= np.array(
+                    [np.diag(od[t])[gi] for t in range(sep.num_terms)]
+                )
+                rho *= np.asarray(sep.rhs[d])[:, gi]
+                mv = np.asarray(
+                    evaluate_modes_1d(
+                        Vs[d], res.modes[d], np.asarray([p[d - 1]]), xp=np
+                    )
+                )[0]
+                w *= mv[: res.n_modes].astype(np.float64)
+            u = w @ full0
+            K = np.einsum("t,tij->ij", theta, ops0)
+            b = rho @ np.asarray(sep.rhs[0])
+            r = (b - K @ u)[tf.interior]
+            rt = tf.apply_Linv(r[:, None])[:, 0]
+            bt = tf.apply_Linv(b[tf.interior][:, None])[:, 0]
+            direct.append(np.linalg.norm(rt) / np.linalg.norm(bt))
+        direct = np.asarray(direct)
+        assert np.all(np.abs(vals - direct) / direct < 1e-5)
+
+    def test_boost_invariant_on_grid(self, solved):
+        sep, Vs, tf, res, grid, samples = solved
+        sep_b, _ = parametric_elliptic(
+            n_x=64, n_p=16, num_params=2, degree_x=2, boundary_boost=4.0
+        )
+        vals = make_residual_indicator(sep, Vs, res, tf=tf)(samples)
+        vals_b = make_residual_indicator(sep_b, Vs, res, tf=tf)(samples)
+        assert np.all(np.abs(vals_b - vals) / vals < 1e-5)
+
+    def test_decreases_with_rank(self, solved):
+        sep, Vs, tf, res, grid, samples = solved
+        from pgdrome_tpu.separated import PGDResult
+
+        lo = PGDResult(
+            modes=res.modes, n_modes=3,
+            amplitudes=res.amplitudes[:3], alpha=res.alpha[:3],
+            fp_its=res.fp_its[:3], normU0=res.normU0,
+        )
+        v_lo = make_residual_indicator(sep, Vs, lo, tf=tf)(samples)
+        v_hi = make_residual_indicator(sep, Vs, res, tf=tf)(samples)
+        assert v_hi.max() < 0.2 * v_lo.max()
+
+    def test_chunking_matches_single_dispatch(self, solved):
+        sep, Vs, tf, res, grid, samples = solved
+        v1 = make_residual_indicator(sep, Vs, res, tf=tf, chunk=5)(samples)
+        v2 = make_residual_indicator(sep, Vs, res, tf=tf, chunk=64)(samples)
+        np.testing.assert_allclose(v1, v2, rtol=1e-6)
+
+    def test_galerkin_params_rejected(self):
+        sep, Vs = parametric_elliptic(
+            n_x=32, n_p=8, num_params=2, param_discretization="galerkin"
+        )
+        sep_pc, tf = precondition_dim0(sep, dtype=np.float64)
+        res = SeparatedPGD(
+            sep_pc, n_max=4, tol=0.0, dtype=np.float32,
+            residual_check=False,
+        ).solve_fused()
+        with pytest.raises(ValueError, match="collocation"):
+            make_residual_indicator(sep, Vs, res, tf=tf)
+
+    def test_shape_validation(self, solved):
+        sep, Vs, tf, res, grid, samples = solved
+        ind = make_residual_indicator(sep, Vs, res, tf=tf)
+        with pytest.raises(ValueError, match="samples"):
+            ind(samples[:, :1])
+
+
+class TestCertifier:
+    def test_calibrated_bound_holds_on_held_out(self, solved):
+        sep, Vs, tf, res, grid, samples = solved
+        verify = elliptic_dense_verifier(Vs, tf=tf, n_random=8, seeds=(7,))
+        rng_c = np.random.default_rng(5)
+        cal = np.concatenate([
+            verify.corners,
+            grid[rng_c.integers(1, len(grid) - 1, size=(12, 2))],
+        ])
+        cert = make_certifier(sep, Vs, res, tf=tf)
+        eta = cert.calibrate(cal, verify.sample_errors(res, cal),
+                             safety=2.0)
+        assert eta > 0 and cert.n_calibration == len(cal)
+        rng = np.random.default_rng(42)
+        held = grid[rng.integers(1, len(grid) - 1, size=(24, 2))]
+        true_err = verify.sample_errors(res, held)
+        bd = cert.bound(held)
+        assert np.all(bd >= true_err)
+
+    def test_bound_requires_calibration(self, solved):
+        sep, Vs, tf, res, grid, samples = solved
+        cert = make_certifier(sep, Vs, res, tf=tf)
+        with pytest.raises(RuntimeError, match="calibrate"):
+            cert.bound(samples)
+        # explicit eta bypasses calibration
+        cert2 = make_certifier(sep, Vs, res, tf=tf, eta=2.0)
+        vals = cert2.bound(samples)
+        assert vals.shape == (len(samples),)
+
+    def test_vademecum_wiring(self, solved):
+        sep, Vs, tf, res, grid, samples = solved
+        from pgdrome_tpu.serving import Vademecum
+
+        vad = Vademecum(Vs, res, dim0_transform=tf)
+        with pytest.raises(RuntimeError, match="certifier"):
+            vad.residuals(samples)
+        cert = make_certifier(sep, Vs, res, tf=tf, eta=1.0)
+        vad.attach_certifier(cert)
+        r1 = vad.residuals(samples)
+        b1 = vad.error_bound(samples)
+        np.testing.assert_allclose(b1, r1)
