@@ -97,8 +97,15 @@ def make_residual_indicator(sep, spaces, result, tf=None, chunk=None,
     (measured: effectivity spread 9.2× Euclidean → 5.7× energy on the
     2-param elliptic).  L⁻¹ is linear, so it folds into the host-f64
     precomputed tables — zero per-sample device cost.
-    ``chunk``: samples per device dispatch (auto-sized to ~128 MB of
-    dd temporaries by default)."""
+
+    Equivalent shortcut when only the PRECONDITIONED stacks are at hand
+    (e.g. from the bench setup cache, which drops the raw problem):
+    ``make_residual_indicator(sep_pc, spaces, result)`` with ``tf=None``
+    — the pc dim-0 stacks are L⁻¹K_tL⁻ᵀ / L⁻¹b and the result's modes
+    already live in that basis, so the plain Euclidean residual there IS
+    the energy-preconditioned residual (tested to 1e-6 relative).
+    ``chunk``: samples per device dispatch (auto-sized to ~512 MB of dd
+    product temporaries by default)."""
     nd = sep.num_dims
     T = sep.num_terms
     R = sep.num_rhs
@@ -144,8 +151,12 @@ def make_residual_indicator(sep, spaces, result, tf=None, chunk=None,
         bufs.append(jnp.asarray(tab, dtype=jnp.float32))
 
     if chunk is None:
-        # dd_mul over the (chunk, T*M, n_x) table makes ~8 temporaries
-        chunk = max(1, min(256, 32 * 1024 * 1024 // (8 * max(T * M, 1) * n_x)))
+        # the (chunk, T*M, n_tab) dd product array dominates peak memory
+        # (XLA fuses the elementwise dd chain; the tree fold halves from
+        # there) — target ≤512 MB for it, cap 512 samples/dispatch so the
+        # ~40 ms serial host enqueue amortizes (PERF.md round-3 serving)
+        n_tab = G.shape[1]
+        chunk = max(1, min(512, 134_217_728 // (max(T * M, 1) * n_tab)))
     chunk = int(chunk)
 
     def _dd_prod(vals_list):

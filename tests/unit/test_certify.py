@@ -119,6 +119,17 @@ class TestResidualIndicator:
         direct = np.asarray(direct)
         assert np.all(np.abs(vals - direct) / direct < 1e-5)
 
+    def test_preconditioned_problem_shortcut(self, solved):
+        # building from the pc stacks with tf=None IS the energy
+        # indicator: pc dim-0 stacks are L⁻¹K_tL⁻ᵀ/L⁻¹b and the modes
+        # already live in that basis (the bench setup cache keeps only
+        # the pc problem — this is its supported path)
+        sep, Vs, tf, res, grid, samples = solved
+        sep_pc, _ = precondition_dim0(sep, dtype=np.float64)
+        v_energy = make_residual_indicator(sep, Vs, res, tf=tf)(samples)
+        v_pc = make_residual_indicator(sep_pc, Vs, res)(samples)
+        assert np.all(np.abs(v_pc - v_energy) / v_energy < 1e-6)
+
     def test_boost_invariant_on_grid(self, solved):
         sep, Vs, tf, res, grid, samples = solved
         sep_b, _ = parametric_elliptic(
