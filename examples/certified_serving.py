@@ -1,0 +1,100 @@
+"""Certified error queries on a served vademecum, with NO per-sample FEM.
+
+The reference certifies a PGD by sampling full-order solves
+(PGDErrorComputation, reference model.py:1666-1825) — O(FEM) per query.
+This example shows the TPU-native complement (parallel/certify.py):
+
+1. solve a 3-param elliptic vademecum on the fast path;
+2. build the batched residual indicator (energy-preconditioned,
+   compensated double-f32 — certification-grade values);
+3. calibrate an effectivity η on a small FEM-verified set (corners +
+   a few interior points);
+4. serve certified error bounds for arbitrary sample batches at sweep
+   speed (measured 8.5k samples/s at bench scale on a TPU v5e —
+   ~85× the per-sample host FEM rate, PERF.md "Certified error
+   serving");
+5. screen candidate points with the f32 ranking path (make_screener) —
+   the per-stage verification accelerator for adaptive cascades at
+   high parameter counts.
+
+Run: python examples/certified_serving.py   (CPU works; forces the CPU
+backend by default so the example is reproducible anywhere)
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+if not os.environ.get("CERTIFIED_SERVING_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+import pgdrome_tpu.config as cfg
+from pgdrome_tpu.models.problems import (
+    elliptic_dense_verifier,
+    parametric_elliptic,
+)
+from pgdrome_tpu.parallel.certify import make_certifier, make_screener
+from pgdrome_tpu.separated import SeparatedPGD, precondition_dim0
+from pgdrome_tpu.serving import Vademecum
+
+cfg.use_full_f32_matmul()
+
+# ---- 1. train a small vademecum (see vademecum_fast_path.py for scale)
+sep, Vs = parametric_elliptic(n_x=128, n_p=24, num_params=3, degree_x=2)
+sep_pc, tf = precondition_dim0(sep, dtype=np.float64)
+res = SeparatedPGD(
+    sep_pc, n_max=24, tol=0.0, tol_fp=1e-8,
+    residual_check=False, dtype=np.float32,
+).solve_fused()
+print(f"solved: rank {res.n_modes}")
+
+# ---- 2. residual indicator (pc shortcut: Euclidean residual on the pc
+# stacks IS the energy-preconditioned indicator)
+cert = make_certifier(sep_pc, Vs, res)
+
+# ---- 3. calibrate on an FEM-verified set: corners + a few interiors
+verify = elliptic_dense_verifier(Vs, tf=tf, n_random=8, seeds=(7,))
+grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+rng = np.random.default_rng(3)
+cal = np.concatenate(
+    [verify.corners, grid[rng.integers(1, len(grid) - 1, size=(12, 3))]]
+)
+eta = cert.calibrate(cal, verify.sample_errors(res, cal), safety=2.0)
+print(f"calibrated effectivity eta = {eta:.3f} on {len(cal)} FEM solves")
+
+# ---- 4. certified bounds for arbitrary batches, no FEM per query
+vd = Vademecum(Vs, res, dim0_transform=tf).attach_certifier(cert)
+queries = grid[rng.integers(1, len(grid) - 1, size=(256, 3))]
+bounds = vd.error_bound(queries)
+print(
+    f"certified {len(queries)} queries: bound max {bounds.max():.3e}, "
+    f"median {np.median(bounds):.3e}"
+)
+
+# spot-check honesty on 16 of them (the only FEM solves in this block)
+spot = queries[:16]
+true_err = verify.sample_errors(res, spot)
+print(
+    f"spot check: bound/true min {min(bounds[:16] / true_err):.2f} "
+    f"(must be >= 1), true max {true_err.max():.3e}"
+)
+assert np.all(bounds[:16] >= true_err)
+
+# ---- 5. f32 screening: rank 200 candidates, FEM-verify only the worst 8
+screen = make_screener(sep_pc, Vs, n_modes_cap=32)
+cands = grid[rng.integers(1, len(grid) - 1, size=(200, 3))]
+scores = screen(res, cands)
+worst = np.argsort(scores)[-8:]
+verified = verify.sample_errors(res, cands[worst])
+print(
+    f"screened 200 candidates -> FEM-verified worst 8: "
+    f"max true error {verified.max():.3e} "
+    f"(vs calibrated global bound {bounds.max():.3e})"
+)
+print("certified serving example OK")

@@ -48,7 +48,13 @@ import jax.numpy as jnp
 from pgdrome_tpu.ops.ddf32 import dd_add, dd_mul, dd_mul_f, dd_sum, dd_from_f64
 from pgdrome_tpu.separated import evaluate_modes_1d
 
-__all__ = ["make_residual_indicator", "make_certifier", "Certifier"]
+__all__ = [
+    "make_residual_indicator",
+    "make_certifier",
+    "Certifier",
+    "make_screener",
+    "screened_verify",
+]
 
 
 def _param_tables(sep):
@@ -268,6 +274,181 @@ class Certifier:
         if self.eta is None:
             raise RuntimeError("call calibrate() first (or set eta=)")
         return self.eta * self.residuals(samples)
+
+
+def make_screener(sep, spaces, n_modes_cap, chunk=2048):
+    """Recompile-free per-stage residual screener for adaptive cascades.
+
+    High-parameter-count verification is the cost wall: the 10-param
+    dense corner sweep is ~6 min of host FEM PER STAGE (PERF.md
+    "Dimensionality frontier").  This screener ranks candidate points by
+    their residual in one device dispatch so only the worst few need FEM
+    verification (:func:`screened_verify`).
+
+    Differences from :func:`make_residual_indicator`, all in service of
+    calling it EVERY stage of a deep cascade without recompiles:
+
+    * the G = K_t·u_m tables build ON DEVICE (f32 einsum at HIGHEST; the
+      host-f64 build is 15-40 s at 10-param scale, the device one is ms)
+      with the operator stacks uploaded once per screener;
+    * dim-0 modes are zero-PADDED to ``n_modes_cap`` and passed as jit
+      INPUTS along with the parameter mode tables, so every stage of a
+      growing cascade reuses the same two compiled programs (zero rows
+      are exactly inert);
+    * the contraction is a plain f32 MXU matmul at HIGHEST — residual
+      noise floor ~cancellation·2⁻²⁴ ≈ 1e-4 relative of the reading,
+      plenty for RANKING errors in the 1e-3..1e-6 band (use the dd
+      indicator for certification-grade values).
+
+    sep: HOST f64 problem with dim-0 already preconditioned (the pc
+    shortcut — see :func:`make_residual_indicator`); modes beyond
+    ``n_modes_cap`` raise.  Returns ``screen(result, samples) -> (B,)``.
+    """
+    nd = sep.num_dims
+    T = sep.num_terms
+    R = sep.num_rhs
+    cap = int(n_modes_cap)
+    if nd < 2:
+        raise ValueError("need at least one parameter dim")
+    diag_tabs, rhs_tabs = _param_tables(sep)
+
+    mask0 = np.asarray(sep.bc_masks[0], dtype=np.float64)
+    ops0 = jnp.asarray(
+        np.asarray(sep.ops[0], dtype=np.float64), dtype=jnp.float32
+    )
+    mask_dev = jnp.asarray(mask0, dtype=jnp.float32)
+    B0 = jnp.asarray(
+        np.asarray(sep.rhs[0], dtype=np.float64) * mask0, dtype=jnp.float32
+    )
+    stat_bufs = [
+        jnp.asarray(
+            np.concatenate([diag_tabs[d - 1], rhs_tabs[d - 1]], axis=0),
+            dtype=jnp.float32,
+        )
+        for d in range(1, nd)
+    ]
+    prec = jax.lax.Precision.HIGHEST
+
+    @jax.jit
+    def _tables(full0):
+        G = jnp.einsum("tij,mj->tmi", ops0, full0, precision=prec)
+        return (G * mask_dev).reshape(T * cap, -1)
+
+    @jax.jit
+    def _screen_body(pts, G, mode_bufs):
+        pts = pts.astype(jnp.float32)
+        w = th = rh = None
+        for d in range(1, nd):
+            mv = evaluate_modes_1d(
+                spaces[d], mode_bufs[d - 1], pts[:, d - 1]
+            ).astype(jnp.float32)
+            sv = evaluate_modes_1d(
+                spaces[d], stat_bufs[d - 1], pts[:, d - 1]
+            ).astype(jnp.float32)
+            w = mv if w is None else w * mv
+            th = sv[:, :T] if th is None else th * sv[:, :T]
+            rh = sv[:, T:] if rh is None else rh * sv[:, T:]
+        C = (th[:, :, None] * w[:, None, :]).reshape(pts.shape[0], T * cap)
+        Kp = jnp.einsum("bk,kn->bn", C, G, precision=prec)
+        bvec = jnp.einsum("br,rn->bn", rh, B0, precision=prec)
+        r = bvec - Kp
+        num = jnp.sqrt(jnp.sum(r * r, axis=1))
+        den = jnp.sqrt(jnp.sum(bvec * bvec, axis=1))
+        return num / den
+
+    def screen(result, samples):
+        M = int(result.n_modes)
+        if M > cap:
+            raise ValueError(f"result has {M} modes > n_modes_cap {cap}")
+        m0 = np.asarray(result.modes[0])[:M]
+        if m0.shape[1] != sep.sizes[0]:
+            raise ValueError(
+                f"dim-0 modes have {m0.shape[1]} dofs, problem has "
+                f"{sep.sizes[0]} — the screener needs the pc problem the "
+                "modes were solved in"
+            )
+        full0 = np.zeros((cap, sep.sizes[0]), dtype=np.float32)
+        full0[:M] = m0
+        G = _tables(jnp.asarray(full0))
+        mode_bufs = []
+        for d in range(1, nd):
+            buf = np.zeros((cap, sep.sizes[d]), dtype=np.float32)
+            buf[:M] = np.asarray(result.modes[d])[:M]
+            mode_bufs.append(jnp.asarray(buf))
+        mode_bufs = tuple(mode_bufs)
+        samples = np.asarray(samples, dtype=np.float64)
+        if samples.ndim != 2 or samples.shape[1] != nd - 1:
+            raise ValueError(
+                f"samples must be (B, {nd - 1}), got {samples.shape}"
+            )
+        out = np.empty(samples.shape[0], dtype=np.float64)
+        for s in range(0, samples.shape[0], chunk):
+            blk = samples[s : s + chunk]
+            if blk.shape[0] < chunk:
+                blk = np.concatenate(
+                    [blk, np.repeat(blk[-1:], chunk - blk.shape[0], axis=0)]
+                )
+            out[s : s + chunk] = np.asarray(
+                _screen_body(jnp.asarray(blk), G, mode_bufs)
+            )[: samples.shape[0] - s]
+        return out
+
+    screen.n_modes_cap = cap
+    return screen
+
+
+def screened_verify(screen, sample_errors, corners, *, top_k=16,
+                    interior_samples=None, safety=2.0, log=None):
+    """Build an ``adaptive_cascade``-compatible ``verify(result)`` that
+    FEM-verifies only the ``top_k`` worst-screened corner candidates.
+
+    Per call: screen ALL ``corners`` (one device dispatch), FEM-verify
+    the ``top_k`` worst via ``sample_errors(result, pts)`` (e.g.
+    ``elliptic_dense_verifier(...).sample_errors``), fit the stage
+    effectivity η = safety·max(true/residual) on those pairs, and report
+    the unmeasured candidates at their CERTIFIED ESTIMATE η·residual.
+    The returned ``corners`` value is max(measured, estimated) — an
+    estimate, not a measurement, for the screened-out points; the dict
+    carries ``eta``/``measured_max``/``estimated_max`` so the cascade
+    history is auditable.  ``interior_samples`` (optional) are always
+    FEM-verified directly (keep the set small).
+
+    At 10 params this replaces a ~6 min/stage corner sweep with one
+    screening dispatch + ``top_k`` FEM solves (~10 ms each)."""
+    corners = np.asarray(corners, dtype=np.float64)
+    say = log or (lambda *a: None)
+
+    def verify(result):
+        rs = screen(result, corners)
+        order = np.argsort(rs)
+        worst = order[-min(top_k, len(order)):]
+        rest = order[: max(0, len(order) - top_k)]
+        te = np.asarray(sample_errors(result, corners[worst]))
+        eta = float(safety * (te / np.maximum(rs[worst], 1e-300)).max())
+        est_max = float(eta * rs[rest].max()) if len(rest) else 0.0
+        measured_max = float(te.max())
+        corners_val = max(measured_max, est_max)
+        interior_val = 0.0
+        if interior_samples is not None:
+            interior_val = float(
+                np.asarray(sample_errors(result, interior_samples)).max()
+            )
+        say(
+            f"screened verify: measured {measured_max:.3e} (top {len(worst)}"
+            f" of {len(corners)}), estimated rest {est_max:.3e} "
+            f"(eta {eta:.2f}), interior {interior_val:.3e}"
+        )
+        return {
+            "corners": corners_val,
+            "interior": interior_val,
+            "max": max(corners_val, interior_val),
+            "eta": eta,
+            "measured_max": measured_max,
+            "estimated_max": est_max,
+            "screened": True,
+        }
+
+    return verify
 
 
 def make_certifier(sep, spaces, result, tf=None, chunk=None, eta=None):

@@ -79,6 +79,27 @@ def main():
         f"corner residuals: max {cvals.max():.3e} min {cvals.min():.3e}"
     )
 
+    # f32 screener (the per-stage ranking path for adaptive cascades):
+    # padded cap exercises the recompile-free shape, values checked
+    # against the dd indicator
+    from pgdrome_tpu.parallel.certify import make_screener
+
+    screen = make_screener(sep_pc64, Vs, n_modes_cap=256)
+    t0 = time.perf_counter()
+    svals = screen(res, samples[:64])
+    t_first_s = time.perf_counter() - t0
+    bench.log(f"screener first call (incl. compile): {t_first_s:.1f}s")
+    t0 = time.perf_counter()
+    svals = screen(res, samples)
+    t_screen = time.perf_counter() - t0
+    dd_ref = vals
+    reldev = np.abs(svals - dd_ref) / dd_ref
+    bench.log(
+        f"screener sweep: {args.samples} samples in {t_screen:.2f}s = "
+        f"{args.samples / t_screen:,.0f} samples/s; max dev vs dd "
+        f"{reldev.max():.2e} (median {np.median(reldev):.2e})"
+    )
+
 
 if __name__ == "__main__":
     main()

@@ -17,6 +17,8 @@ from pgdrome_tpu.parallel.certify import (
     Certifier,
     make_certifier,
     make_residual_indicator,
+    make_screener,
+    screened_verify,
 )
 from pgdrome_tpu.separated import (
     SeparatedPGD,
@@ -218,3 +220,65 @@ class TestCertifier:
         r1 = vad.residuals(samples)
         b1 = vad.error_bound(samples)
         np.testing.assert_allclose(b1, r1)
+
+
+class TestScreener:
+    @pytest.fixture(scope="class")
+    def solved3(self):
+        sep, Vs = parametric_elliptic(n_x=48, n_p=12, num_params=3)
+        sep_pc, tf = precondition_dim0(sep, dtype=np.float64)
+        res = SeparatedPGD(
+            sep_pc, n_max=12, tol=0.0, tol_fp=1e-8,
+            residual_check=False, dtype=np.float32,
+        ).solve_fused()
+        grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+        return sep_pc, Vs, tf, res, grid
+
+    def test_matches_dd_indicator(self, solved3):
+        sep_pc, Vs, tf, res, grid = solved3
+        rng = np.random.default_rng(1)
+        pts = grid[rng.integers(1, len(grid) - 1, size=(16, 3))]
+        dd_vals = make_residual_indicator(sep_pc, Vs, res)(pts)
+        screen = make_screener(sep_pc, Vs, n_modes_cap=16, chunk=8)
+        f32_vals = screen(res, pts)
+        # f32 HIGHEST matmul: noise ~cancellation·2^-24 of the reading
+        assert np.all(np.abs(f32_vals - dd_vals) / dd_vals < 1e-2)
+
+    def test_padding_reuse_across_ranks(self, solved3):
+        sep_pc, Vs, tf, res, grid = solved3
+        from pgdrome_tpu.separated import PGDResult
+
+        screen = make_screener(sep_pc, Vs, n_modes_cap=16, chunk=8)
+        pts = grid[np.array([[2, 3, 4], [5, 6, 7]])]
+        lo = PGDResult(
+            modes=res.modes, n_modes=4,
+            amplitudes=res.amplitudes[:4], alpha=res.alpha[:4],
+            fp_its=res.fp_its[:4], normU0=res.normU0,
+        )
+        v_lo = screen(lo, pts)
+        v_hi = screen(res, pts)
+        assert np.all(np.isfinite(v_lo)) and np.all(np.isfinite(v_hi))
+        assert v_hi.max() < v_lo.max()  # deeper rank -> smaller residual
+        # exceeding the cap raises instead of silently truncating
+        with pytest.raises(ValueError, match="cap"):
+            make_screener(sep_pc, Vs, n_modes_cap=8)(res, pts)
+
+    def test_screened_verify_conservative(self, solved3):
+        sep_pc, Vs, tf, res, grid = solved3
+        verify = elliptic_dense_verifier(Vs, tf=tf, n_random=4, seeds=(7,))
+        corners = verify.corners  # 8 corners at 3 params
+        true_c = verify.sample_errors(res, corners)
+        screen = make_screener(sep_pc, Vs, n_modes_cap=16, chunk=8)
+        rng = np.random.default_rng(2)
+        interior = grid[rng.integers(1, len(grid) - 1, size=(4, 3))]
+        sv = screened_verify(
+            screen, verify.sample_errors, corners,
+            top_k=4, interior_samples=interior,
+        )
+        out = sv(res)
+        assert out["screened"] and out["eta"] > 0
+        # the screened corner value must cover the TRUE full-sweep max
+        assert out["corners"] >= true_c.max() * 0.999
+        # and not be wildly pessimistic (within safety*spread of it)
+        assert out["corners"] < 50 * true_c.max()
+        assert out["max"] >= out["interior"]
