@@ -498,6 +498,54 @@ def sweep_throughput(Vs, res, tf, n_samples=524_288):
     return rate, rate_p, rate_s, rate_bf16, rate_m
 
 
+def certify_phase(sep_pc64, Vs, res, tf):
+    """Certified error serving on the deployed vademecum
+    (parallel/certify.py): calibrate an effectivity on a small FEM set
+    (seed 999 — disjoint from the verification seeds), then time the dd
+    certification sweep.  Each certified query replaces a ~10 ms host
+    FEM solve."""
+    from pgdrome_tpu.parallel.certify import make_certifier
+
+    Vx = Vs[0]
+    full0 = tf.modes_to_full(res.modes[0]).astype(np.float64)
+    grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+    lo, hi = grid[1], grid[-2]
+    corners = np.array(
+        [[lo if (c >> i) & 1 == 0 else hi for i in range(NUM_PARAMS)]
+         for c in range(2 ** NUM_PARAMS)]
+    )
+    t0 = time.perf_counter()
+    # pc shortcut: Euclidean residual on the pc stacks IS the
+    # energy-preconditioned indicator
+    cert = make_certifier(sep_pc64, Vs, res)
+    t_build = time.perf_counter() - t0
+    rng = np.random.default_rng(999)
+    cal = np.concatenate(
+        [corners, grid[rng.integers(1, len(grid) - 1, size=(16, NUM_PARAMS))]]
+    )
+    t0 = time.perf_counter()
+    te = _verify_samples(Vx, Vs, res, full0, cal)
+    eta = cert.calibrate(cal, te, safety=2.0)  # first dispatch: compile/AOT
+    t_cal = time.perf_counter() - t0
+    n_q = 4096
+    queries = grid[rng.integers(1, len(grid) - 1, size=(n_q, NUM_PARAMS))]
+    t0 = time.perf_counter()
+    bounds = cert.bound(queries)
+    t_sweep = time.perf_counter() - t0
+    rate = n_q / t_sweep
+    log(
+        f"certify: build {t_build:.2f}s, calibrate ({len(cal)} FEM + first "
+        f"dispatch) {t_cal:.1f}s, eta {eta:.2f}; {n_q} certified queries "
+        f"in {t_sweep:.2f}s = {rate:,.0f}/s, bound max {bounds.max():.3e}"
+    )
+    return {
+        "certify_samples_per_s": round(rate),
+        "certify_eta": round(eta, 3),
+        "certified_bound_max": float(f"{bounds.max():.3e}"),
+        "certify_build_s": round(t_build, 2),
+    }
+
+
 def elasticity_nu_phase():
     """The reference's flagship 4-dim problem (2D plane-strain elasticity
     x ⊗ λp ⊗ λE ⊗ ν, ν-separated tensor) through the fast path — records
@@ -710,6 +758,11 @@ def main():
         sweep_rate_bf16 = moments_rate = None
     # flagship 4-dim elasticity solve line (fault-tolerant like the sweeps)
     try:
+        cert_fields = certify_phase(sep_pc64, Vs, res, tf)
+    except Exception as e:
+        log(f"certify phase skipped: {e}")
+        cert_fields = {}
+    try:
         nu_fields = elasticity_nu_phase()
     except Exception as e:
         log(f"elasticity-nu phase skipped: {e}")
@@ -784,6 +837,7 @@ def main():
         "setup_cache": setup_cache_status,
         "end_to_end_fresh_s": round(end_to_end_fresh, 1),
     }
+    out.update(cert_fields)
     out.update(nu_fields)
     print(json.dumps(out), flush=True)
 

@@ -47,6 +47,21 @@ import jax.numpy as jnp
 
 from pgdrome_tpu.ops.ddf32 import dd_add, dd_mul, dd_mul_f, dd_sum, dd_from_f64
 from pgdrome_tpu.separated import evaluate_modes_1d
+from pgdrome_tpu.utils.aot_cache import aot_jit, array_fingerprint
+
+
+def _spaces_fingerprint(spaces):
+    """Identity of the parameter-dim interpolation constants the jitted
+    bodies close over (mesh coordinates + dof maps + degree): aot_jit
+    keys on key_data + shapes only, so everything still baked into the
+    program must enter the key."""
+    return [
+        (
+            s.degree,
+            array_fingerprint(s.mesh().coordinates(), s.element_dofs),
+        )
+        for s in spaces[1:]
+    ]
 
 __all__ = [
     "make_residual_indicator",
@@ -174,8 +189,11 @@ def make_residual_indicator(sep, spaces, result, tf=None, chunk=None,
             h, l = dd_mul_f(h, l, v)
         return h, l
 
+    # tables are jit INPUTS (they are device-resident anyway), so the
+    # executable is value-independent and the persistent AOT cache can
+    # serve every same-shape certification without a remote compile
     @jax.jit
-    def _body(pts):
+    def _body(pts, G_dd, B_dd, *bufs):
         pts = pts.astype(jnp.float32)
         w_vals, t_vals, r_vals = [], [], []
         for d in range(1, nd):
@@ -208,6 +226,11 @@ def make_residual_indicator(sep, spaces, result, tf=None, chunk=None,
         den = jnp.sqrt(jnp.sum(bv * bv, axis=1))
         return num / den
 
+    _call = aot_jit(
+        _body,
+        key_data=["certify_dd_v1", nd, T, R, M, _spaces_fingerprint(spaces)],
+    )
+
     def indicator(samples):
         samples = np.asarray(samples, dtype=np.float64)
         if samples.ndim != 2 or samples.shape[1] != nd - 1:
@@ -221,9 +244,9 @@ def make_residual_indicator(sep, spaces, result, tf=None, chunk=None,
                 blk = np.concatenate(
                     [blk, np.repeat(blk[-1:], chunk - blk.shape[0], axis=0)]
                 )
-            out[s : s + chunk] = np.asarray(_body(jnp.asarray(blk)))[
-                : samples.shape[0] - s
-            ]
+            out[s : s + chunk] = np.asarray(
+                _call(jnp.asarray(blk), G_dd, B_dd, *bufs)
+            )[: samples.shape[0] - s]
         return out
 
     indicator.chunk = chunk
@@ -329,32 +352,45 @@ def make_screener(sep, spaces, n_modes_cap, chunk=2048):
     ]
     prec = jax.lax.Precision.HIGHEST
 
+    # both programs take every table as an INPUT (value-independent
+    # executables → the persistent AOT cache serves all same-shape
+    # cascades, and every stage reuses the same two loaded programs)
     @jax.jit
-    def _tables(full0):
-        G = jnp.einsum("tij,mj->tmi", ops0, full0, precision=prec)
-        return (G * mask_dev).reshape(T * cap, -1)
+    def _tables(full0, ops, mask):
+        G = jnp.einsum("tij,mj->tmi", ops, full0, precision=prec)
+        return (G * mask).reshape(T * cap, -1)
 
     @jax.jit
-    def _screen_body(pts, G, mode_bufs):
+    def _screen_body(pts, G, B, *tabs):
+        stat = tabs[: nd - 1]
+        mode = tabs[nd - 1 :]
         pts = pts.astype(jnp.float32)
         w = th = rh = None
         for d in range(1, nd):
             mv = evaluate_modes_1d(
-                spaces[d], mode_bufs[d - 1], pts[:, d - 1]
+                spaces[d], mode[d - 1], pts[:, d - 1]
             ).astype(jnp.float32)
             sv = evaluate_modes_1d(
-                spaces[d], stat_bufs[d - 1], pts[:, d - 1]
+                spaces[d], stat[d - 1], pts[:, d - 1]
             ).astype(jnp.float32)
             w = mv if w is None else w * mv
             th = sv[:, :T] if th is None else th * sv[:, :T]
             rh = sv[:, T:] if rh is None else rh * sv[:, T:]
         C = (th[:, :, None] * w[:, None, :]).reshape(pts.shape[0], T * cap)
         Kp = jnp.einsum("bk,kn->bn", C, G, precision=prec)
-        bvec = jnp.einsum("br,rn->bn", rh, B0, precision=prec)
+        bvec = jnp.einsum("br,rn->bn", rh, B, precision=prec)
         r = bvec - Kp
         num = jnp.sqrt(jnp.sum(r * r, axis=1))
         den = jnp.sqrt(jnp.sum(bvec * bvec, axis=1))
         return num / den
+
+    fp = _spaces_fingerprint(spaces)
+    _tables_call = aot_jit(
+        _tables, key_data=["certify_screen_tables_v1", nd, T, cap, fp]
+    )
+    _screen_call = aot_jit(
+        _screen_body, key_data=["certify_screen_v1", nd, T, R, cap, fp]
+    )
 
     def screen(result, samples):
         M = int(result.n_modes)
@@ -369,13 +405,12 @@ def make_screener(sep, spaces, n_modes_cap, chunk=2048):
             )
         full0 = np.zeros((cap, sep.sizes[0]), dtype=np.float32)
         full0[:M] = m0
-        G = _tables(jnp.asarray(full0))
+        G = _tables_call(jnp.asarray(full0), ops0, mask_dev)
         mode_bufs = []
         for d in range(1, nd):
             buf = np.zeros((cap, sep.sizes[d]), dtype=np.float32)
             buf[:M] = np.asarray(result.modes[d])[:M]
             mode_bufs.append(jnp.asarray(buf))
-        mode_bufs = tuple(mode_bufs)
         samples = np.asarray(samples, dtype=np.float64)
         if samples.ndim != 2 or samples.shape[1] != nd - 1:
             raise ValueError(
@@ -389,7 +424,7 @@ def make_screener(sep, spaces, n_modes_cap, chunk=2048):
                     [blk, np.repeat(blk[-1:], chunk - blk.shape[0], axis=0)]
                 )
             out[s : s + chunk] = np.asarray(
-                _screen_body(jnp.asarray(blk), G, mode_bufs)
+                _screen_call(jnp.asarray(blk), G, B0, *stat_bufs, *mode_bufs)
             )[: samples.shape[0] - s]
         return out
 
