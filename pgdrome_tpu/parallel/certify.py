@@ -205,6 +205,16 @@ def make_residual_indicator(sep, spaces, result, tf=None, chunk=None,
         wh, wl = _dd_prod(w_vals)  # (C, M) mode weights
         th, tl = _dd_prod(t_vals)  # (C, T) operator coefficients
         rh, rl = _dd_prod(r_vals)  # (C, R) rhs coefficients
+        # per-sample scale normalization: at high d the common measure
+        # factor ∏_d(w·ω) reaches ~1e-20, whose SQUARE underflows f32 in
+        # the norms (0/0 = NaN).  The relative indicator is invariant to
+        # a common coefficient scale, so divide θ and ρ by max|ρ| first.
+        s = 1.0 / jnp.maximum(
+            jnp.max(jnp.abs(rh), axis=1, keepdims=True),
+            jnp.float32(1e-37),
+        )
+        th, tl = dd_mul_f(th, tl, s)
+        rh, rl = dd_mul_f(rh, rl, s)
         # c[t,m] = θ_t · w_m  (dd outer product), flattened to (C, T*M)
         ch, cl = dd_mul(
             th[:, :, None], tl[:, :, None], wh[:, None, :], wl[:, None, :]
@@ -228,7 +238,7 @@ def make_residual_indicator(sep, spaces, result, tf=None, chunk=None,
 
     _call = aot_jit(
         _body,
-        key_data=["certify_dd_v1", nd, T, R, M, _spaces_fingerprint(spaces)],
+        key_data=["certify_dd_v2", nd, T, R, M, _spaces_fingerprint(spaces)],
     )
 
     def indicator(samples):
@@ -376,6 +386,14 @@ def make_screener(sep, spaces, n_modes_cap, chunk=2048):
             w = mv if w is None else w * mv
             th = sv[:, :T] if th is None else th * sv[:, :T]
             rh = sv[:, T:] if rh is None else rh * sv[:, T:]
+        # same per-sample scale normalization as the dd body: the common
+        # ∏_d(w·ω) measure factor (~1e-20 at d=10) squared underflows f32
+        s = 1.0 / jnp.maximum(
+            jnp.max(jnp.abs(rh), axis=1, keepdims=True),
+            jnp.float32(1e-37),
+        )
+        th = th * s
+        rh = rh * s
         C = (th[:, :, None] * w[:, None, :]).reshape(pts.shape[0], T * cap)
         Kp = jnp.einsum("bk,kn->bn", C, G, precision=prec)
         bvec = jnp.einsum("br,rn->bn", rh, B, precision=prec)
@@ -389,7 +407,7 @@ def make_screener(sep, spaces, n_modes_cap, chunk=2048):
         _tables, key_data=["certify_screen_tables_v1", nd, T, cap, fp]
     )
     _screen_call = aot_jit(
-        _screen_body, key_data=["certify_screen_v1", nd, T, R, cap, fp]
+        _screen_body, key_data=["certify_screen_v2", nd, T, R, cap, fp]
     )
 
     def screen(result, samples):

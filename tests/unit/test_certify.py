@@ -282,3 +282,30 @@ class TestScreener:
         # and not be wildly pessimistic (within safety*spread of it)
         assert out["corners"] < 50 * true_c.max()
         assert out["max"] >= out["interior"]
+
+
+class TestHighDimUnderflow:
+    def test_indicator_and_screener_finite_at_10_params(self):
+        # at d=10 with n_p=128 the common per-sample measure factor
+        # prod_d(w*omega) ~ 1e-21; its square underflows f32 to 0/0=NaN
+        # without the per-sample scale normalization (found on the real
+        # 10-param grind: edge/interior estimates came back NaN)
+        sep, Vs = parametric_elliptic(
+            n_x=16, n_p=128, num_params=10, degree_x=1,
+        )
+        sep_pc, tf = precondition_dim0(sep, dtype=np.float64)
+        res = SeparatedPGD(
+            sep_pc, n_max=2, tol=0.0, tol_fp=1e-4, max_fp_it=4,
+            residual_check=False, dtype=np.float32,
+        ).solve_fused()
+        grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+        rng = np.random.default_rng(0)
+        pts = grid[rng.integers(1, len(grid) - 1, size=(6, 10))]
+        vals = make_residual_indicator(sep_pc, Vs, res)(pts)
+        assert np.all(np.isfinite(vals)) and np.all(vals > 0)
+        screen = make_screener(sep_pc, Vs, n_modes_cap=4, chunk=8)
+        svals = screen(res, pts)
+        assert np.all(np.isfinite(svals)) and np.all(svals > 0)
+        # normalization must not change the values where both are fine:
+        # cross-check screener vs dd indicator
+        assert np.all(np.abs(svals - vals) / vals < 5e-2)
