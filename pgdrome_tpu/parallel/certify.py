@@ -154,9 +154,6 @@ def make_residual_indicator(sep, spaces, result, tf=None, chunk=None,
         # energy norm: L⁻¹ applied to the interior rows of every table
         G = tf.apply_Linv(G[:, tf.interior].T).T
         B0 = tf.apply_Linv(B0[:, tf.interior].T).T
-    G_dd = jnp.asarray(dd_from_f64(G))
-    B_dd = jnp.asarray(dd_from_f64(B0))
-
     # per-dim factor tables: modes (M) ++ operator diagonals (T) ++ rhs (R)
     # in ONE buffer so each dim costs a single interpolation call
     bufs = []
@@ -169,14 +166,28 @@ def make_residual_indicator(sep, spaces, result, tf=None, chunk=None,
             ],
             axis=0,
         )
-        bufs.append(jnp.asarray(tab, dtype=jnp.float32))
+        bufs.append(tab.astype(np.float32))
+
+    return _indicator_from_dd(
+        spaces, dd_from_f64(G), dd_from_f64(B0), bufs, M, T, R, chunk
+    )
+
+
+def _indicator_from_dd(spaces, G_dd_host, B_dd_host, bufs_host, M, T, R,
+                       chunk=None):
+    """Indicator from prebuilt dd tables (shared by
+    :func:`make_residual_indicator` and :meth:`Certifier.load`)."""
+    nd = len(bufs_host) + 1
+    G_dd = jnp.asarray(G_dd_host)
+    B_dd = jnp.asarray(B_dd_host)
+    bufs = [jnp.asarray(b, dtype=jnp.float32) for b in bufs_host]
 
     if chunk is None:
         # the (chunk, T*M, n_tab) dd product array dominates peak memory
         # (XLA fuses the elementwise dd chain; the tree fold halves from
         # there) — target ≤512 MB for it, cap 512 samples/dispatch so the
         # ~40 ms serial host enqueue amortizes (PERF.md round-3 serving)
-        n_tab = G.shape[1]
+        n_tab = G_dd_host.shape[1]
         chunk = max(1, min(512, 134_217_728 // (max(T * M, 1) * n_tab)))
     chunk = int(chunk)
 
@@ -261,6 +272,7 @@ def make_residual_indicator(sep, spaces, result, tf=None, chunk=None,
 
     indicator.chunk = chunk
     indicator.n_modes = M
+    indicator._tables = (G_dd_host, B_dd_host, bufs_host, M, T, R)
     return indicator
 
 
@@ -307,6 +319,71 @@ class Certifier:
         if self.eta is None:
             raise RuntimeError("call calibrate() first (or set eta=)")
         return self.eta * self.residuals(samples)
+
+    def save(self, filepath, spaces=None):
+        """Single-file HDF5 snapshot: the dd residual tables + the
+        calibration, so a DEPLOYED container can serve certified bounds
+        without the operator stacks (which :meth:`Vademecum.save`
+        intentionally omits).  Pass ``spaces`` to also store per-dim mesh
+        coordinates for validation at :meth:`load` (the Vademecum
+        snapshot convention)."""
+        import h5py
+
+        G_dd, B_dd, bufs, M, T, R = self._indicator._tables
+        with h5py.File(filepath, "w") as f:
+            f.attrs["M"], f.attrs["T"], f.attrs["R"] = M, T, R
+            f.attrs["num_dims"] = len(bufs) + 1
+            f.attrs["n_calibration"] = self.n_calibration
+            if self.eta is not None:
+                f.attrs["eta"] = self.eta
+            if self.safety is not None:
+                f.attrs["safety"] = self.safety
+            f.create_dataset("G_dd", data=np.asarray(G_dd))
+            f.create_dataset("B_dd", data=np.asarray(B_dd))
+            for d, b in enumerate(bufs):
+                f.create_dataset(f"buf_{d + 1}", data=np.asarray(b))
+            if spaces is not None:
+                for d, s in enumerate(spaces):
+                    f.create_dataset(
+                        f"coords_{d}", data=s.mesh().coordinates()
+                    )
+                    f[f"coords_{d}"].attrs["degree"] = s.degree
+
+    @classmethod
+    def load(cls, filepath, spaces, chunk=None):
+        """Rebuild from :meth:`save` (+ :meth:`save_spaces_meta` if
+        present, validated against ``spaces``)."""
+        import h5py
+
+        with h5py.File(filepath, "r") as f:
+            nd = int(f.attrs["num_dims"])
+            if len(spaces) != nd:
+                raise ValueError(f"expected {nd} spaces, got {len(spaces)}")
+            for d in range(nd):
+                if f"coords_{d}" not in f:
+                    continue
+                saved = np.asarray(f[f"coords_{d}"])
+                have = spaces[d].mesh().coordinates()
+                if saved.shape != have.shape or not np.allclose(saved, have):
+                    raise ValueError(
+                        f"space {d} mesh does not match the saved certifier"
+                    )
+                if int(f[f"coords_{d}"].attrs["degree"]) != spaces[d].degree:
+                    raise ValueError(f"space {d} degree mismatch")
+            M, T, R = int(f.attrs["M"]), int(f.attrs["T"]), int(f.attrs["R"])
+            G_dd = np.asarray(f["G_dd"])
+            B_dd = np.asarray(f["B_dd"])
+            bufs = [np.asarray(f[f"buf_{d}"]) for d in range(1, nd)]
+            eta = float(f.attrs["eta"]) if "eta" in f.attrs else None
+            safety = (
+                float(f.attrs["safety"]) if "safety" in f.attrs else None
+            )
+            n_cal = int(f.attrs["n_calibration"])
+        ind = _indicator_from_dd(spaces, G_dd, B_dd, bufs, M, T, R, chunk)
+        out = cls(ind, eta=eta)
+        out.safety = safety
+        out.n_calibration = n_cal
+        return out
 
 
 def make_screener(sep, spaces, n_modes_cap, chunk=2048):

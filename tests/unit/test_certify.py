@@ -309,3 +309,44 @@ class TestHighDimUnderflow:
         # normalization must not change the values where both are fine:
         # cross-check screener vs dd indicator
         assert np.all(np.abs(svals - vals) / vals < 5e-2)
+
+
+class TestCertifierPersistence:
+    def test_save_load_roundtrip(self, solved, tmp_path):
+        sep, Vs, tf, res, grid, samples = solved
+        cert = make_certifier(sep, Vs, res, tf=tf, eta=1.5)
+        cert.safety = 2.0
+        cert.n_calibration = 12
+        vals = cert.residuals(samples)
+        path = str(tmp_path / "cert.h5")
+        cert.save(path, spaces=Vs)
+        back = Certifier.load(path, Vs)
+        assert back.eta == 1.5 and back.safety == 2.0
+        assert back.n_calibration == 12
+        # dd tables round-trip exactly -> identical residuals
+        np.testing.assert_allclose(back.residuals(samples), vals, rtol=1e-7)
+        np.testing.assert_allclose(back.bound(samples), 1.5 * vals,
+                                   rtol=1e-7)
+
+    def test_load_validates_spaces(self, solved, tmp_path):
+        sep, Vs, tf, res, grid, samples = solved
+        cert = make_certifier(sep, Vs, res, tf=tf)
+        path = str(tmp_path / "cert.h5")
+        cert.save(path, spaces=Vs)
+        from pgdrome_tpu.fem.mesh import IntervalMesh
+        from pgdrome_tpu.fem.space import FunctionSpace
+
+        wrong = [Vs[0], Vs[1],
+                 FunctionSpace(IntervalMesh(9, 0.0, 1.0), "P", 1)]
+        with pytest.raises(ValueError, match="mesh does not match"):
+            Certifier.load(path, wrong)
+        with pytest.raises(ValueError, match="spaces"):
+            Certifier.load(path, Vs[:2])
+        # uncalibrated snapshot loads with eta None
+        cert2 = make_certifier(sep, Vs, res, tf=tf)
+        path2 = str(tmp_path / "cert2.h5")
+        cert2.save(path2)
+        back = Certifier.load(path2, Vs)
+        assert back.eta is None
+        with pytest.raises(RuntimeError, match="calibrate"):
+            back.bound(samples)
