@@ -180,15 +180,14 @@ def verify(Vs, res, tf, n_check=64, seeds=(7, 101, 1234), n_edge=16):
     pentadiagonal), so the dense sweep costs ~10 ms/sample — matches the
     error-sampling discipline of the reference (model.py:1768-1825) at FOM
     accuracy.  Returns (max_err_overall, per_seed_max dict)."""
+    from pgdrome_tpu.models.problems import box_corners
+
     Vx = Vs[0]
     full0 = tf.modes_to_full(res.modes[0]).astype(np.float64)
     grid = Vs[1].tabulate_dof_coordinates()[:, 0]
     # corners: extreme on-grid interior values per parameter, all combos
     lo, hi = grid[1], grid[-2]
-    corners = np.array(
-        [[lo if (c >> i) & 1 == 0 else hi for i in range(NUM_PARAMS)]
-         for c in range(2 ** NUM_PARAMS)]
-    )
+    corners = box_corners(lo, hi, NUM_PARAMS)
     per_seed = {}
     errs_c = _verify_samples(Vx, Vs, res, full0, corners)
     log(f"verification corners ({len(corners)}): max {errs_c.max():.3e}")
@@ -504,16 +503,14 @@ def certify_phase(sep_pc64, Vs, res, tf):
     (seed 999 — disjoint from the verification seeds), then time the dd
     certification sweep.  Each certified query replaces a ~10 ms host
     FEM solve."""
+    from pgdrome_tpu.models.problems import box_corners
     from pgdrome_tpu.parallel.certify import make_certifier
 
     Vx = Vs[0]
     full0 = tf.modes_to_full(res.modes[0]).astype(np.float64)
     grid = Vs[1].tabulate_dof_coordinates()[:, 0]
     lo, hi = grid[1], grid[-2]
-    corners = np.array(
-        [[lo if (c >> i) & 1 == 0 else hi for i in range(NUM_PARAMS)]
-         for c in range(2 ** NUM_PARAMS)]
-    )
+    corners = box_corners(lo, hi, NUM_PARAMS)
     t0 = time.perf_counter()
     # pc shortcut: Euclidean residual on the pc stacks IS the
     # energy-preconditioned indicator
@@ -756,12 +753,13 @@ def main():
         log(f"sweep throughput skipped: {e}")
         sweep_rate = sweep_rate_pipelined = sensor_rate = None
         sweep_rate_bf16 = moments_rate = None
-    # flagship 4-dim elasticity solve line (fault-tolerant like the sweeps)
+    # certified-serving line (fault-tolerant like the sweeps)
     try:
         cert_fields = certify_phase(sep_pc64, Vs, res, tf)
     except Exception as e:
         log(f"certify phase skipped: {e}")
         cert_fields = {}
+    # flagship 4-dim elasticity solve line (fault-tolerant like the sweeps)
     try:
         nu_fields = elasticity_nu_phase()
     except Exception as e:

@@ -29,6 +29,22 @@ from pgdrome_tpu.solver import PGDProblem
 
 # ------------------------------------------------------------------ builders
 
+def box_corners(lo, hi, num_params: int, idx=None):
+    """All (or an ``idx``-selected subset of) the 2^d parameter-box corner
+    points as a ``(len(idx), num_params)`` f64 array; corner ``c`` pins
+    dim ``i`` at ``lo`` when bit ``i`` of ``c`` is 0, else ``hi``.  The
+    single source of the corner convention — bench verification,
+    certification calibration, and the dense verifier must all probe the
+    SAME points."""
+    if idx is None:
+        idx = np.arange(2 ** num_params)
+    return np.array(
+        [[lo if (c >> i) & 1 == 0 else hi for i in range(num_params)]
+         for c in idx],
+        dtype=np.float64,
+    )
+
+
 def parametric_elliptic(
     n_x: int = 1024,
     n_p: int = 64,
@@ -230,10 +246,7 @@ def elliptic_dense_verifier(Vs, tf=None, n_random: int = 16,
             [[0, n_c - 1],
              rng_c.choice(n_c - 2, size=corner_cap - 2, replace=False) + 1]
         )
-    corners = np.array(
-        [[lo if (c >> i) & 1 == 0 else hi for i in range(num_params)]
-         for c in idx]
-    )
+    corners = box_corners(lo, hi, num_params, idx)
 
     # bandwidth from the assembled stiffness profile (P1: 1, P2: 2)
     K_probe = stiffness_matrix(Vx)

@@ -72,6 +72,29 @@ __all__ = [
 ]
 
 
+def _chunked_dispatch(call, samples, chunk, num_params, *dev_args):
+    """Fixed-chunk device dispatch over a host sample batch: pad the last
+    block with repeated rows so ONE executable serves every batch size,
+    slice the padding back off.  Samples are cast to f32 explicitly on
+    the host (x64 is off on TPU; the jitted bodies compute in f32)."""
+    samples = np.asarray(samples, dtype=np.float64)
+    if samples.ndim != 2 or samples.shape[1] != num_params:
+        raise ValueError(
+            f"samples must be (B, {num_params}), got {samples.shape}"
+        )
+    out = np.empty(samples.shape[0], dtype=np.float64)
+    for s in range(0, samples.shape[0], chunk):
+        blk = samples[s : s + chunk]
+        if blk.shape[0] < chunk:
+            blk = np.concatenate(
+                [blk, np.repeat(blk[-1:], chunk - blk.shape[0], axis=0)]
+            )
+        out[s : s + chunk] = np.asarray(
+            call(jnp.asarray(blk.astype(np.float32)), *dev_args)
+        )[: samples.shape[0] - s]
+    return out
+
+
 def _param_tables(sep):
     """Extract per-parameter-dim diagonal operator tables (T, n_d) and rhs
     tables (R, n_d); raise if any parameter operator is not diagonal
@@ -253,22 +276,7 @@ def _indicator_from_dd(spaces, G_dd_host, B_dd_host, bufs_host, M, T, R,
     )
 
     def indicator(samples):
-        samples = np.asarray(samples, dtype=np.float64)
-        if samples.ndim != 2 or samples.shape[1] != nd - 1:
-            raise ValueError(
-                f"samples must be (B, {nd - 1}), got {samples.shape}"
-            )
-        out = np.empty(samples.shape[0], dtype=np.float64)
-        for s in range(0, samples.shape[0], chunk):
-            blk = samples[s : s + chunk]
-            if blk.shape[0] < chunk:  # pad: one executable for every batch
-                blk = np.concatenate(
-                    [blk, np.repeat(blk[-1:], chunk - blk.shape[0], axis=0)]
-                )
-            out[s : s + chunk] = np.asarray(
-                _call(jnp.asarray(blk), G_dd, B_dd, *bufs)
-            )[: samples.shape[0] - s]
-        return out
+        return _chunked_dispatch(_call, samples, chunk, nd - 1, G_dd, B_dd, *bufs)
 
     indicator.chunk = chunk
     indicator.n_modes = M
@@ -351,8 +359,10 @@ class Certifier:
 
     @classmethod
     def load(cls, filepath, spaces, chunk=None):
-        """Rebuild from :meth:`save` (+ :meth:`save_spaces_meta` if
-        present, validated against ``spaces``)."""
+        """Rebuild from :meth:`save`, validated against ``spaces``: the
+        per-dim table dof counts must match (always checked), and when the
+        snapshot carries mesh coordinates (``save(spaces=...)``) those are
+        checked exactly too."""
         import h5py
 
         with h5py.File(filepath, "r") as f:
@@ -379,6 +389,16 @@ class Certifier:
                 float(f.attrs["safety"]) if "safety" in f.attrs else None
             )
             n_cal = int(f.attrs["n_calibration"])
+        # dof-count validation even without saved coordinates: the param-dim
+        # tables are interpolated through spaces[d]'s dof map, so a size
+        # mismatch would otherwise gather garbage silently
+        for d in range(1, nd):
+            if bufs[d - 1].shape[1] != spaces[d].dim():
+                raise ValueError(
+                    f"space {d} has {spaces[d].dim()} dofs but the saved "
+                    f"certifier tables have {bufs[d - 1].shape[1]} — wrong "
+                    "parameter space for this snapshot"
+                )
         ind = _indicator_from_dd(spaces, G_dd, B_dd, bufs, M, T, R, chunk)
         out = cls(ind, eta=eta)
         out.safety = safety
@@ -506,22 +526,9 @@ def make_screener(sep, spaces, n_modes_cap, chunk=2048):
             buf = np.zeros((cap, sep.sizes[d]), dtype=np.float32)
             buf[:M] = np.asarray(result.modes[d])[:M]
             mode_bufs.append(jnp.asarray(buf))
-        samples = np.asarray(samples, dtype=np.float64)
-        if samples.ndim != 2 or samples.shape[1] != nd - 1:
-            raise ValueError(
-                f"samples must be (B, {nd - 1}), got {samples.shape}"
-            )
-        out = np.empty(samples.shape[0], dtype=np.float64)
-        for s in range(0, samples.shape[0], chunk):
-            blk = samples[s : s + chunk]
-            if blk.shape[0] < chunk:
-                blk = np.concatenate(
-                    [blk, np.repeat(blk[-1:], chunk - blk.shape[0], axis=0)]
-                )
-            out[s : s + chunk] = np.asarray(
-                _screen_call(jnp.asarray(blk), G, B0, *stat_bufs, *mode_bufs)
-            )[: samples.shape[0] - s]
-        return out
+        return _chunked_dispatch(
+            _screen_call, samples, chunk, nd - 1, G, B0, *stat_bufs, *mode_bufs
+        )
 
     screen.n_modes_cap = cap
     return screen
@@ -547,12 +554,17 @@ def screened_verify(screen, sample_errors, corners, *, top_k=16,
     screening dispatch + ``top_k`` FEM solves (~10 ms each)."""
     corners = np.asarray(corners, dtype=np.float64)
     say = log or (lambda *a: None)
+    if top_k < 1:
+        # order[-0:] would select ALL corners (the full FEM sweep the
+        # screener exists to avoid), and η cannot be fit from zero pairs
+        raise ValueError("top_k must be >= 1 (eta needs measured pairs)")
 
     def verify(result):
         rs = screen(result, corners)
         order = np.argsort(rs)
-        worst = order[-min(top_k, len(order)):]
-        rest = order[: max(0, len(order) - top_k)]
+        k = min(top_k, len(order))
+        worst = order[len(order) - k:]
+        rest = order[: len(order) - k]
         te = np.asarray(sample_errors(result, corners[worst]))
         eta = float(safety * (te / np.maximum(rs[worst], 1e-300)).max())
         est_max = float(eta * rs[rest].max()) if len(rest) else 0.0

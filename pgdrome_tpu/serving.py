@@ -383,27 +383,24 @@ class Vademecum:
         self._certifier = certifier
         return self
 
-    def residuals(self, samples):
-        """Per-sample relative algebraic residuals (certifier required:
-        see :func:`pgdrome_tpu.parallel.certify.make_certifier`)."""
+    def _require_certifier(self):
         if getattr(self, "_certifier", None) is None:
             raise RuntimeError(
                 "no certifier attached — build one with "
                 "parallel.certify.make_certifier(sep, spaces, result, tf=tf) "
                 "and attach_certifier(...)"
             )
-        return self._certifier.residuals(samples)
+        return self._certifier
+
+    def residuals(self, samples):
+        """Per-sample relative algebraic residuals (certifier required:
+        see :func:`pgdrome_tpu.parallel.certify.make_certifier`)."""
+        return self._require_certifier().residuals(samples)
 
     def error_bound(self, samples):
         """Calibrated per-sample error bounds η·residual (certifier must
         be attached and calibrated)."""
-        if getattr(self, "_certifier", None) is None:
-            raise RuntimeError(
-                "no certifier attached — build one with "
-                "parallel.certify.make_certifier(sep, spaces, result, tf=tf) "
-                "and attach_certifier(...)"
-            )
-        return self._certifier.bound(samples)
+        return self._require_certifier().bound(samples)
 
     def to_pgd(self, name="vademecum", name_coord=None):
         """Bridge into the reference-style PGD container (model layer:

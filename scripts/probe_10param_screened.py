@@ -82,6 +82,7 @@ def main():
     from pgdrome_tpu.fem.mesh import IntervalMesh
     from pgdrome_tpu.fem.space import FunctionSpace
     from pgdrome_tpu.models.problems import (
+        box_corners,
         corner_seeded_init,
         elliptic_dense_verifier,
     )
@@ -111,10 +112,7 @@ def main():
     lo, hi = grid[1], grid[-2]
 
     # full corner set: all 2^10 combinations
-    corners = np.array(
-        [[lo if (c >> i) & 1 == 0 else hi for i in range(D)]
-         for c in range(2 ** D)]
-    )
+    corners = box_corners(lo, hi, D)
     rng = np.random.default_rng(424242)
     interior_cands = grid[
         rng.integers(1, len(grid) - 1, size=(args.n_int_cands, D))
@@ -152,17 +150,19 @@ def main():
             f"{time.perf_counter() - t0:.1f}s")
         save_state(args.state_out, res, D, 1)
 
-    def screened_errors(res_g, pool, top_k, tag):
-        """Screen the pool, FEM-verify the top_k, return
-        (max_measured, max_estimated, order, measured_pairs)."""
+    def screened_errors(res_g, pool, top_k):
+        """Screen the pool, FEM-verify the top_k worst (top_k >= 1);
+        returns (max_measured, max_estimated, worst_points,
+        measured_errors, eta)."""
         rs = screen(res_g, pool)
         order = np.argsort(rs)
-        worst = order[-top_k:]
+        k = min(max(1, int(top_k)), len(order))
+        worst = order[len(order) - k:]
         te = verifier.sample_errors(res_g, pool[worst])
         eta = args.safety * float(
             (te / np.maximum(rs[worst], 1e-300)).max()
         )
-        rest = order[:-top_k]
+        rest = order[: len(order) - k]
         est = float(eta * rs[rest].max()) if len(rest) else 0.0
         return float(te.max()), est, pool[worst], te, eta
 
@@ -182,13 +182,13 @@ def main():
 
         t0 = time.perf_counter()
         c_meas, c_est, worst_c, te_c, eta_c = screened_errors(
-            res_g, corners, args.top_corners, "corners"
+            res_g, corners, args.top_corners
         )
         e_meas, e_est, _, _, _ = screened_errors(
-            res_g, edge_cands, args.top_edges, "edges"
+            res_g, edge_cands, args.top_edges
         )
         i_meas, i_est, _, _, _ = screened_errors(
-            res_g, interior_cands, args.top_interior, "interior"
+            res_g, interior_cands, args.top_interior
         )
         t_ver = time.perf_counter() - t0
         boundary = max(c_meas, c_est, e_meas, e_est)

@@ -68,12 +68,10 @@ def main():
     )
 
     # corners: the certification queries that matter most
-    n_c = 2 ** (len(Vs) - 1)
+    from pgdrome_tpu.models.problems import box_corners
+
     lo, hi = grid[1], grid[-2]
-    corners = np.array(
-        [[lo if (c >> i) & 1 == 0 else hi for i in range(len(Vs) - 1)]
-         for c in range(n_c)]
-    )
+    corners = box_corners(lo, hi, len(Vs) - 1)
     cvals = ind(corners)
     bench.log(
         f"corner residuals: max {cvals.max():.3e} min {cvals.min():.3e}"

@@ -350,3 +350,47 @@ class TestCertifierPersistence:
         assert back.eta is None
         with pytest.raises(RuntimeError, match="calibrate"):
             back.bound(samples)
+
+    def test_load_validates_dof_counts_without_coords(self, solved,
+                                                      tmp_path):
+        # save(spaces=None) stores no mesh coordinates; load must STILL
+        # reject a wrong-sized parameter space instead of gathering
+        # garbage through a mismatched dof map (code-review finding)
+        sep, Vs, tf, res, grid, samples = solved
+        cert = make_certifier(sep, Vs, res, tf=tf)
+        path = str(tmp_path / "cert_nospaces.h5")
+        cert.save(path)  # default: no coords datasets
+        from pgdrome_tpu.fem.mesh import IntervalMesh
+        from pgdrome_tpu.fem.space import FunctionSpace
+
+        wrong = [Vs[0], Vs[1],
+                 FunctionSpace(IntervalMesh(9, 0.0, 1.0), "P", 1)]
+        with pytest.raises(ValueError, match="dofs"):
+            Certifier.load(path, wrong)
+
+
+class TestScreenedVerifyGuards:
+    def test_top_k_zero_rejected(self, solved):
+        # order[-0:] would silently select ALL corners (full FEM sweep);
+        # eta also needs at least one measured pair — must raise
+        with pytest.raises(ValueError, match="top_k"):
+            screened_verify(
+                lambda r, pts: np.ones(len(pts)),
+                lambda r, pts: np.ones(len(pts)),
+                np.zeros((4, 2)),
+                top_k=0,
+            )
+
+
+def test_box_corners_convention():
+    from pgdrome_tpu.models.problems import box_corners
+
+    c = box_corners(0.25, 2.0, 3)
+    assert c.shape == (8, 3) and c.dtype == np.float64
+    # bit i of the corner index selects dim i: 0 -> lo, 1 -> hi
+    np.testing.assert_array_equal(c[0], [0.25, 0.25, 0.25])
+    np.testing.assert_array_equal(c[5], [2.0, 0.25, 2.0])
+    np.testing.assert_array_equal(c[7], [2.0, 2.0, 2.0])
+    sub = box_corners(0.25, 2.0, 3, idx=[7, 0])
+    np.testing.assert_array_equal(sub[0], c[7])
+    np.testing.assert_array_equal(sub[1], c[0])
