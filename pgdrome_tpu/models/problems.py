@@ -302,7 +302,9 @@ def elliptic_dense_verifier(Vs, tf=None, n_random: int = 16,
         full0 = (
             tf.modes_to_full(m0) if tf is not None else m0
         ).astype(np.float64)
-        mc = float(_errors(res, full0, corners).max())
+        b_pts = [corners]
+        b_errs = [_errors(res, full0, corners)]
+        mc = float(b_errs[0].max())
         mi = 0.0
         for seed in seeds:
             rng = np.random.default_rng(seed)
@@ -323,8 +325,20 @@ def elliptic_dense_verifier(Vs, tf=None, n_random: int = 16,
                     pts[r, dims] = np.where(
                         rng.integers(0, 2, size=k) == 0, lo, hi
                     )
-                mc = max(mc, float(_errors(res, full0, pts).max()))
-        return {"corners": mc, "interior": mi, "max": max(mc, mi)}
+                e = _errors(res, full0, pts)
+                b_pts.append(pts)
+                b_errs.append(e)
+                mc = max(mc, float(e.max()))
+        # worst boundary points ranked worst-first: the feedback channel
+        # for corner-seeded cascade stages (recipes.adaptive_cascade
+        # corner_seed_range / corner_seeded_init)
+        bp = np.concatenate(b_pts)
+        be = np.concatenate(b_errs)
+        order = np.argsort(be)[::-1][:128]
+        return {
+            "corners": mc, "interior": mi, "max": max(mc, mi),
+            "worst_points": bp[order], "worst_errors": be[order],
+        }
 
     verify.sample_errors = sample_errors
     verify.corners = corners

@@ -580,6 +580,8 @@ def screened_verify(screen, sample_errors, corners, *, top_k=16,
             f" of {len(corners)}), estimated rest {est_max:.3e} "
             f"(eta {eta:.2f}), interior {interior_val:.3e}"
         )
+        rank = np.argsort(te)[::-1]  # measured points, worst first: the
+        # feedback channel for corner-seeded stages (adaptive_cascade)
         return {
             "corners": corners_val,
             "interior": interior_val,
@@ -588,6 +590,8 @@ def screened_verify(screen, sample_errors, corners, *, top_k=16,
             "measured_max": measured_max,
             "estimated_max": est_max,
             "screened": True,
+            "worst_points": corners[worst][rank],
+            "worst_errors": te[rank],
         }
 
     return verify

@@ -33,6 +33,7 @@ from pgdrome_tpu.separated import (
     galerkin_update,
     ne_dim_base,
     normal_equations,
+    pad_rhs_bucket,
     precondition_dim,
     residual_problem,
 )
@@ -125,7 +126,9 @@ def adaptive_cascade(problem_pc: SeparatedProblem, verify, *,
                      cg_iters: int = 25, dtype=np.float32,
                      aot_cache_dir: str | None = None, log=None,
                      init_result: PGDResult | None = None,
-                     checkpoint=None):
+                     checkpoint=None,
+                     corner_seed_range=None, seed_max_fp_it: int = 20,
+                     rhs_bucket: int | None = None):
     """Error-DRIVEN residual cascade: solve until a verified bound, not a
     fixed stage list.  This packages the measured multi-parameter
     discipline (PERF.md round-3, scripts/probe_5param.py) as one call:
@@ -164,6 +167,24 @@ def adaptive_cascade(problem_pc: SeparatedProblem, verify, *,
     run (remote-compile stalls) resumes via ``init_result`` instead of
     re-solving.
 
+    ``corner_seed_range``: pass the parameter box ``(p_lo, p_hi)`` to run
+    boosted stages CORNER-SEEDED — the fixed point of each new mode
+    starts at one of the verifier's measured-worst boundary points
+    (``verify``'s dict must carry ``worst_points``/``worst_errors``, as
+    :func:`models.problems.elliptic_dense_verifier` and
+    :func:`parallel.certify.screened_verify` do) instead of the ones
+    init, whose corner overlap decays like (1/n_p)^(d-1).  This is the
+    measured 10-param discipline (PERF.md "Dimensionality frontier":
+    seeded stages gain ~3×/stage at corners where ones-init stages made
+    them worse).  ``seed_max_fp_it`` bounds the seeded stages' fixed
+    point (end-localized targets need more alternations than the
+    8-sweep default).
+
+    ``rhs_bucket``: pad each stage's residual rhs stack to this bucket
+    (:func:`pgdrome_tpu.separated.pad_rhs_bucket`) so deep cascades on
+    remote-compile backends reuse a handful of executables instead of
+    recompiling 100–1000 s per stage.
+
     Returns ``(best_result, history)``: history is one dict per stage
     with rank, errors, measure/precision decisions, and timing."""
     import time
@@ -182,10 +203,11 @@ def adaptive_cascade(problem_pc: SeparatedProblem, verify, *,
     history = []
     best_err, best_res, best_stage = np.inf, None, 0
     corners = interior = np.inf
+    worst_pts = worst_errs = None
     res = None
     for si in range(1, max_stages + 1):
         t0 = time.perf_counter()
-        boosted = comp = False
+        boosted = comp = seeded = False
         if si == 1:
             res = init_result if init_result is not None else SeparatedPGD(
                 problem_pc, n_max=n_stage1, tol_fp=tol_fp,
@@ -205,20 +227,52 @@ def adaptive_cascade(problem_pc: SeparatedProblem, verify, *,
                     and np.dtype(dtype) != np.float64
                 )
             sep_res, s_res = residual_problem(prob_s, res)
-            delta = SeparatedPGD(sep_res, n_max=stage_budget, tol_fp=1e-5,
-                                 max_fp_it=8, **common(comp)).solve_fused()
+            if rhs_bucket:
+                sep_res = pad_rhs_bucket(sep_res, rhs_bucket)
+            seeded = (
+                boosted
+                and corner_seed_range is not None
+                and worst_pts is not None
+                and len(worst_pts) > 0
+            )
+            if seeded:
+                from pgdrome_tpu.models.problems import corner_seeded_init
+
+                lo, hi = corner_seed_range
+                delta = SeparatedPGD(
+                    sep_res, n_max=stage_budget, tol_fp=1e-5,
+                    max_fp_it=seed_max_fp_it,
+                    fp_init=corner_seeded_init(
+                        np.asarray(worst_pts)[:stage_budget], lo, hi
+                    ),
+                    **common(comp),
+                ).solve()
+            else:
+                delta = SeparatedPGD(
+                    sep_res, n_max=stage_budget, tol_fp=1e-5,
+                    max_fp_it=8, **common(comp),
+                ).solve_fused()
             res = combine_results(res, delta, s_res)
         res_g = galerkin_update(problem_pc, res)
-        corners, interior = _split(verify(res_g))
+        v = verify(res_g)
+        corners, interior = _split(v)
+        if isinstance(v, dict) and "worst_points" in v:
+            worst_pts = np.asarray(v["worst_points"])
+            worst_errs = np.asarray(v.get("worst_errors", []))
+            if worst_errs.shape[:1] == worst_pts.shape[:1]:
+                rank_w = np.argsort(worst_errs)[::-1]
+                worst_pts = worst_pts[rank_w]
         mx = max(corners, interior)
         history.append({
             "stage": si, "rank": res.n_modes, "corners": corners,
             "interior": interior, "max": mx, "boosted": boosted,
+            "seeded": seeded,
             "rhs_comp": comp, "stage_s": round(time.perf_counter() - t0, 2),
         })
         say(f"adaptive stage {si}: rank {res.n_modes} corners {corners:.2e} "
             f"interior {interior:.2e}"
             + (" [boost]" if boosted else "")
+            + (" [seeded]" if seeded else "")
             + (" [dd]" if comp else ""))
         if checkpoint is not None:
             checkpoint(history[-1], res)

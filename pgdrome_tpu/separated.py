@@ -1392,6 +1392,34 @@ def residual_problem(sep: SeparatedProblem, result: PGDResult):
     return sep_res, s
 
 
+def pad_rhs_bucket(sep: SeparatedProblem, bucket: int) -> SeparatedProblem:
+    """Pad every dim's rhs stack with zero rows up to a ``bucket``
+    multiple (all dims share the row count by construction).  Zero rows
+    contribute nothing to the load contractions or ``normU0`` (tested:
+    tests/unit/test_recipes.py zero-row inertness); they exist purely to
+    STABILIZE the compiled program shapes across cascade stages — each
+    :func:`residual_problem` restart grows the rhs stack by T·K rows, and
+    on a remote-compile backend every new shape is a 100–1000 s XLA
+    compile.  Bucketed shapes make deep cascades reuse a handful of
+    executables (the 10-param frontier grind runs 30+ stages on ~3)."""
+    R = sep.rhs[0].shape[0]
+    Rpad = int(-(-R // bucket) * bucket)
+    if Rpad == R:
+        return sep
+    rhs = [
+        np.concatenate(
+            [r, np.zeros((Rpad - R, r.shape[1]), dtype=np.asarray(r).dtype)]
+        )
+        for r in (np.asarray(r) for r in sep.rhs)
+    ]
+    return SeparatedProblem(
+        ops=list(sep.ops),
+        rhs=rhs,
+        mass=list(sep.mass),
+        bc_dofs=[np.flatnonzero(np.asarray(m) == 0.0) for m in sep.bc_masks],
+    )
+
+
 def compress_rhs(sep: SeparatedProblem, rank: int, n_iters: int = 30) -> SeparatedProblem:
     """Compress the separated right-hand side Σ_r ⊗_d g_rd to a lower-rank
     stack via CP-ALS in the problem's mass metric.

@@ -39,22 +39,9 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def pad_rhs_bucket(sep, bucket):
-    """Pad every dim's rhs stack with zero rows up to a bucket multiple
-    (same row count per dim by construction).  Zero rows contribute
-    nothing to the load contractions or normU0; they exist purely to
-    stabilize the compiled program shapes across cascade stages."""
-    from pgdrome_tpu.separated import SeparatedProblem
-
-    R = sep.rhs[0].shape[0]
-    Rpad = int(-(-R // bucket) * bucket)
-    if Rpad == R:
-        return sep
-    rhs = [np.concatenate(
-        [r, np.zeros((Rpad - R, r.shape[1]), dtype=r.dtype)]) for r in sep.rhs]
-    return SeparatedProblem(ops=sep.ops, rhs=rhs, mass=sep.mass,
-                            bc_dofs=[np.flatnonzero(m == 0.0)
-                                     for m in sep.bc_masks])
+from pgdrome_tpu.separated import pad_rhs_bucket  # noqa: F401 (re-export
+# for probe_10param_screened back-compat; the implementation moved into
+# the library)
 
 
 def main():

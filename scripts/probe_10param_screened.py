@@ -95,7 +95,7 @@ def main():
         residual_problem,
     )
     import scripts.probe_10param_adaptive as pa
-    from scripts.probe_10param_grind_tpu import pad_rhs_bucket
+    from pgdrome_tpu.separated import pad_rhs_bucket
 
     pa.NUM_PARAMS = D = 10
     pc8, tf = pa.build((8.0, 6))

@@ -361,7 +361,7 @@ class TestEllipticDenseVerifier:
         verify = elliptic_dense_verifier(Vs, tf, n_random=4,
                                          seeds=(7, 101))
         errs = verify(res)
-        assert set(errs) == {"corners", "interior", "max"}
+        assert {"corners", "interior", "max"} <= set(errs)
         assert errs["max"] == max(errs["corners"], errs["interior"])
         assert errs["max"] < 1e-5, errs
 
@@ -434,6 +434,51 @@ class TestAdaptiveCascade:
         assert [h["rhs_comp"] for h in history] == [False, False, True]
         # best tracks the smallest verified max (stage 2), not the last
         assert best.n_modes == history[1]["rank"]
+
+    def test_corner_seeded_boost_stages(self):
+        """With corner_seed_range set and a verifier exposing
+        worst_points, boosted stages run corner-SEEDED (fp_init at the
+        measured-worst boundary points, non-fused solve) and still
+        converge; rhs_bucket keeps the stage shapes stable."""
+        from pgdrome_tpu.models.problems import elliptic_dense_verifier
+        from pgdrome_tpu.recipes import adaptive_cascade
+
+        sep_pc, tf, Vs = self._problem()
+        sep_boost, _, _ = self._problem(boost=(16.0, 6))
+        verify = elliptic_dense_verifier(Vs, tf, n_random=4, seeds=(7,))
+        grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+        best, history = adaptive_cascade(
+            sep_pc, verify, bound=2e-6, n_stage1=10, stage_budget=8,
+            max_stages=6, boost_problem=sep_boost, boost_margin=0.0,
+            corner_seed_range=(grid[1], grid[-2]), rhs_bucket=64,
+            dtype=np.float32,
+        )
+        # boost_margin=0 forces every post-stage-1 stage boosted while
+        # above bound; worst_points exist from stage 1 -> all seeded
+        assert history[0]["seeded"] is False
+        assert all(h["seeded"] for h in history[1:])
+        assert all(h["boosted"] for h in history[1:])
+        # seeding must not break convergence
+        assert history[-1]["max"] < history[0]["max"]
+        assert best is not None
+
+    def test_verifier_exposes_ranked_worst_points(self):
+        from pgdrome_tpu.models.problems import elliptic_dense_verifier
+        from pgdrome_tpu.separated import SeparatedPGD
+
+        sep_pc, tf, Vs = self._problem()
+        res = SeparatedPGD(sep_pc, n_max=6, tol=0.0, tol_fp=1e-7,
+                           residual_check=False,
+                           dtype=np.float32).solve_fused()
+        verify = elliptic_dense_verifier(Vs, tf, n_random=2, seeds=(7,),
+                                         n_edge=4)
+        out = verify(res)
+        wp, we = out["worst_points"], out["worst_errors"]
+        assert wp.shape[0] == we.shape[0] == 4 + 4  # corners + edges
+        assert wp.shape[1] == 2
+        # ranked worst-first and consistent with the reported max
+        assert np.all(np.diff(we) <= 0)
+        assert we[0] == pytest.approx(out["corners"])
 
     def test_stall_stops_early_and_returns_best(self):
         from pgdrome_tpu.recipes import adaptive_cascade
@@ -585,7 +630,7 @@ class TestRhsZeroRowPadding:
         cascade stages on remote backends - probe_10param_grind_tpu) must
         not change the solve."""
         from pgdrome_tpu.separated import (
-            SeparatedPGD, SeparatedProblem, precondition_dim0,
+            SeparatedPGD, pad_rhs_bucket, precondition_dim0,
             residual_problem,
         )
 
@@ -597,14 +642,9 @@ class TestRhsZeroRowPadding:
         base = SeparatedPGD(pc, n_max=8, tol_fp=1e-7, **common).solve_fused()
         sep_res, s_res = residual_problem(pc, base)
         R = sep_res.rhs[0].shape[0]
-        padded = SeparatedProblem(
-            ops=sep_res.ops,
-            rhs=[np.concatenate(
-                [r, np.zeros((16, r.shape[1]), dtype=r.dtype)])
-                for r in sep_res.rhs],
-            mass=sep_res.mass,
-            bc_dofs=[np.flatnonzero(m == 0.0) for m in sep_res.bc_masks],
-        )
+        padded = pad_rhs_bucket(sep_res, R + 16)
+        # already-bucketed stacks pass through untouched
+        assert pad_rhs_bucket(sep_res, R) is sep_res
         d1 = SeparatedPGD(sep_res, n_max=6, tol_fp=1e-6, **common).solve_fused()
         d2 = SeparatedPGD(padded, n_max=6, tol_fp=1e-6, **common).solve_fused()
         assert padded.rhs[0].shape[0] == R + 16
