@@ -657,6 +657,133 @@ def moving_heat_source(
     return prob, [Vx, Vt, VP, Vv], factors, sep_err
 
 
+def transient_dense_verifier(sep, Vs, factors, *, af: float = 0.08,
+                             xc0: float = 0.15, true_source: bool = True,
+                             n_random: int = 6, seeds=(7, 101)):
+    """Dense held-out verifier for :func:`moving_heat_source` results:
+    the reference ``PGDErrorComputation`` discipline (model.py:1768-1825)
+    for the TRANSIENT family, mirroring
+    :func:`elliptic_dense_verifier`'s role for the elliptic one.
+
+    Per sample (an on-grid ``(P, v)`` pair) the full-order model is the
+    SPARSE SPACE-TIME solve  A u = b(P, v)  with the problem's own
+    backward-Euler-equivalent operator
+    ``A = Σ_t kron(ops[0][t], ops[1][t])`` (parameter-independent for
+    this family — one LU factorization serves every sample) and the load
+    built from the EXACT Gaussian ``P·g(x − xc0 − v·t)`` when
+    ``true_source`` (default: measures the END-TO-END error including
+    the source-separation truncation, the honest number — PERF.md
+    round-3 transient findings) or from the separated ``factors``
+    otherwise (isolates the solver error from the separation floor).
+
+    Returns ``verify(result) -> {"corners", "interior", "max",
+    "worst_points", "worst_errors"}`` over the 4 parameter-box corners
+    plus ``n_random`` random on-grid samples per seed, with
+    ``verify.sample_errors(result, idx_pairs)`` as the per-point
+    feedback channel (``idx_pairs``: integer ``(ip, iv)`` grid indices).
+    Results must be NODAL-basis (the :func:`pgdrome_tpu.recipes.two_stage_minres`
+    convention); ``worst_points`` are physical ``(P, v)`` values ranked
+    worst-first, plug-compatible with
+    :func:`pgdrome_tpu.recipes.adaptive_cascade` corner seeding."""
+    from scipy import sparse as sps
+    from scipy.sparse import linalg as spla
+
+    if len(Vs) != 4:
+        raise ValueError(
+            "transient_dense_verifier covers the moving_heat_source "
+            "family: spaces (x, t, P, v)"
+        )
+    nx, nt = sep.sizes[0], sep.sizes[1]
+    # the per-sample operator drops the parameter mass factors, which is
+    # only valid when they ARE the mass (pointwise coefficient 1)
+    for d in (2, 3):
+        od = np.asarray(sep.ops[d], dtype=np.float64)
+        md = np.asarray(sep.mass[d], dtype=np.float64)
+        for t in range(od.shape[0]):
+            if not np.allclose(od[t], md, rtol=0.0,
+                               atol=1e-12 * np.abs(md).max()):
+                raise ValueError(
+                    f"parameter dim {d} operator term {t} is not the "
+                    "mass: the space-time FOM would need per-sample "
+                    "operator coefficients"
+                )
+    ops0 = np.asarray(sep.ops[0], dtype=np.float64)
+    ops1 = np.asarray(sep.ops[1], dtype=np.float64)
+    A = sum(
+        sps.kron(sps.csr_matrix(ops0[t]), sps.csr_matrix(ops1[t]))
+        for t in range(ops0.shape[0])
+    ).tolil()
+    ic_rows = [ix * nt for ix in range(nx)]
+    for rr in ic_rows:
+        A.rows[rr] = [rr]
+        A.data[rr] = [1.0]
+    lu = spla.splu(A.tocsr().tocsc())
+
+    Mx = np.asarray(sep.mass[0], dtype=np.float64)
+    Mt = np.asarray(sep.ops[1][1], dtype=np.float64)
+    MxF = np.asarray(factors[0], dtype=np.float64) @ Mx.T  # (R, nx)
+    MtF = np.asarray(factors[1], dtype=np.float64) @ Mt.T  # (R, nt)
+    x_grid = Vs[0].tabulate_dof_coordinates()[:, 0]
+    t_grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+    P_grid = Vs[2].tabulate_dof_coordinates()[:, 0]
+    v_grid = Vs[3].tabulate_dof_coordinates()[:, 0]
+
+    def _errors(res, idx_pairs):
+        K = res.n_modes
+        m0 = np.asarray(res.modes[0], dtype=np.float64)[:K]
+        m1 = np.asarray(res.modes[1], dtype=np.float64)[:K]
+        errs = []
+        for ip, iv in idx_pairs:
+            P_val = P_grid[ip]
+            if true_source:
+                g = np.exp(
+                    -((x_grid[:, None] - xc0 - v_grid[iv] * t_grid[None, :])
+                      ** 2) / af ** 2
+                )
+                b = P_val * (Mx @ g @ Mt.T).ravel()
+            else:
+                w = P_val * np.asarray(factors[2], dtype=np.float64)[:, iv]
+                b = np.einsum("r,ri,rj->ij", w, MxF, MtF).ravel()
+            b[ic_rows] = 0.0
+            u_fom = lu.solve(b).reshape(nx, nt)
+            fac = (np.asarray(res.modes[2], dtype=np.float64)[:K, ip]
+                   * np.asarray(res.modes[3], dtype=np.float64)[:K, iv])
+            u = np.einsum("k,ki,kj->ij", fac, m0, m1)
+            errs.append(np.linalg.norm(u - u_fom) / np.linalg.norm(u_fom))
+        return np.asarray(errs)
+
+    def sample_errors(res, idx_pairs):
+        """Per-sample relative space-time L2 errors vs the sparse FOM at
+        integer (ip, iv) grid-index pairs."""
+        return _errors(res, np.asarray(idx_pairs, dtype=np.int64))
+
+    n_P, n_v = len(P_grid), len(v_grid)
+    corner_idx = [(0, 0), (0, n_v - 1), (n_P - 1, 0), (n_P - 1, n_v - 1)]
+
+    def verify(res):
+        ec = _errors(res, corner_idx)
+        mc = float(ec.max())
+        mi = 0.0
+        for seed in seeds:
+            rng = np.random.default_rng(seed)
+            if n_random:
+                idx = np.stack(
+                    [rng.integers(1, n_P - 1, size=n_random),
+                     rng.integers(1, n_v - 1, size=n_random)], axis=1
+                )
+                mi = max(mi, float(_errors(res, idx).max()))
+        order = np.argsort(ec)[::-1]
+        pts = np.array([[P_grid[i], v_grid[j]] for i, j in corner_idx])
+        return {
+            "corners": mc, "interior": mi, "max": max(mc, mi),
+            "worst_points": pts[order], "worst_errors": ec[order],
+        }
+
+    verify.sample_errors = sample_errors
+    verify.corner_indices = corner_idx
+    return verify
+
+
 def plane_strain_C(nu: float) -> np.ndarray:
     """Plane-strain elasticity tensor (Voigt 3×3) for unit E."""
     a = 1.0 / ((1 + nu) * (1 - 2 * nu))

@@ -119,6 +119,102 @@ class TestTwoStageMinres:
         assert err < max(5 * sep_err, 2e-3), f"err {err:.3e} (sep {sep_err:.3e})"
 
 
+class TestTransientDenseVerifier:
+    def test_matches_inline_fom_and_steers(self):
+        """The packaged space-time FOM verifier (the reference
+        PGDErrorComputation discipline for the transient family) agrees
+        with an inline kron solve and exposes the adaptive_cascade
+        feedback interface."""
+        from pgdrome_tpu.models.problems import transient_dense_verifier
+        from pgdrome_tpu.recipes import two_stage_minres
+        from scipy import sparse as sps
+        from scipy.sparse import linalg as spla
+
+        sep, Vs, factors, sep_err = moving_heat_source(
+            n_x=40, n_t=28, n_P=6, n_v=8, af=0.15, source_rank=20
+        )
+        res = two_stage_minres(sep, n_stage1=12, n_stage2=8,
+                               dtype=np.float64)
+        verify = transient_dense_verifier(sep, Vs, factors, af=0.15,
+                                          true_source=False, n_random=3,
+                                          seeds=(7,))
+        out = verify(res)
+        assert {"corners", "interior", "max", "worst_points"} <= set(out)
+        assert out["max"] == max(out["corners"], out["interior"])
+        assert np.all(np.diff(out["worst_errors"]) <= 0)
+        assert out["worst_errors"][0] == pytest.approx(out["corners"])
+        # the two-stage result must land near the separation floor
+        assert out["max"] < max(5 * sep_err, 2e-3)
+
+        # cross-check one sample against an inline dense space-time solve
+        nx, nt = sep.sizes[0], sep.sizes[1]
+        ip, iv = 2, 3
+        P_val = Vs[2].tabulate_dof_coordinates()[ip, 0]
+        A = (sps.kron(sps.csr_matrix(np.asarray(sep.ops[0][0])),
+                      sps.csr_matrix(np.asarray(sep.ops[1][0])))
+             + sps.kron(sps.csr_matrix(np.asarray(sep.ops[0][1])),
+                        sps.csr_matrix(np.asarray(sep.ops[1][1])))).tolil()
+        Mx = np.asarray(sep.mass[0])
+        Mt = np.asarray(sep.ops[1][1])
+        b = sum(
+            np.kron(P_val * factors[2][r][iv] * (Mx @ factors[0][r]),
+                    Mt @ factors[1][r])
+            for r in range(factors[0].shape[0])
+        )
+        for ix in range(nx):
+            rr = ix * nt
+            A.rows[rr] = [rr]
+            A.data[rr] = [1.0]
+            b[rr] = 0.0
+        u_fom = spla.spsolve(A.tocsr(), b).reshape(nx, nt)
+        K = res.n_modes
+        fac = (np.asarray(res.modes[2])[:K, ip]
+               * np.asarray(res.modes[3])[:K, iv])
+        u = np.einsum("k,ki,kj->ij", fac, np.asarray(res.modes[0])[:K],
+                      np.asarray(res.modes[1])[:K])
+        inline = np.linalg.norm(u - u_fom) / np.linalg.norm(u_fom)
+        packaged = verify.sample_errors(res, [(ip, iv)])[0]
+        np.testing.assert_allclose(packaged, inline, rtol=1e-10)
+
+    def test_true_source_includes_separation_floor(self):
+        """With a deliberately COARSE source separation, the true-source
+        error must sit at/above the separation floor while the
+        separated-source error can be far below it."""
+        from pgdrome_tpu.models.problems import transient_dense_verifier
+        from pgdrome_tpu.recipes import two_stage_minres
+
+        sep, Vs, factors, sep_err = moving_heat_source(
+            n_x=40, n_t=28, n_P=6, n_v=8, af=0.15, source_rank=4
+        )
+        assert sep_err > 1e-3  # rank 4 is genuinely coarse
+        res = two_stage_minres(sep, n_stage1=12, n_stage2=8,
+                               dtype=np.float64)
+        v_sep = transient_dense_verifier(sep, Vs, factors, af=0.15,
+                                         true_source=False, n_random=2,
+                                         seeds=(7,))(res)
+        v_true = transient_dense_verifier(sep, Vs, factors, af=0.15,
+                                          true_source=True, n_random=2,
+                                          seeds=(7,))(res)
+        assert v_true["max"] > v_sep["max"]
+        assert v_true["max"] > 0.1 * sep_err
+
+    def test_rejects_non_mass_parameter_operators(self):
+        from pgdrome_tpu.models.problems import transient_dense_verifier
+        from pgdrome_tpu.separated import SeparatedProblem
+
+        sep, Vs, factors, _ = moving_heat_source(
+            n_x=16, n_t=12, n_P=4, n_v=4, af=0.2, source_rank=3
+        )
+        ops = [np.asarray(o).copy() for o in sep.ops]
+        ops[2][0] *= 2.0  # no longer the mass
+        bad = SeparatedProblem(
+            ops=ops, rhs=list(sep.rhs), mass=list(sep.mass),
+            bc_dofs=list(sep.bc_dofs),
+        )
+        with pytest.raises(ValueError, match="mass"):
+            transient_dense_verifier(bad, Vs, factors)
+
+
 class TestMinresExtraStages:
     def test_third_stage_stacks(self):
         # extra_stages adds residual restarts that must not hurt: the
