@@ -353,21 +353,8 @@ def two_stage_minres(sep: SeparatedProblem, n_stage1: int = 128,
     every dim (ready for evaluation/serving)."""
 
     def minres_stage(problem, n_max, comp=False):
-        ne = normal_equations(problem)
-        tfs = []
-        for d in precondition_dims:
-            ne, tfd = precondition_dim(ne, dim=d, dtype=np.float64,
-                                       base=ne_dim_base(problem, d))
-            tfs.append(tfd)
-        # measured trade-off at scale (PERF.md): max_fp_it=50 -> 2.9e-4
-        # in 3.4 s; 25 -> 3.7e-4 in 2.1 s (the f32 relative-stop floor is
-        # above 1e-5, so the cap — not tol_fp — is the speed knob)
-        s = SeparatedPGD(ne, n_max=n_max, tol=0.0, tol_fp=tol_fp,
-                         max_fp_it=max_fp_it, solver="chol",
-                         residual_check=False, dtype=dtype,
-                         renorm_sweep=True, aot_cache_dir=aot_cache_dir,
-                         rhs_comp=comp)
-        return _to_nodal(s.solve_fused(), tfs)
+        return _minres_stage(problem, n_max, precondition_dims, tol_fp,
+                             max_fp_it, dtype, aot_cache_dir, comp)
 
     res = minres_stage(sep, n_stage1)
     for b in (n_stage2,) + tuple(extra_stages):
@@ -375,3 +362,117 @@ def two_stage_minres(sep: SeparatedProblem, n_stage1: int = 128,
         delta = minres_stage(sep_res, b, comp=rhs_comp)
         res = combine_results(res, delta, s_res)
     return galerkin_update(sep, res)
+
+
+def _minres_stage(problem, n_max, precondition_dims, tol_fp, max_fp_it,
+                  dtype, aot_cache_dir, comp):
+    """One f32-stable minimal-residual stage: normal equations + diag-sum
+    congruence bases on ``precondition_dims`` + mid-sweep renorm, result
+    mapped back to nodal bases (shared by :func:`two_stage_minres` and
+    :func:`adaptive_minres`)."""
+    ne = normal_equations(problem)
+    tfs = []
+    for d in precondition_dims:
+        ne, tfd = precondition_dim(ne, dim=d, dtype=np.float64,
+                                   base=ne_dim_base(problem, d))
+        tfs.append(tfd)
+    # measured trade-off at scale (PERF.md): max_fp_it=50 -> 2.9e-4
+    # in 3.4 s; 25 -> 3.7e-4 in 2.1 s (the f32 relative-stop floor is
+    # above 1e-5, so the cap — not tol_fp — is the speed knob)
+    s = SeparatedPGD(ne, n_max=n_max, tol=0.0, tol_fp=tol_fp,
+                     max_fp_it=max_fp_it, solver="chol",
+                     residual_check=False, dtype=dtype,
+                     renorm_sweep=True, aot_cache_dir=aot_cache_dir,
+                     rhs_comp=comp)
+    return _to_nodal(s.solve_fused(), tfs)
+
+
+def adaptive_minres(sep: SeparatedProblem, verify, *,
+                    bound: float = 1e-6, n_stage1: int = 128,
+                    stage_budget: int = 128, max_stages: int = 12,
+                    precondition_dims=(0, 1),
+                    rhs_comp="auto", rhs_comp_below: float = 1e-4,
+                    stall_stages: int = 3, tol_fp: float = 1e-6,
+                    max_fp_it: int = 50, dtype=np.float32,
+                    rhs_bucket: int | None = None,
+                    aot_cache_dir: str | None = None, log=None,
+                    init_result: PGDResult | None = None,
+                    checkpoint=None):
+    """Error-driven TRANSIENT cascade: :func:`two_stage_minres`'s
+    restart stacking continued until a VERIFIED bound — the minres
+    counterpart of :func:`adaptive_cascade` (whose Galerkin enrichment
+    has no minimization principle on non-symmetric operators).
+
+    The measured discipline it packages (PERF.md round-3 transient
+    findings, scripts/probe_minres_floor.py): restart stacking is the
+    convergence lever above ~1e-4; compensated-dd rhs stages HURT there
+    but are required once the ~1.5e-6 rhs-cancellation floor appears —
+    so ``rhs_comp="auto"`` engages dd only below ``rhs_comp_below``
+    (pass True/False to force).  Verification runs after every stage on
+    the Galerkin-updated span (the cascade itself continues from the
+    raw combination); use
+    :func:`pgdrome_tpu.models.problems.transient_dense_verifier` —
+    true-source by default, so the bound INCLUDES the source-separation
+    truncation and stalls honestly at the separation floor (raise the
+    builder's ``separation_tol`` resolution, e.g. ``source_rank=256`` at
+    ``separation_tol=1e-7``, to push it).
+
+    ``verify``/``init_result``/``checkpoint``/``stall_stages`` follow
+    the :func:`adaptive_cascade` conventions; returns
+    ``(best_result, history)`` with nodal-basis results."""
+    import time
+
+    def _split(v):
+        if isinstance(v, dict):
+            return float(v["corners"]), float(v["interior"])
+        return float(v), float(v)
+
+    say = log or (lambda *a: None)
+    history = []
+    best_err, best_res, best_stage = np.inf, None, 0
+    corners = interior = np.inf
+    res = None
+    for si in range(1, max_stages + 1):
+        t0 = time.perf_counter()
+        comp = False
+        if si == 1:
+            res = init_result if init_result is not None else _minres_stage(
+                sep, n_stage1, precondition_dims, tol_fp, max_fp_it,
+                dtype, aot_cache_dir, False)
+        else:
+            if isinstance(rhs_comp, bool):
+                comp = rhs_comp
+            else:  # "auto": dd only in the cancellation-bound region
+                comp = (
+                    max(corners, interior) < rhs_comp_below
+                    and np.dtype(dtype) != np.float64
+                )
+            sep_res, s_res = residual_problem(sep, res)
+            if rhs_bucket:
+                sep_res = pad_rhs_bucket(sep_res, rhs_bucket)
+            delta = _minres_stage(
+                sep_res, stage_budget, precondition_dims, tol_fp,
+                max_fp_it, dtype, aot_cache_dir, comp)
+            res = combine_results(res, delta, s_res)
+        res_g = galerkin_update(sep, res)
+        corners, interior = _split(verify(res_g))
+        mx = max(corners, interior)
+        history.append({
+            "stage": si, "rank": res.n_modes, "corners": corners,
+            "interior": interior, "max": mx, "rhs_comp": comp,
+            "stage_s": round(time.perf_counter() - t0, 2),
+        })
+        say(f"adaptive minres stage {si}: rank {res.n_modes} corners "
+            f"{corners:.2e} interior {interior:.2e}"
+            + (" [dd]" if comp else ""))
+        if checkpoint is not None:
+            checkpoint(history[-1], res)
+        if mx < best_err:
+            best_err, best_res, best_stage = mx, res_g, si
+        if mx < bound:
+            break
+        if si - best_stage >= stall_stages:
+            say(f"adaptive minres stalled: best {best_err:.2e} at stage "
+                f"{best_stage}, no improvement for {stall_stages} stages")
+            break
+    return best_res, history

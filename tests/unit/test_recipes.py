@@ -119,6 +119,52 @@ class TestTwoStageMinres:
         assert err < max(5 * sep_err, 2e-3), f"err {err:.3e} (sep {sep_err:.3e})"
 
 
+class TestAdaptiveMinres:
+    def test_reaches_bound_with_transient_verifier(self):
+        from pgdrome_tpu.models.problems import transient_dense_verifier
+        from pgdrome_tpu.recipes import adaptive_minres
+
+        sep, Vs, factors, sep_err = moving_heat_source(
+            n_x=40, n_t=28, n_P=6, n_v=8, af=0.15, source_rank=24
+        )
+        verify = transient_dense_verifier(sep, Vs, factors, af=0.15,
+                                          true_source=False, n_random=3,
+                                          seeds=(7,))
+        bound = max(5 * sep_err, 2e-3)
+        best, history = adaptive_minres(
+            sep, verify, bound=bound, n_stage1=12, stage_budget=8,
+            max_stages=6, dtype=np.float64,
+        )
+        assert history[-1]["max"] < bound
+        assert len(history) < 6  # stopped AT the bound
+        assert verify(best)["max"] < bound
+        # ranks grow monotonically across restarts
+        ranks = [h["rank"] for h in history]
+        assert ranks == sorted(ranks)
+
+    def test_dd_steering_and_stall(self):
+        """Scripted verifier: dd engages only below rhs_comp_below and
+        the stall guard returns the best result."""
+        from pgdrome_tpu.recipes import adaptive_minres
+
+        sep, Vs, factors, _ = moving_heat_source(
+            n_x=24, n_t=16, n_P=4, n_v=5, af=0.2, source_rank=8
+        )
+        script = iter([1e-3, 5e-5, 4e-5, 6e-5, 7e-5])
+        best, history = adaptive_minres(
+            sep, lambda res: next(script), bound=1e-9,
+            n_stage1=6, stage_budget=4, max_stages=5,
+            rhs_comp="auto", rhs_comp_below=1e-4, stall_stages=2,
+            dtype=np.float32, rhs_bucket=32,
+        )
+        # stage 2 sees 1e-3 (no dd); stages 3+ see <1e-4 (dd)
+        assert [h["rhs_comp"] for h in history] == [
+            False, False, True, True, True]
+        # best was stage 3 (4e-5); stalls 2 stages later
+        assert len(history) == 5
+        assert best.n_modes == history[2]["rank"]
+
+
 class TestTransientDenseVerifier:
     def test_matches_inline_fom_and_steers(self):
         """The packaged space-time FOM verifier (the reference
