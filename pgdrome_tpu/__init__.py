@@ -52,7 +52,7 @@ from pgdrome_tpu.recipes import (
     two_stage_elliptic,
     two_stage_minres,
 )
-from pgdrome_tpu.serving import Vademecum
+from pgdrome_tpu.serving import TransientVademecum, Vademecum
 from pgdrome_tpu.utils.pgd_config import PGDConfig
 
 __version__ = "0.1.0"
@@ -93,6 +93,7 @@ __all__ = [
     "ne_dim_base",
     "galerkin_update",
     "normal_equations",
+    "TransientVademecum",
     "Vademecum",
     "adaptive_cascade",
     "residual_cascade",

@@ -176,7 +176,8 @@ def make_sweep_fn(spaces, modes, n_modes, method="xla", out_dtype=None,
     return aot_jit(jitted, key + ["xla"]) if aot else jitted
 
 
-def make_sensor_sweep_fn(spaces, modes, n_modes, points, method="auto"):
+def make_sensor_sweep_fn(spaces, modes, n_modes, points, method="auto",
+                         table=None):
     """Build the jitted sensor sweep: samples (B, d-1) → responses
     (B, n_pts) (or (B, n_pts·value_size) for vector space dims).
 
@@ -200,11 +201,18 @@ def make_sensor_sweep_fn(spaces, modes, n_modes, points, method="auto"):
     modes0 = np.asarray(modes[0])
     n_max = modes0.shape[0]
     pts = np.asarray(points)
-    # (n_max, n_pts[, value_size]) fixed-mode table, flattened per point
-    table = np.stack(
-        [np.asarray(eval_dofs_at_points(spaces[0], modes0[k], pts))
-         for k in range(n_max)]
-    ).reshape(n_max, -1).astype(modes0.dtype)
+    # (n_max, n_pts[, value_size]) fixed-mode table, flattened per point.
+    # A caller-built table (TransientVademecum: product of space- and
+    # time-mode values at (x, t) points) skips the dim-0 point eval —
+    # the AOT key still covers it, since the table is a pure function of
+    # the keyed points + modes.
+    if table is None:
+        table = np.stack(
+            [np.asarray(eval_dofs_at_points(spaces[0], modes0[k], pts))
+             for k in range(n_max)]
+        ).reshape(n_max, -1).astype(modes0.dtype)
+    else:
+        table = np.asarray(table, dtype=modes0.dtype).reshape(n_max, -1)
     if method in ("fused", "auto"):
         fused = _try_fused(spaces, table, modes[1:], n_modes, method,
                            "sensor")
@@ -236,7 +244,7 @@ def make_sensor_sweep_fn(spaces, modes, n_modes, points, method="auto"):
     return aot_jit(jax.jit(sweep), key + ["xla"])
 
 
-def make_sensor_jacobian_fn(spaces, modes, n_modes, points):
+def make_sensor_jacobian_fn(spaces, modes, n_modes, points, table=None):
     """Build the jitted parameter-sensitivity sweep: samples (B, d-1) →
     Jacobian (B, n_pts·value_size, d-1) of the sensor responses w.r.t.
     the parameters.
@@ -262,10 +270,13 @@ def make_sensor_jacobian_fn(spaces, modes, n_modes, points):
         "jacobian", spaces, n_modes, modes,
         extra=(pts.tobytes(), pts.shape),
     )
-    table = np.stack(
-        [np.asarray(eval_dofs_at_points(spaces[0], modes0[k], pts))
-         for k in range(n_max)]
-    ).reshape(n_max, -1).astype(modes0.dtype)
+    if table is None:
+        table = np.stack(
+            [np.asarray(eval_dofs_at_points(spaces[0], modes0[k], pts))
+             for k in range(n_max)]
+        ).reshape(n_max, -1).astype(modes0.dtype)
+    else:
+        table = np.asarray(table, dtype=modes0.dtype).reshape(n_max, -1)
     mode_mask = (np.arange(n_max) < n_modes).astype(modes0.dtype)
     k_pad = (-n_max) % 128 if n_max < 128 else 0
     table_mm = jnp.asarray(

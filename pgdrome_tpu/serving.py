@@ -31,6 +31,11 @@ with the jitted batch paths:
 
 Energy-basis solves (precondition_dim0) pass their transform once at
 construction; the container stores deployment-ready full-dof modes.
+
+:class:`TransientVademecum` serves SPACE-TIME results (e.g.
+moving_heat_source's (x, t, P, v)) through the same machinery by
+kron-flattening the field dims' modes once; its sensors take (x, t)
+points — virtual gauges swept over parameter batches.
 """
 
 from __future__ import annotations
@@ -462,3 +467,246 @@ class Vademecum:
                 normU0=1.0,
             )
         return cls(spaces, res, method=method, dtype=modes[0].dtype)
+
+
+class TransientVademecum(Vademecum):
+    """:class:`Vademecum` for SPACE-TIME results: the first
+    ``field_dims`` dims (e.g. :func:`moving_heat_source`'s (x, t)) are
+    FIELD dims, the rest parameters.
+
+    The field dims' modes are kron-flattened ONCE into a single
+    ``(K, n0·n1)`` buffer (the framework's standard trick: a tensor
+    structure the sweep kernels don't need to know about), so every
+    batch path serves space-time quantities unchanged:
+
+    * :meth:`fields` / :meth:`fields_stream` / :meth:`moments` return
+      ``(B, n0·n1)`` — ``.reshape(B, *vd.field_shape)`` recovers the
+      (x, t) grid;
+    * :meth:`sensors` / :meth:`sensors_stream` /
+      :meth:`sensors_jacobian` take ``(n_pts, field_dims)`` SPACE-TIME
+      points — virtual gauges at fixed (x, t) locations swept over
+      parameter batches (the table is the product of the per-field-dim
+      mode values, built host-side; no flattened-mode point eval);
+    * :meth:`errors` compares against FOM fields flattened the same way
+      (``fom.reshape(B, -1)``).
+
+    The flatten costs ``K·n0·n1`` serving-dtype bytes once (~0.5 GB at
+    the rank-896 transient bench scale — host build a few seconds,
+    well inside HBM).  :meth:`save` stores the ORIGINAL per-dim modes
+    (the flatten is redone at :meth:`load`), :meth:`to_pgd` bridges the
+    unflattened result into the reference-style container, and
+    :meth:`derivative` differentiates the SPACE dim (du/dx fields over
+    (x, t))."""
+
+    def __init__(self, spaces, result, field_dims: int = 2,
+                 dim0_transform=None, method="auto", dtype=np.float32):
+        from pgdrome_tpu.separated import PGDResult
+
+        if not (2 <= field_dims < len(spaces)):
+            raise ValueError(
+                f"field_dims must be in [2, num_dims); got {field_dims} "
+                f"for {len(spaces)} dims"
+            )
+        K = int(result.n_modes)
+        fmods = []
+        for d in range(field_dims):
+            m = np.asarray(result.modes[d])[:K]
+            if d == 0 and dim0_transform is not None:
+                m = dim0_transform.modes_to_full(m)
+            fmods.append(np.asarray(m, dtype=dtype))
+        flat = fmods[0]
+        for d in range(1, field_dims):
+            flat = (flat[:, :, None] * fmods[d][:, None, :]).reshape(K, -1)
+        flat_res = PGDResult(
+            modes=[flat] + [np.asarray(m)[:K] for m in
+                            result.modes[field_dims:]],
+            n_modes=K,
+            amplitudes=np.asarray(result.amplitudes)[:K],
+            alpha=np.asarray(result.alpha)[:K],
+            fp_its=np.asarray(result.fp_its)[:K],
+            normU0=result.normU0,
+        )
+        # the parameter machinery only touches spaces[1:], which must
+        # align with the flattened modes list; spaces[0] stays the space
+        # dim's space for bookkeeping (never point-evaluated here)
+        super().__init__(
+            [spaces[0]] + list(spaces[field_dims:]), flat_res,
+            method=method, dtype=dtype,
+        )
+        self.field_dims = int(field_dims)
+        self.field_spaces = list(spaces[:field_dims])
+        self.field_shape = tuple(m.shape[1] for m in fmods)
+        self._field_modes = fmods
+        self._all_spaces = list(spaces)
+        self._orig_result = result
+
+    def _st_table(self, pts):
+        """(K, n_pts) product-of-field-dim-mode-values table at space-time
+        points (n_pts, field_dims)."""
+        from pgdrome_tpu.fem.interpolate import eval_dofs_at_points
+
+        K = self.n_modes
+        table = np.ones((K, pts.shape[0]), dtype=np.float64)
+        for d, (V, m) in enumerate(zip(self.field_spaces,
+                                       self._field_modes)):
+            vals = np.stack([
+                np.asarray(eval_dofs_at_points(V, m[k], pts[:, d]))
+                for k in range(K)
+            ]).reshape(K, -1)
+            table *= vals
+        return table
+
+    def _st_points(self, points):
+        pts = np.asarray(points, dtype=np.float64)
+        if pts.ndim != 2 or pts.shape[1] != self.field_dims:
+            raise ValueError(
+                f"space-time sensor points must be (n_pts, "
+                f"{self.field_dims}), got {pts.shape}"
+            )
+        return pts
+
+    def sensors(self, points):
+        """Jitted sensor sweep at fixed SPACE-TIME points (n_pts,
+        field_dims): fn(samples (B, d_param)) -> (B, n_pts)."""
+        from pgdrome_tpu.parallel.vademecum import make_sensor_sweep_fn
+
+        pts = self._st_points(points)
+        key = ("st", pts.tobytes(), pts.shape)
+        fn = self._sensor_cache.get(key)
+        if fn is None:
+            fn = make_sensor_sweep_fn(
+                self.spaces, self._modes, self.n_modes, pts,
+                method=self._method, table=self._st_table(pts),
+            )
+            self._sensor_cache[key] = fn
+            while len(self._sensor_cache) > self._sensor_cache_max:
+                self._sensor_cache.popitem(last=False)
+        else:
+            self._sensor_cache.move_to_end(key)
+        return fn
+
+    def sensors_jacobian(self, points):
+        """Parameter sensitivities at fixed space-time points:
+        fn(samples) -> (B, n_pts, d_param)."""
+        from pgdrome_tpu.parallel.vademecum import make_sensor_jacobian_fn
+
+        pts = self._st_points(points)
+        key = ("st-jac", pts.tobytes(), pts.shape)
+        fn = self._sensor_cache.get(key)
+        if fn is None:
+            fn = make_sensor_jacobian_fn(
+                self.spaces, self._modes, self.n_modes, pts,
+                table=self._st_table(pts),
+            )
+            self._sensor_cache[key] = fn
+            while len(self._sensor_cache) > self._sensor_cache_max:
+                self._sensor_cache.popitem(last=False)
+        else:
+            self._sensor_cache.move_to_end(key)
+        return fn
+
+    def derivative(self):
+        """The du/dx transient vademecum: SPACE-dim modes replaced by
+        their exact DG(degree−1) derivatives; time/parameter dims
+        unchanged."""
+        from pgdrome_tpu.fem.derivative import derivative_function
+        from pgdrome_tpu.fem.function import Function
+        from pgdrome_tpu.separated import PGDResult
+
+        V0 = self._all_spaces[0]
+        m0 = self._field_modes[0]
+        dfs = [
+            derivative_function(Function(V0, m0[k]))
+            for k in range(self.n_modes)
+        ]
+        dmodes = np.stack([np.asarray(f.array) for f in dfs])
+        res = PGDResult(
+            modes=[dmodes]
+            + [np.asarray(m) for m in self._field_modes[1:]]
+            + [np.asarray(m) for m in self._modes[1:]],
+            n_modes=self.n_modes,
+            amplitudes=np.asarray(self._result.amplitudes),
+            alpha=np.asarray(self._result.alpha),
+            fp_its=np.asarray(self._result.fp_its),
+            normU0=self._result.normU0,
+        )
+        return TransientVademecum(
+            [dfs[0].function_space()] + self._all_spaces[1:], res,
+            field_dims=self.field_dims, method=self._method,
+            dtype=m0.dtype,
+        )
+
+    def to_pgd(self, name="vademecum", name_coord=None):
+        """Bridge the UNFLATTENED result into the reference-style PGD
+        container (all original dims kept separate)."""
+        from pgdrome_tpu.model import pgd_from_result
+        from pgdrome_tpu.separated import PGDResult
+
+        K = self.n_modes
+        res = PGDResult(
+            modes=[np.asarray(m) for m in self._field_modes]
+            + [np.asarray(m) for m in self._modes[1:]],
+            n_modes=K,
+            amplitudes=np.asarray(self._result.amplitudes),
+            alpha=np.asarray(self._result.alpha),
+            fp_its=np.asarray(self._result.fp_its),
+            normU0=self._result.normU0,
+        )
+        return pgd_from_result(
+            res, self._all_spaces, name=name, name_coord=name_coord
+        )
+
+    def save(self, filepath):
+        """HDF5 snapshot of the ORIGINAL per-dim modes (+ field_dims
+        marker); the kron flatten is redone at :meth:`load`."""
+        all_modes = list(self._field_modes) + [
+            np.asarray(m) for m in self._modes[1:]
+        ]
+        with h5py.File(filepath, "w") as f:
+            f.attrs["n_modes"] = self.n_modes
+            f.attrs["num_dims"] = len(all_modes)
+            f.attrs["field_dims"] = self.field_dims
+            f.create_dataset(
+                "amplitudes", data=np.asarray(self._result.amplitudes)
+            )
+            f.create_dataset("alpha", data=np.asarray(self._result.alpha))
+            for d, m in enumerate(all_modes):
+                f.create_dataset(f"modes_{d}", data=np.asarray(m))
+                f.create_dataset(
+                    f"coords_{d}",
+                    data=self._all_spaces[d].mesh().coordinates(),
+                )
+                f[f"modes_{d}"].attrs["degree"] = self._all_spaces[d].degree
+
+    @classmethod
+    def load(cls, filepath, spaces, method="auto"):
+        """Rebuild from :meth:`save`; ``spaces`` is the FULL per-dim list
+        (field dims first), validated against the stored meshes."""
+        from pgdrome_tpu.separated import PGDResult
+
+        with h5py.File(filepath, "r") as f:
+            nd = int(f.attrs["num_dims"])
+            fd = int(f.attrs.get("field_dims", 2))
+            if len(spaces) != nd:
+                raise ValueError(f"expected {nd} spaces, got {len(spaces)}")
+            modes = []
+            for d in range(nd):
+                saved = np.asarray(f[f"coords_{d}"])
+                have = spaces[d].mesh().coordinates()
+                if saved.shape != have.shape or not np.allclose(saved, have):
+                    raise ValueError(
+                        f"space {d} mesh does not match the saved vademecum"
+                    )
+                if int(f[f"modes_{d}"].attrs["degree"]) != spaces[d].degree:
+                    raise ValueError(f"space {d} degree mismatch")
+                modes.append(np.asarray(f[f"modes_{d}"]))
+            res = PGDResult(
+                modes=modes,
+                n_modes=int(f.attrs["n_modes"]),
+                amplitudes=np.asarray(f["amplitudes"]),
+                alpha=np.asarray(f["alpha"]),
+                fp_its=np.zeros(int(f.attrs["n_modes"]), dtype=np.int64),
+                normU0=1.0,
+            )
+        return cls(spaces, res, field_dims=fd, method=method,
+                   dtype=modes[0].dtype)

@@ -199,3 +199,149 @@ class TestVademecum:
         fom = np.asarray(vd.fields(jnp.asarray(samples)))
         errs = np.asarray(vd.errors(samples, fom))
         np.testing.assert_allclose(errs, 0.0, atol=1e-13)
+
+
+@pytest.fixture(scope="module")
+def transient_served():
+    from pgdrome_tpu.models.problems import moving_heat_source
+    from pgdrome_tpu.recipes import two_stage_minres
+    from pgdrome_tpu.serving import TransientVademecum
+
+    sep, Vs, factors, _ = moving_heat_source(
+        n_x=24, n_t=16, n_P=5, n_v=6, af=0.2, source_rank=8
+    )
+    res = two_stage_minres(sep, n_stage1=8, n_stage2=6, dtype=np.float64)
+    vd = TransientVademecum(Vs, res, dtype=np.float32)
+    P_grid = Vs[2].tabulate_dof_coordinates()[:, 0]
+    v_grid = Vs[3].tabulate_dof_coordinates()[:, 0]
+    rng = np.random.default_rng(3)
+    samples = np.stack(
+        [P_grid[rng.integers(0, len(P_grid), size=7)],
+         v_grid[rng.integers(0, len(v_grid), size=7)]], axis=1
+    )
+    return sep, Vs, res, vd, samples
+
+
+class TestTransientVademecum:
+    def _direct_fields(self, sep, res, samples, Vs):
+        """Per-sample nodal reconstruction at on-grid (P, v) values."""
+        P_grid = Vs[2].tabulate_dof_coordinates()[:, 0]
+        v_grid = Vs[3].tabulate_dof_coordinates()[:, 0]
+        K = res.n_modes
+        out = []
+        for P, v in samples:
+            ip = int(np.argmin(np.abs(P_grid - P)))
+            iv = int(np.argmin(np.abs(v_grid - v)))
+            fac = (np.asarray(res.modes[2])[:K, ip]
+                   * np.asarray(res.modes[3])[:K, iv])
+            u = np.einsum("k,ki,kj->ij", fac,
+                          np.asarray(res.modes[0])[:K],
+                          np.asarray(res.modes[1])[:K])
+            out.append(u.ravel())
+        return np.stack(out)
+
+    def test_fields_are_flattened_space_time(self, transient_served):
+        sep, Vs, res, vd, samples = transient_served
+        ref = self._direct_fields(sep, res, samples, Vs)
+        got = np.asarray(vd.fields(samples))
+        assert got.shape == (len(samples), np.prod(vd.field_shape))
+        assert vd.field_shape == (sep.sizes[0], sep.sizes[1])
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-6)
+
+    def test_sensors_gather_the_field(self, transient_served):
+        sep, Vs, res, vd, samples = transient_served
+        x_grid = Vs[0].tabulate_dof_coordinates()[:, 0]
+        t_grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+        idx = [(3, 2), (10, 7), (20, 15)]
+        pts = np.array([[x_grid[i], t_grid[j]] for i, j in idx])
+        resp = np.asarray(vd.sensors(pts)(jnp.asarray(samples)))
+        fields = np.asarray(vd.fields(samples))
+        nt = sep.sizes[1]
+        gathered = np.stack(
+            [fields[:, i * nt + j] for i, j in idx], axis=1
+        )
+        np.testing.assert_allclose(resp, gathered, rtol=2e-5, atol=2e-6)
+        # wrong point arity is rejected
+        with pytest.raises(ValueError, match="space-time"):
+            vd.sensors(np.zeros((3, 1)))
+
+    def test_sensors_jacobian_finite_difference(self, transient_served):
+        sep, Vs, res, vd, samples = transient_served
+        x_grid = Vs[0].tabulate_dof_coordinates()[:, 0]
+        t_grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+        pts = np.array([[x_grid[12], t_grid[8]]])
+        # strictly element-INTERIOR samples: at a grid node the P1
+        # interpolant's derivative is one-sided while central FD
+        # straddles the kink
+        s = np.array([[0.62, 0.71], [0.83, 0.57], [0.77, 0.93]])
+        jac = np.asarray(vd.sensors_jacobian(pts)(jnp.asarray(s)))
+        fn = vd.sensors(pts)
+        eps = 1e-4
+        for j in range(2):
+            sp, sm = s.copy(), s.copy()
+            sp[:, j] += eps
+            sm[:, j] -= eps
+            fd = (np.asarray(fn(jnp.asarray(sp)))
+                  - np.asarray(fn(jnp.asarray(sm)))) / (2 * eps)
+            np.testing.assert_allclose(jac[:, :, j], fd, rtol=5e-3,
+                                       atol=1e-5)
+
+    def test_save_load_roundtrip(self, transient_served, tmp_path):
+        from pgdrome_tpu.serving import TransientVademecum
+
+        sep, Vs, res, vd, samples = transient_served
+        path = str(tmp_path / "tvd.h5")
+        vd.save(path)
+        back = TransientVademecum.load(path, Vs)
+        assert back.field_shape == vd.field_shape
+        np.testing.assert_allclose(
+            np.asarray(back.fields(samples)),
+            np.asarray(vd.fields(samples)), rtol=1e-6,
+        )
+        # wrong space list is rejected
+        from pgdrome_tpu.fem.mesh import IntervalMesh
+        from pgdrome_tpu.fem.space import FunctionSpace
+
+        wrong = list(Vs)
+        wrong[1] = FunctionSpace(IntervalMesh(9, 0.0, 1.0), "P", 1)
+        with pytest.raises(ValueError, match="mesh does not match"):
+            TransientVademecum.load(path, wrong)
+
+    def test_to_pgd_keeps_dims_separate(self, transient_served):
+        sep, Vs, res, vd, samples = transient_served
+        pgd = vd.to_pgd()
+        assert len(pgd.mesh) == 4
+        # reference-style evaluate over the x field at fixed (t, P, v)
+        t_grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+        P_grid = Vs[2].tabulate_dof_coordinates()[:, 0]
+        v_grid = Vs[3].tabulate_dof_coordinates()[:, 0]
+        it, ip, iv = 5, 2, 3
+        u = pgd.evaluate(0, [1, 2, 3],
+                         [t_grid[it], P_grid[ip], v_grid[iv]], 0)
+        K = res.n_modes
+        fac = (np.asarray(res.modes[1])[:K, it]
+               * np.asarray(res.modes[2])[:K, ip]
+               * np.asarray(res.modes[3])[:K, iv])
+        ref = fac @ np.asarray(res.modes[0])[:K]
+        # the container carries the serving-dtype (f32) mode casts
+        np.testing.assert_allclose(np.asarray(u.array), ref, rtol=1e-4,
+                                   atol=1e-7)
+
+    def test_derivative_differentiates_space_only(self, transient_served):
+        sep, Vs, res, vd, samples = transient_served
+        dvd = vd.derivative()
+        # DG(degree-1) space dim, unchanged time/param dims
+        assert dvd.field_shape[1] == vd.field_shape[1]
+        # du/dx of the served field: compare against the x finite
+        # difference of the P1 field (exact on element midpoints;
+        # the DG0 derivative is the per-element slope)
+        f = np.asarray(vd.fields(samples[:2]))
+        df = np.asarray(dvd.fields(samples[:2]))
+        nx, nt = vd.field_shape
+        x = Vs[0].tabulate_dof_coordinates()[:, 0]
+        f3 = f.reshape(2, nx, nt)
+        slopes = (f3[:, 1:, :] - f3[:, :-1, :]) / (
+            x[1:] - x[:-1]
+        )[None, :, None]
+        df3 = df.reshape(2, dvd.field_shape[0], nt)
+        np.testing.assert_allclose(df3, slopes, rtol=2e-4, atol=1e-5)
