@@ -18,7 +18,13 @@ natively in JAX (see :mod:`pgdrome_tpu.fem` and :mod:`pgdrome_tpu.ops`).
 """
 
 from pgdrome_tpu import config as config
-from pgdrome_tpu.fem.mesh import IntervalMesh, RectangleMesh, BoxMesh, Point
+from pgdrome_tpu.fem.mesh import (
+    IntervalMesh,
+    RectangleMesh,
+    BoxMesh,
+    SimplicialMesh,
+    Point,
+)
 from pgdrome_tpu.fem.space import FunctionSpace, VectorFunctionSpace
 from pgdrome_tpu.fem.function import Function, Expression, Constant, interpolate
 from pgdrome_tpu.fem.bc import DirichletBC
@@ -84,6 +90,7 @@ __all__ = [
     "PGDAttribute",
     "PGDErrorComputation",
     "BoxMesh",
+    "SimplicialMesh",
     "SeparatedProblem",
     "SeparatedPGD",
     "PGDResult",

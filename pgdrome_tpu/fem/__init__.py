@@ -6,14 +6,22 @@ spaces, quadrature-based operator assembly as dense/batched JAX arrays, and
 vmapped point evaluation.  Everything is shape-static and jit-friendly.
 """
 
-from pgdrome_tpu.fem.mesh import IntervalMesh, RectangleMesh, Point
+from pgdrome_tpu.fem.mesh import (
+    BoxMesh,
+    IntervalMesh,
+    Point,
+    RectangleMesh,
+    SimplicialMesh,
+)
 from pgdrome_tpu.fem.space import FunctionSpace, VectorFunctionSpace
 from pgdrome_tpu.fem.function import Function, Expression, Constant, interpolate
 from pgdrome_tpu.fem.bc import DirichletBC
 
 __all__ = [
+    "BoxMesh",
     "IntervalMesh",
     "RectangleMesh",
+    "SimplicialMesh",
     "Point",
     "FunctionSpace",
     "VectorFunctionSpace",

@@ -23,6 +23,21 @@ def _on_boundary_mask(V: FunctionSpace) -> np.ndarray:
         x = pts[:, 0]
         lo, hi = mesh.coordinates()[:, 0].min(), mesh.coordinates()[:, 0].max()
         return (np.abs(x - lo) < 1e-12) | (np.abs(x - hi) < 1e-12)
+    if hasattr(mesh, "boundary_vertex_mask") and V.family != "DG":
+        # unstructured (SimplicialMesh): the bounding box is NOT the
+        # boundary — use the topological boundary (facets incident to
+        # exactly one cell).  P1: boundary vertices; P2: + midpoints of
+        # boundary edges (the dofmap records edge→vertex-pair).
+        vmask = mesh.boundary_vertex_mask()
+        mask = np.zeros(len(pts), dtype=bool)
+        nv = mesh.num_vertices()
+        mask[:nv] = vmask
+        if V.degree == 2 and hasattr(V, "edge_vertices"):
+            bset = {tuple(f) for f in mesh.boundary_facets()}
+            for e, (a, b) in enumerate(V.edge_vertices):
+                if (int(a), int(b)) in bset:
+                    mask[nv + e] = True
+        return mask
     mask = np.zeros(len(pts), dtype=bool)
     for ax, (lo, hi) in enumerate(mesh.bounds):
         mask |= np.abs(pts[:, ax] - lo) < 1e-12

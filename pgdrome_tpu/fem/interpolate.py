@@ -17,6 +17,92 @@ import numpy as np
 from pgdrome_tpu.fem.mesh import IntervalMesh, RectangleMesh
 
 
+class BucketLocator:
+    """Static-shape bucketed point locator for unstructured simplicial
+    meshes (SimplicialMesh.locator()).
+
+    Replaces dolfin's BoundingBoxTree point location (used implicitly by
+    every reference point eval on non-structured meshes, reference
+    model.py:822-842) with a jit-traceable design: a uniform bucket grid
+    over the bounding box, each bucket carrying a PADDED candidate-cell
+    list, and per-query selection of the candidate with the largest
+    minimum barycentric coordinate.  Everything is a fixed-shape gather +
+    small einsum — works with ``xp=numpy`` on the host and ``xp=jnp``
+    under jit.
+    """
+
+    def __init__(self, mesh, max_buckets_per_axis: int = 64):
+        import itertools
+
+        coords = mesh.coordinates()
+        cells = mesh.cells()
+        tdim = mesh.topology_dim()
+        verts = coords[cells]  # (nc, tdim+1, gdim)
+        v0 = verts[:, 0]
+        # affine map x = v0 + T @ bary_rest with T columns = edge vectors;
+        # store T^{-1} so bary_rest = Tinv @ (x - v0) is one small matmul
+        T = np.stack([verts[:, i + 1] - v0 for i in range(tdim)], axis=2)
+        self.v0 = v0
+        self.Tinv = np.linalg.inv(T)  # (nc, tdim, tdim)
+        nc = cells.shape[0]
+        lo = coords.min(axis=0)
+        hi = coords.max(axis=0)
+        # ~1 cell per bucket on average (each cell lands in the buckets
+        # its bbox overlaps, so candidate lists stay short)
+        nb = int(np.clip(round(nc ** (1.0 / tdim)), 1, max_buckets_per_axis))
+        h = (hi - lo) / nb
+        h[h == 0] = 1.0
+        self.lo, self.h, self.nb, self.tdim = lo, h, nb, tdim
+
+        cmin = verts.min(axis=1)
+        cmax = verts.max(axis=1)
+        bmin = np.clip(np.floor((cmin - lo) / h).astype(np.int64), 0, nb - 1)
+        bmax = np.clip(np.floor((cmax - lo) / h).astype(np.int64), 0, nb - 1)
+        buckets = [[] for _ in range(nb**tdim)]
+        for c in range(nc):
+            for idx in itertools.product(
+                *[range(bmin[c, a], bmax[c, a] + 1) for a in range(tdim)]
+            ):
+                flat = 0
+                for a in range(tdim):
+                    flat = flat * nb + idx[a]
+                buckets[flat].append(c)
+        K = max(1, max(len(b) for b in buckets))
+        cand = np.zeros((len(buckets), K), dtype=np.int32)
+        for i, b in enumerate(buckets):
+            if b:
+                cand[i, : len(b)] = b
+                cand[i, len(b):] = b[-1]  # pad by repetition: harmless
+                # under the best-candidate argmax
+        self.cand = cand
+
+    def locate(self, pts, xp):
+        """pts (..., gdim) → (cell (...,), bary (..., tdim+1))."""
+        pts = xp.asarray(pts)
+        lo = xp.asarray(self.lo)
+        h = xp.asarray(self.h)
+        nb = self.nb
+        idx = xp.clip(
+            xp.floor((pts - lo) / h).astype(np.int32), 0, nb - 1
+        )  # (..., tdim)
+        flat = idx[..., 0]
+        for a in range(1, self.tdim):
+            flat = flat * nb + idx[..., a]
+        cand = xp.asarray(self.cand)[flat]  # (..., K)
+        v0 = xp.asarray(self.v0)[cand]  # (..., K, gdim)
+        Tinv = xp.asarray(self.Tinv)[cand]  # (..., K, tdim, tdim)
+        rel = pts[..., None, :] - v0
+        br = xp.einsum("...ij,...j->...i", Tinv, rel)  # (..., K, tdim)
+        l0 = 1.0 - xp.sum(br, axis=-1, keepdims=True)
+        bary = xp.concatenate([l0, br], axis=-1)  # (..., K, tdim+1)
+        best = xp.argmax(xp.min(bary, axis=-1), axis=-1)  # (...)
+        cell = xp.take_along_axis(cand, best[..., None], axis=-1)[..., 0]
+        bary_best = xp.take_along_axis(
+            bary, best[..., None, None], axis=-2
+        )[..., 0, :]
+        return cell, bary_best
+
+
 def _locate_1d(mesh, x, xp):
     """Cell index + local coordinate xi for 1D points."""
     verts = xp.asarray(mesh.coordinates()[:, 0])
@@ -199,14 +285,20 @@ def eval_dofs_at_points(V, dofs, points, derivative: bool = False, xp=np):
         if derivative:
             raise NotImplementedError("derivative point-eval only in 1D")
         pts = xp.asarray(points)
-        cell = _locate_2d(mesh, pts, xp)
-        bary = _bary_in_cell(mesh, cell, pts, xp)
+        if isinstance(mesh, RectangleMesh):
+            cell = _locate_2d(mesh, pts, xp)
+            bary = _bary_in_cell(mesh, cell, pts, xp)
+        else:  # unstructured triangulation: bucketed locate
+            cell, bary = mesh.locator().locate(pts, xp)
         basis = _shape_tri_x(V.degree, bary, xp)
-    else:  # 3D BoxMesh
+    else:  # 3D: BoxMesh (arithmetic) or unstructured tets (bucketed)
         if derivative:
             raise NotImplementedError("derivative point-eval only in 1D")
         pts = xp.asarray(points)
-        cell, bary = _locate_3d(mesh, pts, xp)
+        if hasattr(mesh, "nz"):  # BoxMesh
+            cell, bary = _locate_3d(mesh, pts, xp)
+        else:
+            cell, bary = mesh.locator().locate(pts, xp)
         basis = _shape_tet_x(V.degree, bary, xp)
 
     local_sdofs = ed[cell]  # (..., nl)

@@ -1,13 +1,18 @@
-"""Structured meshes (1D intervals, 2D rectangles incl. "crossed" diagonals).
+"""Meshes: structured (1D intervals, 2D rectangles incl. "crossed"
+diagonals, 3D boxes) and general unstructured simplicial meshes.
 
 TPU-first design notes
 ----------------------
 Topology is built once on the host (numpy, static shapes); vertex coordinates
 live as JAX arrays so that downstream assembly / point evaluation stays on
-device and jit-traceable.  Only structured meshes are supported — all
-reference tests use ``IntervalMesh`` and ``RectangleMesh(..., 'crossed')``
-(e.g. /root/reference/tests/integration/test_solver_problem.py:69-71); fully
-unstructured import would be I/O-layer work, not solver work.
+device and jit-traceable.  All reference tests use ``IntervalMesh`` and
+``RectangleMesh(..., 'crossed')``
+(e.g. /root/reference/tests/integration/test_solver_problem.py:69-71);
+``SimplicialMesh`` ingests arbitrary (coordinates, cells) triangulations —
+the reference runs on any dolfin mesh and reloads it from ``_data.h5``
+(reference model.py:641-714), and this is its counterpart.  Point location
+on unstructured meshes is a bucketed candidate search with static shapes
+(jit-traceable), built lazily on first use.
 """
 
 from __future__ import annotations
@@ -248,3 +253,95 @@ class BoxMesh(Mesh):
         super().__init__(verts, np.asarray(tets, dtype=np.int32), tdim=3)
         self.nx, self.ny, self.nz = nx, ny, nz
         self.bounds = ((x0, x1), (y0, y1), (z0, z1))
+
+
+class SimplicialMesh(Mesh):
+    """General unstructured simplicial mesh from explicit arrays.
+
+    Parity: the reference accepts ANY dolfin mesh (triangles/tets built by
+    external generators, reloaded via dolfin.HDF5File — reference
+    model.py:450-461,641-714).  This is the ingest path for such meshes:
+    ``cells`` is (num_cells, tdim+1) vertex indices, ``coordinates`` is
+    (num_vertices, gdim) with gdim == tdim (planar triangulations /
+    volumetric tet meshes).
+
+    Downstream layers are already per-cell generic (FunctionSpace dofmaps,
+    quadrature assembly); what this class adds is topological boundary
+    detection (facets incident to exactly one cell — the bounding box is
+    NOT the boundary of an unstructured mesh) and a bucketed point locator
+    with static shapes (see fem.interpolate.BucketLocator) so point
+    evaluation stays one fused gather under jit.
+    """
+
+    def __init__(self, coordinates, cells):
+        coords = np.asarray(coordinates, dtype=np.float64)
+        if coords.ndim == 1:
+            coords = coords[:, None]
+        cells = np.asarray(cells, dtype=np.int32)
+        if cells.ndim != 2 or cells.shape[1] < 2:
+            raise ValueError("cells must be (num_cells, verts_per_simplex)")
+        tdim = cells.shape[1] - 1
+        if tdim not in (1, 2, 3):
+            raise ValueError(f"simplex with {cells.shape[1]} vertices unsupported")
+        if coords.shape[1] != tdim:
+            raise ValueError(
+                f"gdim {coords.shape[1]} != tdim {tdim}: embedded/manifold "
+                "meshes not supported"
+            )
+        if cells.min() < 0 or cells.max() >= coords.shape[0]:
+            raise ValueError("cell vertex index out of range")
+        # reject degenerate (zero-volume) cells up front — they would make
+        # the locator's affine inverse singular
+        verts = coords[cells]
+        v0 = verts[:, 0]
+        T = np.stack([verts[:, i + 1] - v0 for i in range(tdim)], axis=2)
+        det = np.linalg.det(T) if tdim > 1 else T[:, 0, 0]
+        if np.any(np.abs(det) < 1e-300):
+            raise ValueError("degenerate (zero-volume) cell in mesh")
+        super().__init__(coords, cells, tdim=tdim)
+        self.bounds = tuple(
+            (float(coords[:, a].min()), float(coords[:, a].max()))
+            for a in range(coords.shape[1])
+        )
+        self._locator = None
+        self._boundary_facets = None
+
+    def hmin(self) -> float:
+        verts = self._coords_np[self._cells_np]  # (nc, nl, gdim)
+        nl = verts.shape[1]
+        h = np.inf
+        for i in range(nl):
+            for j in range(i + 1, nl):
+                d = np.linalg.norm(verts[:, i] - verts[:, j], axis=1)
+                h = min(h, float(d.min()))
+        return h
+
+    def boundary_facets(self) -> np.ndarray:
+        """(n_bfacets, tdim) sorted vertex indices of facets incident to
+        exactly one cell — the topological boundary."""
+        if self._boundary_facets is None:
+            cells = self._cells_np
+            tdim = self._tdim
+            nl = tdim + 1
+            # facet i of a simplex = all vertices except local vertex i
+            facets = np.concatenate(
+                [np.delete(cells, i, axis=1) for i in range(nl)], axis=0
+            )
+            facets = np.sort(facets, axis=1)
+            uniq, counts = np.unique(facets, axis=0, return_counts=True)
+            self._boundary_facets = uniq[counts == 1]
+        return self._boundary_facets
+
+    def boundary_vertex_mask(self) -> np.ndarray:
+        """(num_vertices,) bool: vertex lies on the topological boundary."""
+        mask = np.zeros(self.num_vertices(), dtype=bool)
+        mask[np.unique(self.boundary_facets())] = True
+        return mask
+
+    def locator(self):
+        """Lazily-built bucketed point locator (fem.interpolate)."""
+        if self._locator is None:
+            from pgdrome_tpu.fem.interpolate import BucketLocator
+
+            self._locator = BucketLocator(self)
+        return self._locator

@@ -286,6 +286,10 @@ class FunctionSpace:
                 mid = 0.5 * (coords[uniq[:, 0]] + coords[uniq[:, 1]])
                 self.dof_coords = np.concatenate([coords, mid], axis=0)
                 self.ndofs = nv + nedges
+                # sorted vertex pair of edge e → dof nv + e; the
+                # topological-boundary bc path on unstructured meshes
+                # needs this mapping (fem.bc._on_boundary_mask)
+                self.edge_vertices = uniq
             else:
                 raise NotImplementedError("2D CG degree must be 1 or 2")
         elif tdim == 3:

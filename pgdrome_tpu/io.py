@@ -17,7 +17,13 @@ import xml.etree.ElementTree as et
 import h5py
 import numpy as np
 
-from pgdrome_tpu.fem.mesh import IntervalMesh, RectangleMesh, Point
+from pgdrome_tpu.fem.mesh import (
+    BoxMesh,
+    IntervalMesh,
+    Point,
+    RectangleMesh,
+    SimplicialMesh,
+)
 from pgdrome_tpu.fem.space import FunctionSpace, VectorFunctionSpace
 from pgdrome_tpu.fem.function import Function
 
@@ -42,8 +48,18 @@ def write_hdf5(pgd, folder):
                 g.attrs["nx"] = fmesh.nx
                 g.attrs["ny"] = fmesh.ny
                 g.attrs["diagonal"] = fmesh.diagonal
-            else:
+            elif isinstance(fmesh, BoxMesh):
+                g.attrs["mesh_class"] = "box"
+                g.attrs["bounds"] = np.asarray(fmesh.bounds)
+                g.attrs["nx"] = fmesh.nx
+                g.attrs["ny"] = fmesh.ny
+                g.attrs["nz"] = fmesh.nz
+            elif fmesh.topology_dim() == 1:
                 g.attrs["mesh_class"] = "interval"
+            else:
+                # general (unstructured) mesh: coordinates+cells above are
+                # the full description — rebuilds as a SimplicialMesh
+                g.attrs["mesh_class"] = "simplicial"
             for a, att in enumerate(mesh.attributes):
                 f0 = att.interpolationfct[0]
                 V = f0.function_space()
@@ -65,16 +81,31 @@ def write_hdf5(pgd, folder):
 
 def _rebuild_mesh(g):
     tdim = int(g.attrs["tdim"])
+    cls = str(g.attrs.get("mesh_class", ""))
     if tdim == 1:
         return IntervalMesh.from_points(np.asarray(g["coordinates"])[:, 0])
-    bounds = np.asarray(g.attrs["bounds"])
-    return RectangleMesh(
-        Point(bounds[0][0], bounds[1][0]),
-        Point(bounds[0][1], bounds[1][1]),
-        int(g.attrs["nx"]),
-        int(g.attrs["ny"]),
-        str(g.attrs["diagonal"]),
-    )
+    if cls == "rectangle":
+        bounds = np.asarray(g.attrs["bounds"])
+        return RectangleMesh(
+            Point(bounds[0][0], bounds[1][0]),
+            Point(bounds[0][1], bounds[1][1]),
+            int(g.attrs["nx"]),
+            int(g.attrs["ny"]),
+            str(g.attrs["diagonal"]),
+        )
+    if cls == "box":
+        bounds = np.asarray(g.attrs["bounds"])
+        return BoxMesh(
+            Point(bounds[0][0], bounds[1][0], bounds[2][0]),
+            Point(bounds[0][1], bounds[1][1], bounds[2][1]),
+            int(g.attrs["nx"]),
+            int(g.attrs["ny"]),
+            int(g.attrs["nz"]),
+        )
+    # "simplicial" or legacy/foreign checkpoints without a class tag:
+    # coordinates+cells fully describe the mesh (reference parity — dolfin
+    # HDF5 mesh reload is exactly this, reference model.py:450-461)
+    return SimplicialMesh(np.asarray(g["coordinates"]), np.asarray(g["cells"]))
 
 
 def read_modes_hdf5(filepath, info=None, attri=0):

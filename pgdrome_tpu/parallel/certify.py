@@ -302,6 +302,12 @@ class Certifier:
         self.eta = eta
         self.safety = safety
         self.n_calibration = 0
+        # calibration-distribution record for the out-of-distribution
+        # guard in bound(): η is an EMPIRICAL effectivity fit, so a query
+        # whose parameters or residual fall outside what calibrate() saw
+        # makes "certified" an extrapolation — warn, don't pretend
+        self.cal_box = None  # (2, d-1): per-axis [min; max] of samples
+        self.cal_res_range = None  # (res_min, res_max) over calibration
 
     def residuals(self, samples):
         """Relative algebraic residuals, (B,) float64."""
@@ -311,7 +317,9 @@ class Certifier:
         """Fit η = safety · max(true_err / residual) over the calibration
         pairs; returns η.  true_errors: per-sample relative errors vs a
         trusted solve (e.g. ``elliptic_dense_verifier``'s
-        ``sample_errors``)."""
+        ``sample_errors``).  Also records the calibration sample box and
+        residual range so :meth:`bound` can flag out-of-distribution
+        queries."""
         res = self.residuals(samples)
         true_errors = np.asarray(true_errors, dtype=np.float64)
         if true_errors.shape != res.shape:
@@ -320,13 +328,60 @@ class Certifier:
         self.eta = float(safety * ratio.max())
         self.safety = float(safety)
         self.n_calibration = int(res.shape[0])
+        pts = np.asarray(samples, dtype=np.float64)
+        if pts.ndim == 2:
+            self.cal_box = np.stack([pts.min(axis=0), pts.max(axis=0)])
+        self.cal_res_range = (float(res.min()), float(res.max()))
         return self.eta
 
+    def _check_in_distribution(self, samples, res):
+        """Warn when bound() queries leave the calibrated distribution:
+        outside the calibration parameter box, or with residuals beyond
+        10× the calibrated residual range (the effectivity η was fit on
+        that range; far outside it the bound is an extrapolation)."""
+        import warnings
+
+        pts = np.asarray(samples, dtype=np.float64)
+        if self.cal_box is not None and pts.ndim == 2 and (
+            pts.shape[1] == self.cal_box.shape[1]
+        ):
+            tol = 1e-12 * np.maximum(
+                1.0, np.abs(self.cal_box).max(axis=0)
+            )
+            n_out = int(
+                np.sum(
+                    np.any(pts < self.cal_box[0] - tol, axis=1)
+                    | np.any(pts > self.cal_box[1] + tol, axis=1)
+                )
+            )
+            if n_out:
+                warnings.warn(
+                    f"Certifier.bound: {n_out} quer"
+                    f"{'y lies' if n_out == 1 else 'ies lie'} outside the "
+                    "calibration parameter box — the certified bound is an "
+                    "extrapolation there (re-calibrate on a covering set)",
+                    stacklevel=3,
+                )
+        if self.cal_res_range is not None and res.size:
+            lo, hi = self.cal_res_range
+            n_far = int(np.sum((res > 10.0 * hi) | (res < 0.1 * lo)))
+            if n_far:
+                warnings.warn(
+                    f"Certifier.bound: {n_far} residual(s) fall outside "
+                    f"10x the calibrated residual range [{lo:.3e}, "
+                    f"{hi:.3e}] — the effectivity fit does not cover them",
+                    stacklevel=3,
+                )
+
     def bound(self, samples):
-        """Calibrated error bound η·residual, (B,) float64."""
+        """Calibrated error bound η·residual, (B,) float64.  Emits a
+        warning for queries outside the calibration distribution (see
+        :meth:`_check_in_distribution`)."""
         if self.eta is None:
             raise RuntimeError("call calibrate() first (or set eta=)")
-        return self.eta * self.residuals(samples)
+        res = self.residuals(samples)
+        self._check_in_distribution(samples, res)
+        return self.eta * res
 
     def save(self, filepath, spaces=None):
         """Single-file HDF5 snapshot: the dd residual tables + the
@@ -346,6 +401,10 @@ class Certifier:
                 f.attrs["eta"] = self.eta
             if self.safety is not None:
                 f.attrs["safety"] = self.safety
+            if self.cal_box is not None:
+                f.create_dataset("cal_box", data=np.asarray(self.cal_box))
+            if self.cal_res_range is not None:
+                f.attrs["cal_res_range"] = np.asarray(self.cal_res_range)
             f.create_dataset("G_dd", data=np.asarray(G_dd))
             f.create_dataset("B_dd", data=np.asarray(B_dd))
             for d, b in enumerate(bufs):
@@ -389,6 +448,12 @@ class Certifier:
                 float(f.attrs["safety"]) if "safety" in f.attrs else None
             )
             n_cal = int(f.attrs["n_calibration"])
+            cal_box = np.asarray(f["cal_box"]) if "cal_box" in f else None
+            cal_res_range = (
+                tuple(np.asarray(f.attrs["cal_res_range"], dtype=np.float64))
+                if "cal_res_range" in f.attrs
+                else None
+            )
         # dof-count validation even without saved coordinates: the param-dim
         # tables are interpolated through spaces[d]'s dof map, so a size
         # mismatch would otherwise gather garbage silently
@@ -403,6 +468,8 @@ class Certifier:
         out = cls(ind, eta=eta)
         out.safety = safety
         out.n_calibration = n_cal
+        out.cal_box = cal_box
+        out.cal_res_range = cal_res_range
         return out
 
 

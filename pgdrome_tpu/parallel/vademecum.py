@@ -211,8 +211,16 @@ def make_sensor_sweep_fn(spaces, modes, n_modes, points, method="auto",
             [np.asarray(eval_dofs_at_points(spaces[0], modes0[k], pts))
              for k in range(n_max)]
         ).reshape(n_max, -1).astype(modes0.dtype)
+        table_extra = ()
     else:
         table = np.asarray(table, dtype=modes0.dtype).reshape(n_max, -1)
+        # a caller-built table (TransientVademecum) is NOT a pure
+        # function of the keyed spaces/modes/points — e.g. the field-dim
+        # (time) mesh/degree shape it; fingerprint it into the key or a
+        # stale persisted executable could serve wrong sensor values
+        from pgdrome_tpu.utils.aot_cache import array_fingerprint
+
+        table_extra = ("tbl", array_fingerprint(table))
     if method in ("fused", "auto"):
         fused = _try_fused(spaces, table, modes[1:], n_modes, method,
                            "sensor")
@@ -221,7 +229,7 @@ def make_sensor_sweep_fn(spaces, modes, n_modes, points, method="auto",
         # 'auto' falls through to the XLA path
     key = _serving_key(
         "sensor", spaces, n_modes, modes,
-        extra=(pts.tobytes(), pts.shape),
+        extra=(pts.tobytes(), pts.shape, *table_extra),
     )
     mode_mask = (np.arange(n_max) < n_modes).astype(modes0.dtype)
     # MXU-preferred contraction width (see make_sweep_fn)
@@ -266,17 +274,22 @@ def make_sensor_jacobian_fn(spaces, modes, n_modes, points, table=None):
     modes0 = np.asarray(modes[0])
     n_max = modes0.shape[0]
     pts = np.asarray(points)
-    key = _serving_key(
-        "jacobian", spaces, n_modes, modes,
-        extra=(pts.tobytes(), pts.shape),
-    )
     if table is None:
         table = np.stack(
             [np.asarray(eval_dofs_at_points(spaces[0], modes0[k], pts))
              for k in range(n_max)]
         ).reshape(n_max, -1).astype(modes0.dtype)
+        table_extra = ()
     else:
         table = np.asarray(table, dtype=modes0.dtype).reshape(n_max, -1)
+        # caller-built tables must be keyed — see make_sensor_sweep_fn
+        from pgdrome_tpu.utils.aot_cache import array_fingerprint
+
+        table_extra = ("tbl", array_fingerprint(table))
+    key = _serving_key(
+        "jacobian", spaces, n_modes, modes,
+        extra=(pts.tobytes(), pts.shape, *table_extra),
+    )
     mode_mask = (np.arange(n_max) < n_modes).astype(modes0.dtype)
     k_pad = (-n_max) % 128 if n_max < 128 else 0
     table_mm = jnp.asarray(

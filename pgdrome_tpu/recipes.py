@@ -263,12 +263,23 @@ def adaptive_cascade(problem_pc: SeparatedProblem, verify, *,
                 rank_w = np.argsort(worst_errs)[::-1]
                 worst_pts = worst_pts[rank_w]
         mx = max(corners, interior)
-        history.append({
+        entry = {
             "stage": si, "rank": res.n_modes, "corners": corners,
             "interior": interior, "max": mx, "boosted": boosted,
             "seeded": seeded,
             "rhs_comp": comp, "stage_s": round(time.perf_counter() - t0, 2),
-        })
+        }
+        if isinstance(v, dict):
+            # audit trail for screened verification (screened_verify):
+            # the stage's "corners" may be a calibrated ESTIMATE for
+            # unmeasured points — keep eta/measured/estimated so the
+            # history says which, and so a one-off full FEM confirmation
+            # sweep at the stopping stage can be targeted after the run
+            for audit_key in ("screened", "eta", "measured_max",
+                              "estimated_max"):
+                if audit_key in v:
+                    entry[audit_key] = v[audit_key]
+        history.append(entry)
         say(f"adaptive stage {si}: rank {res.n_modes} corners {corners:.2e} "
             f"interior {interior:.2e}"
             + (" [boost]" if boosted else "")
@@ -455,13 +466,21 @@ def adaptive_minres(sep: SeparatedProblem, verify, *,
                 max_fp_it, dtype, aot_cache_dir, comp)
             res = combine_results(res, delta, s_res)
         res_g = galerkin_update(sep, res)
-        corners, interior = _split(verify(res_g))
+        v = verify(res_g)
+        corners, interior = _split(v)
         mx = max(corners, interior)
-        history.append({
+        entry = {
             "stage": si, "rank": res.n_modes, "corners": corners,
             "interior": interior, "max": mx, "rhs_comp": comp,
             "stage_s": round(time.perf_counter() - t0, 2),
-        })
+        }
+        if isinstance(v, dict):
+            # screened-verification audit fields (see adaptive_cascade)
+            for audit_key in ("screened", "eta", "measured_max",
+                              "estimated_max"):
+                if audit_key in v:
+                    entry[audit_key] = v[audit_key]
+        history.append(entry)
         say(f"adaptive minres stage {si}: rank {res.n_modes} corners "
             f"{corners:.2e} interior {interior:.2e}"
             + (" [dd]" if comp else ""))

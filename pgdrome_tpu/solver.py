@@ -576,17 +576,40 @@ class PGDProblem:
         tridiagonal by construction — those route through the native C++
         Thomas solver (utils.native, O(n) vs the dense LU's O(n³));
         anything wider falls back to dense LU."""
-        A = np.asarray(
-            A.toarray() if hasattr(A, "toarray") else A, dtype=np.float64
-        )
         B = np.asarray(B, dtype=np.float64)
         fct_F = Function(self.V[dim])
+
+        if hasattr(A, "tocoo"):
+            # SPARSE input: detect tridiagonality on the sparse structure
+            # and extract the three diagonals directly — never densify
+            # (A.toarray() is an O(n²) copy on the measured 60-120 MB/s
+            # host, ~0.5 s at bench scale PER FP ITERATION)
+            coo = A.tocoo()
+            n = coo.shape[0]
+            off = coo.col - coo.row
+            if n >= 3 and coo.shape[0] == coo.shape[1] and np.all(np.abs(off) <= 1):
+                from pgdrome_tpu.utils.native import thomas_solve
+
+                d = np.zeros(n)
+                dl = np.zeros(n)  # dl[i] = A[i, i-1]
+                du = np.zeros(n)  # du[i] = A[i, i+1]
+                # duplicate (row, col) entries sum, matching coo→csr semantics
+                np.add.at(d, coo.row[off == 0], coo.data[off == 0])
+                np.add.at(dl, coo.row[off == -1], coo.data[off == -1])
+                np.add.at(du, coo.row[off == 1], coo.data[off == 1])
+                x = thomas_solve(dl, d, du, B)
+                if np.all(np.isfinite(x)):
+                    fct_F.array = x
+                    return fct_F
+            # non-tridiagonal (or Thomas pivot failure): pivoted dense LU,
+            # matching the robustness of the reference's spsolve
+            A = coo.toarray()
+
+        A = np.asarray(A, dtype=np.float64)
         n = A.shape[0]
-        # tridiagonality check WITHOUT materializing n² triu/tril copies
-        # (the ~60-120 MB/s host makes every dense copy ~0.5 s at scale,
-        # and this runs once per dim per fixed-point iteration): the
-        # matrix is tridiagonal iff its nonzero count matches its three
-        # diagonals' nonzero count
+        # tridiagonality check WITHOUT materializing n² triu/tril copies:
+        # the matrix is tridiagonal iff its nonzero count matches its
+        # three diagonals' nonzero count
         tri_nnz = (
             np.count_nonzero(np.diagonal(A))
             + np.count_nonzero(np.diagonal(A, 1))
@@ -602,7 +625,6 @@ class PGDProblem:
                 fct_F.array = x
                 return fct_F
             # unpivoted Thomas hit a zero/tiny pivot (indefinite FP
-            # combos can do this) — fall through to the pivoted dense LU,
-            # matching the robustness of the reference's spsolve
+            # combos can do this) — fall through to the pivoted dense LU
         fct_F.array = np.asarray(solve_dense(A, B))
         return fct_F
