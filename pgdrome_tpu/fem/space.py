@@ -209,7 +209,13 @@ class FunctionSpace:
         cells = mesh.cells()
         coords = mesh.coordinates()
         if self.family == "DG":
-            nl = {1: deg + 1, 2: (deg + 1) * (deg + 2) // 2}[tdim]
+            nl = {
+                1: deg + 1,
+                2: (deg + 1) * (deg + 2) // 2,
+                3: (deg + 1) * (deg + 2) * (deg + 3) // 6,
+            }[tdim]
+            if tdim == 3 and deg > 0:
+                raise NotImplementedError("3D DG degree must be 0")
             ncells = mesh.num_cells()
             self.element_dofs = np.arange(ncells * nl, dtype=np.int32).reshape(
                 ncells, nl
@@ -226,6 +232,12 @@ class FunctionSpace:
                 b = coords[cells[:, 1], 0]
                 dof_x = a[:, None] + (b - a)[:, None] * loc[:, 0][None, :]
                 self.dof_coords = dof_x.reshape(-1, 1)
+            elif tdim == 3:  # DG0 only: centroid per tet
+                bar = np.full((1, 4), 0.25)
+                tet = coords[cells]  # (nc, 4, gdim)
+                self.dof_coords = np.einsum("lk,ckg->clg", bar, tet).reshape(
+                    -1, coords.shape[1]
+                )
             else:
                 if deg == 0:
                     bar = np.array([[1 / 3, 1 / 3, 1 / 3]])

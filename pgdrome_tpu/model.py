@@ -393,9 +393,13 @@ class PGD:
         )  # (K, ndof)
         return Function(V, factors @ stacked)
 
-    def eval_fixed_modes(self, sensor_points, fixed_dim, attri):
+    def eval_fixed_modes(self, sensor_points, fixed_dim, attri,
+                         derivative=False):
         """All fixed-dim modes evaluated at sensor points, cached
         (reference model.py:107-130; fenicstools.Probes → vmapped gather).
+
+        ``derivative=True`` evaluates the DG derivative modes
+        (derivationfct) instead — the fixed-dim-derivative sensor path.
 
         Returns (npoints, numModes) for scalar fields, (npoints, vs,
         numModes) for vector fields."""
@@ -403,18 +407,22 @@ class PGD:
         # collision-free cache key (the reference hashes by sum(points),
         # model.py:116, which collides for permuted / sum-equal point sets;
         # deliberately fixed here)
-        key = (sensor_points.tobytes(), sensor_points.shape, fixed_dim, attri)
+        key = (
+            sensor_points.tobytes(), sensor_points.shape, fixed_dim, attri,
+            derivative,
+        )
         if key in self._eval_fixed_modes:
             return self._eval_fixed_modes[key]
 
         att = self.mesh[fixed_dim].attributes[attri]
-        f0 = att.interpolationfct[0]
+        fcts = att.derivationfct if derivative else att.interpolationfct
+        f0 = fcts[0]
         V = f0.function_space()
         gdim = V.mesh().geometry_dim()
         pts = sensor_points.reshape(-1) if gdim == 1 else sensor_points.reshape(-1, gdim)
         out = np.stack(
             [
-                np.asarray(eval_dofs_at_points(V, att.interpolationfct[k].array, pts))
+                np.asarray(eval_dofs_at_points(V, fcts[k].array, pts))
                 for k in range(self.numModes)
             ],
             axis=-1,
@@ -524,13 +532,17 @@ class PGD:
 
     def evaluate_derivative(self, fixed_dim, free_dim, coord, attri, d_dim):
         """Reconstruction with the d_dim factor replaced by its derivative
-        (reference model.py:1208-1303)."""
+        (reference model.py:1208-1303).
+
+        ``d_dim == fixed_dim`` derives the FIXED dimension (2D: spatial
+        gradient/strain fields) — the reference raises "not possible in
+        the moment" there (model.py:1232); implemented here: returns a
+        Function on the DG derivative space (vector for scalar fields,
+        row-major ∇u tensor for vector fields)."""
         if len(coord) != self.num_pgd_var - 1:
             raise ValueError("given variables are missing or too much")
         if attri >= len(self.mesh[fixed_dim].attributes):
             raise ValueError("attribute number not possible")
-        if fixed_dim == d_dim:
-            raise ValueError("derivation against fixed dim not possible in the moment")
         if self.mesh[free_dim[0]].attributes[attri].interpolationInfo["name"] == 0:
             raise ValueError(
                 "derivation for interp1 functions not implemented (only FE functions)"
@@ -538,6 +550,21 @@ class PGD:
         for idx in free_dim:
             if len(self.mesh[idx].attributes[attri].interpolationfct) == 0:
                 self.create_interpolation_fcts(free_dim, attri)
+
+        if fixed_dim == d_dim:
+            att_fixed = self.mesh[fixed_dim].attributes[attri]
+            if len(att_fixed.derivationfct) == 0:
+                self.create_derivation_fct([fixed_dim], attri)
+            factors = self._free_factors(free_dim, coord, attri)
+            Vd = att_fixed.derivationfct[0].function_space()
+            stacked = np.stack(
+                [
+                    att_fixed.derivationfct[k].array
+                    for k in range(self.used_numModes)
+                ]
+            )
+            return Function(Vd, factors @ stacked)
+
         if len(self.mesh[d_dim].attributes[attri].derivationfct) == 0:
             self.create_derivation_fct(free_dim, attri)
 
@@ -552,14 +579,29 @@ class PGD:
     def evaluate_derivative_sensor_response(
         self, fixed_dim, free_dim, coord, attri, d_dim, sensor_points
     ):
-        """(reference model.py:1305-1412)."""
+        """(reference model.py:1305-1412).  ``d_dim == fixed_dim`` (beyond
+        the reference) samples the fixed dim's DG derivative modes at the
+        sensor points."""
         if len(coord) != self.num_pgd_var - 1:
             raise ValueError("given variables are missing or too much")
-        if fixed_dim == d_dim:
-            raise ValueError("derivation against fixed dim not possible in the moment")
         for idx in free_dim:
             if len(self.mesh[idx].attributes[attri].interpolationfct) == 0:
                 self.create_interpolation_fcts(free_dim, attri)
+
+        if fixed_dim == d_dim:
+            att_fixed = self.mesh[fixed_dim].attributes[attri]
+            if len(att_fixed.derivationfct) == 0:
+                self.create_derivation_fct([fixed_dim], attri)
+            eval_fixedmode = self.eval_fixed_modes(
+                sensor_points, fixed_dim, attri, derivative=True
+            )
+            tmp = self._free_factors(free_dim, coord, attri)
+            if self.numModes == 1:
+                return eval_fixedmode * tmp[0]
+            return np.sum(
+                eval_fixedmode[..., 0 : self.used_numModes] * tmp, axis=-1
+            )
+
         if len(self.mesh[d_dim].attributes[attri].derivationfct) == 0:
             self.create_derivation_fct(free_dim, attri)
 

@@ -338,24 +338,16 @@ class Vademecum:
         var = np.einsum("ki,ki->i", cov @ M0, M0)
         return mean, np.maximum(var, 0.0)
 
-    def derivative(self):
-        """The du/dx vademecum: a new container over the DG(degree−1)
-        space with every dim-0 mode replaced by its exact derivative
-        (fem.derivative.derivative_function — the reference's
-        create_derivation_fct, model.py:1088-1206, applied ONCE per mode
-        instead of per evaluated sample).  All serving paths —
-        :meth:`fields`, :meth:`sensors`, streams, :meth:`moments` — then
-        serve spatial-derivative quantities at full sweep rate."""
-        from pgdrome_tpu.fem.derivative import derivative_function
+    def _dim0_mode_map(self, map_fn):
+        """New Vademecum with every dim-0 mode replaced by
+        ``map_fn(Function) -> Function`` (applied ONCE per mode); all
+        serving paths then serve the mapped quantity at full sweep rate."""
         from pgdrome_tpu.fem.function import Function
         from pgdrome_tpu.separated import PGDResult
 
         V0 = self.spaces[0]
         modes0 = np.asarray(self._modes[0])
-        dfs = [
-            derivative_function(Function(V0, modes0[k]))
-            for k in range(modes0.shape[0])
-        ]
+        dfs = [map_fn(Function(V0, modes0[k])) for k in range(modes0.shape[0])]
         dmodes = np.stack([np.asarray(f.array) for f in dfs])
         res = PGDResult(
             modes=[dmodes] + [np.asarray(m) for m in self._modes[1:]],
@@ -369,6 +361,62 @@ class Vademecum:
             [dfs[0].function_space()] + self.spaces[1:], res,
             method=self._method, dtype=modes0.dtype,
         )
+
+    def derivative(self, direction: int = 0):
+        """The derivative vademecum: a new container over the DG(degree−1)
+        space with every dim-0 mode replaced by its exact derivative
+        (fem.derivative.derivative_function — the reference's
+        create_derivation_fct, model.py:1088-1206, applied ONCE per mode
+        instead of per evaluated sample).  All serving paths —
+        :meth:`fields`, :meth:`sensors`, streams, :meth:`moments` — then
+        serve spatial-derivative quantities at full sweep rate.
+
+        1D/2D scalar dim-0: ∂/∂x_direction (scalar DG fields).  2D vector
+        dim-0 (e.g. the elasticity-ν flagship): the full ∇u tensor —
+        fields are (B, n_scalar_dofs·4) with row-major components
+        ∂u_i/∂x_j at ``i·gdim+j``; see :meth:`strain` for the symmetric
+        part."""
+        from pgdrome_tpu.fem.derivative import derivative_function
+
+        return self._dim0_mode_map(
+            lambda f: derivative_function(f, direction=direction)
+        )
+
+    def gradient(self):
+        """The ∇u vademecum (2D scalar dim-0 → DG 2-vector fields; vector
+        dim-0 → the ∇u tensor, same as :meth:`derivative`)."""
+        from pgdrome_tpu.fem.derivative import gradient_function
+
+        return self._dim0_mode_map(gradient_function)
+
+    def strain(self):
+        """The ε(u) = sym(∇u) vademecum for a 2D VECTOR dim-0 space
+        (elasticity): engineering/Voigt components (ε_xx, ε_yy, γ_xy =
+        2ε_xy) per scalar dof — strain is parameter-independent and
+        linear in the modes, so it is exact per-mode preprocessing and
+        serves at full sweep rate.  Stress needs the material law's
+        parameter dependence (ν is a swept parameter in the flagship):
+        combine the strain sweep with the separated C(p) weights
+        sample-side."""
+        from pgdrome_tpu.fem.derivative import gradient_function
+        from pgdrome_tpu.fem.function import Function
+        from pgdrome_tpu.fem.space import VectorFunctionSpace
+
+        V0 = self.spaces[0]
+        if V0.value_size != 2 or V0.mesh().topology_dim() != 2:
+            raise ValueError("strain() needs a 2D vector dim-0 space")
+
+        def to_strain(f):
+            G = gradient_function(f)  # 4 comps: ux,x ux,y uy,x uy,y
+            Vg = G.function_space()
+            g = np.asarray(G.array).reshape(-1, 4)
+            eps = np.stack(
+                [g[:, 0], g[:, 3], g[:, 1] + g[:, 2]], axis=1
+            )  # Voigt (ε_xx, ε_yy, γ_xy)
+            Vs = VectorFunctionSpace(Vg.mesh(), "DG", Vg.degree, dim=3)
+            return Function(Vs, eps.reshape(-1))
+
+        return self._dim0_mode_map(to_strain)
 
     def errors(self, samples, fom_fields):
         """Relative L2 errors vs precomputed FOM fields over the batch."""

@@ -55,7 +55,7 @@ class TestSensorResponse(unittest.TestCase):
     def test_cache_hit(self):
         pts = np.array([0.25, 0.5])
         self.pgd.evaluate_sensor_response(0, [1, 2], [self.p, self.E], 0, pts)
-        key = (pts.astype(np.float64).tobytes(), pts.shape, 0, 0)
+        key = (pts.astype(np.float64).tobytes(), pts.shape, 0, 0, False)
         assert key in self.pgd._eval_fixed_modes
         # second call must reuse the cache (same object)
         cached = self.pgd._eval_fixed_modes[key]
@@ -111,9 +111,18 @@ class TestDerivative(unittest.TestCase):
         expected = (pts - pts**2) * self.p * 2 * self.E + pts
         np.testing.assert_allclose(dv, expected, atol=1e-12)
 
-    def test_derivative_against_fixed_raises(self):
-        with self.assertRaises(ValueError):
-            self.pgd.evaluate_derivative(0, [1, 2], [self.p, self.E], 0, d_dim=0)
+    def test_derivative_against_fixed_dim(self):
+        # the reference raises "not possible in the moment"
+        # (model.py:1232); implemented here: du/dx(x; p, E) as a DG field
+        du = self.pgd.evaluate_derivative(0, [1, 2], [self.p, self.E], 0, d_dim=0)
+        xs = np.array([0.2, 0.5, 0.8])
+        expected = (1 - 2 * xs) * self.p * self.E**2 + self.E
+        np.testing.assert_allclose(du(xs), expected, atol=1e-12)
+        # and the sensor-response variant
+        dv = self.pgd.evaluate_derivative_sensor_response(
+            0, [1, 2], [self.p, self.E], 0, 0, xs
+        )
+        np.testing.assert_allclose(dv, expected, atol=1e-12)
 
 
 class TestReducers(unittest.TestCase):
