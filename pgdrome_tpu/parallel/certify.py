@@ -66,6 +66,8 @@ def _spaces_fingerprint(spaces):
 __all__ = [
     "make_residual_indicator",
     "make_certifier",
+    "make_transient_residual_indicator",
+    "make_transient_certifier",
     "Certifier",
     "make_screener",
     "screened_verify",
@@ -392,6 +394,12 @@ class Certifier:
         snapshot convention)."""
         import h5py
 
+        if getattr(self._indicator, "_tables", None) is None:
+            raise ValueError(
+                "this certifier's indicator carries no dd tables "
+                "(transient family): save is unsupported — rebuild with "
+                "make_transient_certifier from the problem at load time"
+            )
         G_dd, B_dd, bufs, M, T, R = self._indicator._tables
         with h5py.File(filepath, "w") as f:
             f.attrs["M"], f.attrs["T"], f.attrs["R"] = M, T, R
@@ -670,5 +678,149 @@ def make_certifier(sep, spaces, result, tf=None, chunk=None, eta=None):
     workflow)."""
     return Certifier(
         make_residual_indicator(sep, spaces, result, tf=tf, chunk=chunk),
+        eta=eta,
+    )
+
+
+# ------------------------------------------------- transient (space-time)
+
+def make_transient_residual_indicator(sep, spaces, result, factors):
+    """Batched per-sample relative residual for the TRANSIENT family
+    (:func:`pgdrome_tpu.models.problems.moving_heat_source` IR: dims
+    (x, t, P, v) with a parameter-independent space-time operator and a
+    P-linear separated source) — the certification analogue of
+    ``transient_dense_verifier`` at serving speed.
+
+    Per sample the full-order system is the space-time solve
+    ``A u = b(P, v)`` with ``A = Σ_t kron(ops0_t, ops1_t)`` and
+    initial-condition rows pinned to identity (exactly the FOM of
+    ``transient_dense_verifier``, models/problems.py).  The served
+    solution is ``u_N(P, v) = Σ_k w_k(P, v)·X_k ⊗ T_k`` with interpolated
+    parameter factors, so the residual is a sum of RANK-1 space-time
+    terms:
+
+        r(P, v) = Σ_r ρ_r(P, v)·(Mx F_r) ⊗ (Mt G_r)          (source)
+                − Σ_{t,k} w_k·(ops0_t X_k) ⊗ (ops1_t T_k)    (A·u, IC
+                                                              rows masked)
+                − Σ_k w_k·X_k ⊗ (e_0 T_k[0])                 (IC rows)
+
+    and its Frobenius norm follows from the precomputed host-f64 Gram
+    quadratic form  ‖r‖² = z(P,v)ᵀ Q z(P,v),  Q = (S_x S_xᵀ) ∘ (S_t S_tᵀ)
+    — NO per-sample space-time vector is materialized; cost per sample is
+    one (K_tot²) f64 quadratic form on the host (K_tot = (T+1)·M + R).
+
+    Precision note: the quadratic form cancels from O(‖b‖²) down to
+    ‖r‖², so f64 roundoff (~K_tot·eps·‖b‖²) floors the measurable
+    relative residual at ~sqrt(K_tot·1e-16) ≈ 1e-6..1e-7 — exactly the
+    transient family's achievable accuracy floor (PERF.md round-3
+    findings).  Below that the indicator saturates; calibration on
+    FEM-verified pairs (``transient_dense_verifier(...).sample_errors``)
+    absorbs the saturation into η conservatively (the floor only ever
+    OVER-estimates the residual).
+
+    Returns ``indicator(samples) -> (B,) float64`` with physical
+    ``samples = (P, v)`` rows; plug it into :class:`Certifier`
+    (``make_transient_certifier``) and serve through
+    ``TransientVademecum.attach_certifier`` / ``error_bound``.
+    ``indicator._tables is None`` — :meth:`Certifier.save` does not
+    support this family yet (rebuild from the problem at load time)."""
+    if sep.num_dims != 4:
+        raise ValueError(
+            "make_transient_residual_indicator covers the "
+            "moving_heat_source family: dims (x, t, P, v)"
+        )
+    for d in (2, 3):
+        od = np.asarray(sep.ops[d], dtype=np.float64)
+        md = np.asarray(sep.mass[d], dtype=np.float64)
+        for t in range(od.shape[0]):
+            if not np.allclose(od[t], md, rtol=0.0,
+                               atol=1e-12 * np.abs(md).max()):
+                raise ValueError(
+                    f"parameter dim {d} operator term {t} is not the "
+                    "mass: the per-sample space-time system would need "
+                    "per-sample operator coefficients"
+                )
+
+    M = int(result.n_modes)
+    ops0 = np.asarray(sep.ops[0], dtype=np.float64)  # (T, nx, nx)
+    ops1 = np.asarray(sep.ops[1], dtype=np.float64)  # (T, nt, nt)
+    T = ops0.shape[0]
+    X = np.asarray(result.modes[0], dtype=np.float64)[:M]  # (M, nx)
+    Tm = np.asarray(result.modes[1], dtype=np.float64)[:M]  # (M, nt)
+    Mx = np.asarray(sep.mass[0], dtype=np.float64)
+    Mt = np.asarray(ops1[1], dtype=np.float64)  # time mass (FD convention
+    # of the family: ops1[1] is the M_t factor — same as the verifier)
+    Fx = np.asarray(factors[0], dtype=np.float64)  # (R, nx)
+    Ft = np.asarray(factors[1], dtype=np.float64)  # (R, nt)
+    Fv = np.asarray(factors[2], dtype=np.float64)  # (R, nv)
+    R = Fx.shape[0]
+
+    # rank-1 space/time vector stacks, in block order [A-terms | IC | rhs]
+    SA_blocks, SB_blocks = [], []
+    for t in range(T):
+        SA_blocks.append(X @ ops0[t].T)  # (M, nx)
+        bt = Tm @ ops1[t].T
+        bt[:, 0] = 0.0  # IC rows masked out of A·u
+        SB_blocks.append(bt)
+    SA_blocks.append(X)  # IC identity rows: u(x, t=0)
+    e0 = np.zeros((M, Tm.shape[1]))
+    e0[:, 0] = Tm[:, 0]
+    SB_blocks.append(e0)
+    SA_blocks.append(Fx @ Mx.T)  # source: (Mx F_r) ⊗ (Mt G_r)
+    br = Ft @ Mt.T
+    br[:, 0] = 0.0  # rhs IC rows are zeroed in the FOM
+    SB_blocks.append(br)
+    SA = np.concatenate(SA_blocks)  # (K_tot, nx)
+    SB = np.concatenate(SB_blocks)  # (K_tot, nt)
+    Q = (SA @ SA.T) * (SB @ SB.T)  # (K_tot, K_tot) f64
+    K_tot = Q.shape[0]
+    rhs_sl = slice(K_tot - R, K_tot)
+    Q_rr = Q[rhs_sl, rhs_sl]
+
+    VP, Vv = spaces[2], spaces[3]
+
+    def indicator(samples):
+        samples = np.asarray(samples, dtype=np.float64)
+        if samples.ndim != 2 or samples.shape[1] != 2:
+            raise ValueError(f"samples must be (B, 2)=(P, v), got {samples.shape}")
+        P_val = samples[:, 0]
+        v_val = samples[:, 1]
+        wP = np.asarray(
+            evaluate_modes_1d(VP, np.asarray(result.modes[2])[:M], P_val,
+                              xp=np)
+        ).astype(np.float64)  # (B, M)
+        wv = np.asarray(
+            evaluate_modes_1d(Vv, np.asarray(result.modes[3])[:M], v_val,
+                              xp=np)
+        ).astype(np.float64)
+        w = wP * wv  # (B, M)
+        fv = np.asarray(
+            evaluate_modes_1d(Vv, Fv, v_val, xp=np)
+        ).astype(np.float64)  # (B, R)
+        rho = P_val[:, None] * fv
+        z = np.concatenate(
+            [np.tile(-w, (1, T)), -w, rho], axis=1
+        )  # (B, K_tot)
+        r2 = np.einsum("bi,bi->b", z @ Q, z)
+        b2 = np.einsum("bi,bi->b", rho @ Q_rr, rho)
+        # f64 cancellation floor: clip the quadratic form at its own
+        # roundoff level instead of returning negative/NaN
+        floor = K_tot * 1e-16 * np.abs(b2)
+        return np.sqrt(np.maximum(r2, floor) / b2)
+
+    indicator.n_modes = M
+    indicator.chunk = None
+    indicator._tables = None  # Certifier.save unsupported (see docstring)
+    return indicator
+
+
+def make_transient_certifier(sep, spaces, result, factors, eta=None):
+    """One-call constructor: :func:`make_transient_residual_indicator`
+    wrapped in a :class:`Certifier`.  Calibrate with FEM-verified pairs
+    from ``transient_dense_verifier(...).sample_errors`` (mind its
+    integer grid-index convention — convert to physical (P, v) for the
+    certifier)."""
+    return Certifier(
+        make_transient_residual_indicator(sep, spaces, result, factors),
         eta=eta,
     )
