@@ -128,7 +128,8 @@ def adaptive_cascade(problem_pc: SeparatedProblem, verify, *,
                      init_result: PGDResult | None = None,
                      checkpoint=None,
                      corner_seed_range=None, seed_max_fp_it: int = 20,
-                     rhs_bucket: int | None = None):
+                     rhs_bucket: int | None = None,
+                     minutes: float | None = None):
     """Error-DRIVEN residual cascade: solve until a verified bound, not a
     fixed stage list.  This packages the measured multi-parameter
     discipline (PERF.md round-3, scripts/probe_5param.py) as one call:
@@ -205,7 +206,16 @@ def adaptive_cascade(problem_pc: SeparatedProblem, verify, *,
     corners = interior = np.inf
     worst_pts = worst_errs = None
     res = None
+    t_start = time.perf_counter()
     for si in range(1, max_stages + 1):
+        if (
+            minutes is not None
+            and si > 1
+            and time.perf_counter() - t_start > minutes * 60.0
+        ):
+            say(f"adaptive cascade: {minutes:.0f} min budget reached at "
+                f"stage {si - 1}, best {best_err:.2e}")
+            break
         t0 = time.perf_counter()
         boosted = comp = seeded = False
         if si == 1:
@@ -495,3 +505,219 @@ def adaptive_minres(sep: SeparatedProblem, verify, *,
                 f"{best_stage}, no improvement for {stall_stages} stages")
             break
     return best_res, history
+
+
+def highd_frontier(num_params, *, bound=1e-6, n_x=1024, n_p=128,
+                   n_stage1=128, stage_budget=128, max_stages=24,
+                   minutes=None, base_boost=(8.0, 6),
+                   window_boost=(16.0, 6), boost_margin=1.2,
+                   n_edge=16, screen_from=8, screen_top_k=32,
+                   screener_cap=3072, n_screen_edges=2048,
+                   final_fem_corners=1024, state_path=None,
+                   init_result=None, dtype=np.float32, log=None,
+                   artifact_path=None):
+    """Packaged dimensionality-frontier drive (the core scientific claim
+    of PGD — dimensionality separation, reference solver.py:538-724 —
+    pushed to parameter counts the reference could never reach): build
+    the ``num_params``-parameter elliptic vademecum problem, drive
+    :func:`adaptive_cascade` with the full measured high-d discipline,
+    and return a VERIFIED corner-inclusive uniform bound plus the
+    error-vs-rank history.
+
+    Packages the round-3 frontier rules (PERF.md "Dimensionality
+    frontier") in one call:
+
+    * balanced base measure ``base_boost=(8, 6)`` for the
+      Galerkin/greedy metric, strong ``window_boost=(16, 6)`` stages
+      only while corners bind;
+    * corner-SEEDED boosted stages (``corner_seed_range`` — the
+      ones-init fixed point has ~(1/n_p)^(d-1) corner overlap);
+    * compensated double-f32 rhs contraction in the cancellation-bound
+      region (``rhs_comp="auto"``);
+    * verification: below ``screen_from`` params, the FULL 2^d corner
+      FEM sweep + edges + multi-seed interior
+      (:func:`models.problems.elliptic_dense_verifier`); at
+      ``screen_from``+ params the f32 residual screener ranks all
+      corners + ``n_screen_edges`` edge/face candidates per stage and
+      FEM-verifies the worst ``screen_top_k``
+      (:func:`parallel.certify.screened_verify`), with a one-off FEM
+      confirmation sweep of the ``final_fem_corners`` worst-screened
+      corners at the end — the claimed bound is a MEASURED maximum,
+      not an estimate.
+
+    Returns ``(best_result, report)``; ``report`` carries the verified
+    maxima, rank, the per-stage history (the error-vs-rank law) and the
+    final FEM confirmation, and is dumped as JSON to ``artifact_path``
+    when given.  ``state_path``/``init_result``: checkpoint/resume of
+    the raw combination (remote-compile stalls kill long runs; resume
+    instead of re-solving).
+    """
+    import json
+    import time as _time
+
+    from pgdrome_tpu.fem.assembly import load_vector, stiffness_matrix
+    from pgdrome_tpu.fem.mesh import IntervalMesh
+    from pgdrome_tpu.fem.space import FunctionSpace
+    from pgdrome_tpu.models.problems import (
+        box_corners,
+        elliptic_dense_verifier,
+        parametric_elliptic,
+    )
+    from pgdrome_tpu.separated import precondition_dim0
+    from pgdrome_tpu.utils.setup_cache import cached_setup
+
+    say = log or (lambda *a: None)
+    t_run0 = _time.perf_counter()
+
+    def build(boost):
+        def _build():
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.filterwarnings(
+                    "ignore", message=".*boundary_boost compounds.*"
+                )
+                sep64, _ = parametric_elliptic(
+                    n_x=n_x, n_p=n_p, num_params=num_params, degree_x=2,
+                    boundary_boost=boost,
+                )
+            sep_pc64, tf = precondition_dim0(sep64, dtype=np.float64)
+            return sep_pc64, tf
+
+        # key matches the round-3 probes so their setup caches hit
+        (sep_pc64, tf), status = cached_setup(
+            _build,
+            key_data=["probe5_build_v1", n_x, n_p, num_params, boost],
+            code_objects=(parametric_elliptic, stiffness_matrix,
+                          load_vector),
+        )
+        say(f"setup cache {status} (boost {boost})")
+        return sep_pc64, tf
+
+    sep_base, tf = build(tuple(base_boost))
+    sep_boost, _ = build(tuple(window_boost))
+    Vx = FunctionSpace(IntervalMesh(n_x, 0.0, 1.0), "P", 2)
+    Vp = [FunctionSpace(IntervalMesh(n_p, 0.0, 1.0), "P", 1)
+          for _ in range(num_params)]
+    Vs = [Vx] + Vp
+    grid = Vp[0].tabulate_dof_coordinates()[:, 0]
+    lo, hi = grid[1], grid[-2]
+    corners = box_corners(lo, hi, num_params)
+    screened = num_params >= screen_from
+
+    verifier = elliptic_dense_verifier(
+        Vs, tf, n_random=16, seeds=(7, 101, 1234, 777),
+        corner_cap=(2 if screened else None),
+        n_edge=(0 if screened else n_edge),
+    )
+    if screened:
+        from pgdrome_tpu.parallel.certify import (
+            make_screener,
+            screened_verify,
+        )
+
+        rng = np.random.default_rng(424242)
+        edge_cands = grid[
+            rng.integers(1, len(grid) - 1,
+                         size=(n_screen_edges, num_params))
+        ]
+        for r in range(n_screen_edges):
+            k = int(rng.integers(1, num_params))
+            dims = rng.choice(num_params, size=k, replace=False)
+            edge_cands[r, dims] = np.where(
+                rng.integers(0, 2, size=k) == 0, lo, hi
+            )
+        interior_small = grid[
+            rng.integers(1, len(grid) - 1, size=(32, num_params))
+        ]
+        screen = make_screener(sep_base, Vs, n_modes_cap=screener_cap)
+        verify = screened_verify(
+            screen, verifier.sample_errors,
+            np.concatenate([corners, edge_cands]),
+            top_k=screen_top_k, safety=1.5,
+            interior_samples=interior_small, log=say,
+        )
+    else:
+        verify = verifier
+
+    def checkpoint(stage_line, raw):
+        say(json.dumps({k: v for k, v in stage_line.items()
+                        if not isinstance(v, np.ndarray)}))
+        if state_path:
+            arrs = {f"m{d}": np.asarray(raw.modes[d], dtype=np.float64)
+                    for d in range(1 + num_params)}
+            np.savez(state_path, n_modes=raw.n_modes,
+                     amplitudes=np.asarray(raw.amplitudes),
+                     alpha=np.asarray(raw.alpha),
+                     fp_its=np.asarray(raw.fp_its),
+                     normU0=raw.normU0,
+                     stage=int(stage_line["stage"]), **arrs)
+
+    best, history = adaptive_cascade(
+        sep_base, verify, bound=bound, n_stage1=n_stage1,
+        stage_budget=stage_budget, max_stages=max_stages,
+        boost_problem=sep_boost, boost_margin=boost_margin,
+        rhs_comp=True, dtype=dtype, log=say,
+        init_result=init_result, checkpoint=checkpoint,
+        corner_seed_range=(lo, hi), rhs_bucket=4096,
+        minutes=minutes,
+    )
+
+    # final verification of the BEST result: measured, corner-inclusive
+    final = {}
+    if screened:
+        rs = screen(best, corners)
+        k = min(final_fem_corners, len(corners))
+        worst = corners[np.argsort(rs)[-k:]]
+        t0 = _time.perf_counter()
+        te = verifier.sample_errors(best, worst)
+        final["corners_fem_max"] = float(te.max())
+        final["corners_fem_n"] = int(k)
+        final["corners_fem_s"] = round(_time.perf_counter() - t0, 1)
+        if k < len(corners):
+            eta = 1.5 * float(
+                (te / np.maximum(rs[np.argsort(rs)[-k:]], 1e-300)).max()
+            )
+            final["corners_rest_estimate"] = float(
+                eta * rs[np.argsort(rs)[:-k]].max()
+            )
+        ev = screen(best, edge_cands)
+        worst_e = edge_cands[np.argsort(ev)[-screen_top_k:]]
+        final["edges_fem_max"] = float(
+            verifier.sample_errors(best, worst_e).max()
+        )
+        final["interior_fem_max"] = float(
+            verifier.sample_errors(best, interior_small).max()
+        )
+    else:
+        v = verify(best)
+        final["corners_fem_max"] = float(v["corners"])
+        final["corners_fem_n"] = int(len(corners))
+        final["interior_fem_max"] = float(v["interior"])
+
+    final["max"] = max(
+        final.get("corners_fem_max", 0.0),
+        final.get("edges_fem_max", 0.0),
+        final.get("interior_fem_max", 0.0),
+        final.get("corners_rest_estimate", 0.0),
+    )
+
+    report = {
+        "num_params": int(num_params),
+        "n_x": int(n_x), "n_p": int(n_p),
+        "bound_target": float(bound),
+        "rank": int(best.n_modes),
+        "verified": final,
+        "screened_verification": bool(screened),
+        "history": [
+            {k: (float(v) if isinstance(v, (int, float, np.floating))
+                 else v)
+             for k, v in h.items() if not isinstance(v, np.ndarray)}
+            for h in history
+        ],
+        "wall_s": round(_time.perf_counter() - t_run0, 1),
+    }
+    if artifact_path:
+        with open(artifact_path, "w") as f:
+            json.dump(report, f, indent=1)
+    return best, report
