@@ -26,6 +26,12 @@ import tempfile
 
 LOGGER = logging.getLogger(__name__)
 
+# process-wide program accounting: how many distinct executable
+# compiles/loads this process paid (each is an independent draw from the
+# remote server's stall distribution — bench.py reports the counts so
+# fresh-process variance is attributable)
+STATS = {"hit": 0, "miss": 0, "off": 0}
+
 _ENV_DIR = "PGDROME_AOT_CACHE"
 
 
@@ -168,6 +174,7 @@ def compile_cached(jitted, args, cache_dir=None, verbose=False, key_data=None):
     module text (value-exact but slow for constant-heavy programs)."""
     cache_dir = cache_dir or default_cache_dir()
     if cache_dir is None:
+        STATS["off"] += 1
         return jitted.lower(*args).compile(), "off"
 
     from jax.experimental.serialize_executable import (
@@ -206,6 +213,7 @@ def compile_cached(jitted, args, cache_dir=None, verbose=False, key_data=None):
                 path, len(payload) / 1e6, t_read,
                 time.perf_counter() - t0,
             )
+            STATS["hit"] += 1
             return compiled, "hit"
         except Exception as e:  # stale/foreign/corrupt: recompile
             LOGGER.warning("aot cache load failed (%s); recompiling", e)
@@ -229,4 +237,5 @@ def compile_cached(jitted, args, cache_dir=None, verbose=False, key_data=None):
                         len(payload) / 1e6)
     except Exception as e:  # backends without executable serialization
         LOGGER.warning("aot cache store failed (%s); caching disabled", e)
+    STATS["miss"] += 1
     return compiled, "miss"
