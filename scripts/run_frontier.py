@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--state-out", default=None)
     ap.add_argument("--artifact", default=None)
     ap.add_argument("--final-fem-corners", type=int, default=1024)
+    ap.add_argument("--screener-cap", type=int, default=3072)
+    ap.add_argument("--boost-margin", type=float, default=1.2)
     args = ap.parse_args()
 
     import pgdrome_tpu.config as cfg
@@ -70,6 +72,8 @@ def main():
         max_stages=args.max_stages, minutes=args.minutes,
         state_path=state_out, init_result=init, log=log,
         final_fem_corners=args.final_fem_corners,
+        screener_cap=args.screener_cap,
+        boost_margin=args.boost_margin,
         artifact_path=artifact,
     )
     print(json.dumps({
