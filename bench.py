@@ -826,6 +826,30 @@ def main():
             float("nan"), float("nan"), 0, True,
         )
 
+    # fully-measured baseline artifact (scripts/measure_baseline_full.py):
+    # a one-off quiet-host run of the SAME baseline to the full deployed
+    # rank — zero extrapolation leverage.  Reported alongside the per-run
+    # figure when its config matches this run's problem.
+    full_baseline = None
+    try:
+        fb_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_FULL.json")
+        if os.path.exists(fb_path) and not os.environ.get(
+                "PGDROME_BENCH_QUICK"):
+            with open(fb_path) as f:
+                fb = json.load(f)
+            cfg_match = fb.get("config", {}) == {
+                "n_x": N_X, "n_p": N_P, "num_params": NUM_PARAMS,
+                "boundary_boost": list(BOUNDARY_BOOST),
+                "tol": TOL, "tol_fp_it": 1e-6, "max_fp_it": 30,
+            } and fb.get("modes") == N_MODES and not fb.get("extrapolated")
+            if cfg_match:
+                full_baseline = fb
+            else:
+                log("BASELINE_FULL.json config mismatch — ignoring")
+    except Exception as e:
+        log(f"full-baseline artifact skipped: {e}")
+
     # operators-ready → deployable vademecum: all three TPU solves, the
     # host residual builds, and the compression/Galerkin postprocess
     t_total = t_solve + t_resid + t_solve2 + t_resid3 + t_solve3 + t_post
@@ -861,6 +885,15 @@ def main():
         if np.isfinite(cpu_measured) else None,
         "cpu_baseline_measured_modes": cpu_measured_modes,
         "cpu_baseline_extrapolated": extrapolated,
+        # one-off quiet-host full-rank measurement (no extrapolation);
+        # None until scripts/measure_baseline_full.py has been run
+        "cpu_baseline_full_measured_s": (
+            full_baseline["measured_s"] if full_baseline else None
+        ),
+        "vs_baseline_full_measured": (
+            round(full_baseline["measured_s"] / t_total, 2)
+            if full_baseline else None
+        ),
         "space_dofs": int(meta["sizes"][0]),
         "param_dofs": int(meta["sizes"][1]),
         "sweep_fields_per_s": round(sweep_rate) if sweep_rate else None,
