@@ -795,3 +795,96 @@ class TestRhsZeroRowPadding:
             rtol=1e-10,
         )
         np.testing.assert_allclose(d1.normU0, d2.normU0, rtol=1e-12)
+
+
+class TestHighdFrontier:
+    """Reduced-scale drives of recipes.highd_frontier — the packaged
+    dimensionality-frontier recipe behind the FRONTIER_d*.json artifacts
+    (full-scale runs: scripts/run_frontier.py)."""
+
+    def test_dense_path_reaches_bound_with_artifact(self, tmp_path):
+        """Below screen_from the recipe verifies DENSELY (all 2^d corners
+        + edges + multi-seed interior, per-sample f64 FEM) and the
+        artifact/state files round-trip."""
+        import json
+
+        from pgdrome_tpu.recipes import highd_frontier
+
+        art = tmp_path / "frontier_d2.json"
+        state = tmp_path / "state_d2.npz"
+        best, report = highd_frontier(
+            2, bound=5e-5, n_x=64, n_p=16, n_stage1=16, stage_budget=10,
+            max_stages=8, state_path=str(state), artifact_path=str(art),
+        )
+        assert report["screened_verification"] is False
+        assert report["verified"]["max"] < 5e-5
+        # the claimed max is a measured FEM maximum over all 4 corners
+        assert report["verified"]["corners_fem_n"] == 4
+        assert report["rank"] == best.n_modes
+        assert report["history"][-1]["rank"] == best.n_modes
+        with open(art) as f:
+            disk = json.load(f)
+        assert disk["verified"] == report["verified"]
+        # per-stage checkpoint: modes + bookkeeping for run_frontier resume
+        with np.load(state) as z:
+            assert int(z["n_modes"]) == best.n_modes
+            for d in range(3):
+                assert z[f"m{d}"].shape[0] >= best.n_modes
+
+    def test_screened_path_reports_audited_estimates(self, tmp_path):
+        """At screen_from+ params the per-stage verification is the
+        residual screener + FEM-top-k, and the final report carries the
+        full audit: measured corner/edge/interior FEM maxima plus the
+        calibrated estimate for unmeasured corners."""
+        from pgdrome_tpu.recipes import highd_frontier
+
+        best, report = highd_frontier(
+            3, bound=1e-3, n_x=64, n_p=16, n_stage1=16, stage_budget=8,
+            max_stages=4, screen_from=3, screen_top_k=4,
+            n_screen_edges=16, screener_cap=64, final_fem_corners=4,
+            artifact_path=str(tmp_path / "d3s.json"),
+        )
+        assert report["screened_verification"] is True
+        fin = report["verified"]
+        for key in ("corners_fem_max", "edges_fem_max",
+                    "interior_fem_max", "corners_rest_estimate", "max"):
+            assert key in fin, key
+        # 4 of the 8 corners FEM-measured, the rest estimated
+        assert fin["corners_fem_n"] == 4
+        assert fin["max"] >= max(fin["corners_fem_max"],
+                                 fin["edges_fem_max"],
+                                 fin["interior_fem_max"])
+        # stage history keeps the screened audit trail (ADVICE round 3)
+        assert all(h.get("screened") for h in report["history"])
+        assert all("eta" in h and "measured_max" in h
+                   for h in report["history"])
+
+    def test_init_result_resumes_without_resolving_stage1(self):
+        """run_frontier.py --resume hands the checkpointed combination
+        back as init_result: stage 1 must adopt it (same rank) instead of
+        solving n_stage1 fresh modes."""
+        from pgdrome_tpu.recipes import highd_frontier
+
+        _, rep0 = highd_frontier(
+            2, bound=1e-12, n_x=64, n_p=16, n_stage1=12, stage_budget=8,
+            max_stages=1,
+        )
+        assert rep0["rank"] == 12
+
+        # re-enter with the prior best as the warm start, one stage only
+        from pgdrome_tpu.fem.mesh import IntervalMesh
+        from pgdrome_tpu.fem.space import FunctionSpace
+        from pgdrome_tpu.models.problems import parametric_elliptic
+        from pgdrome_tpu.separated import SeparatedPGD, precondition_dim0
+
+        sep, _ = parametric_elliptic(n_x=64, n_p=16, num_params=2,
+                                     degree_x=2, boundary_boost=(8.0, 6))
+        pc, _ = precondition_dim0(sep, dtype=np.float64)
+        warm = SeparatedPGD(pc, n_max=12, tol=0.0, tol_fp=1e-7,
+                            residual_check=False,
+                            dtype=np.float32).solve_fused()
+        _, rep1 = highd_frontier(
+            2, bound=1e-12, n_x=64, n_p=16, n_stage1=99, stage_budget=8,
+            max_stages=1, init_result=warm,
+        )
+        assert rep1["rank"] == warm.n_modes  # adopted, not re-solved
