@@ -1,0 +1,67 @@
+#!/bin/bash
+# Resilient dimensionality-frontier driver: runs the d=5 certification
+# to the bound, then grinds d=10 in resumable legs.  Every leg ends with
+# a full FEM confirmation + artifact write (recipes.highd_frontier), so
+# a crash or TPU-tunnel outage costs at most one leg; state checkpoints
+# per stage.  Touch /tmp/frontier_stop to stop between legs.
+set -u
+cd /root/repo
+export PGDROME_AOT_CACHE=${PGDROME_AOT_CACHE:-/root/.cache/pgdrome_aot}
+export PGDROME_SETUP_CACHE=${PGDROME_SETUP_CACHE:-/root/.cache/pgdrome_setup}
+
+log() { echo "[orch $(date +%H:%M:%S)] $*" >> /tmp/frontier_orch.log; }
+
+run_leg() {
+    local d="$1" bound="$2" minutes="$3" extra="$4"
+    local state="/tmp/frontier_d${d}_state.npz"
+    local resume_args=""
+    [ -f "$state" ] && resume_args="--resume $state"
+    log "leg d=$d bound=$bound minutes=$minutes resume=$([ -n "$resume_args" ] && echo yes || echo no)"
+    timeout $(( (${minutes%.*} + 90) * 60 )) \
+        python scripts/run_frontier.py --d "$d" --bound "$bound" \
+        --minutes "$minutes" --max-stages 24 $resume_args \
+        --state-out "$state" --artifact "FRONTIER_d${d}.json" $extra \
+        >> "/tmp/frontier_d${d}.out" 2>&1
+    local rc=$?
+    log "leg d=$d exit $rc"
+    return $rc
+}
+
+bound_met() {  # artifact exists and verified.max <= bound
+    python - "$1" "$2" <<'EOF'
+import json, sys
+try:
+    r = json.load(open(sys.argv[1]))
+    sys.exit(0 if r["verified"]["max"] <= float(sys.argv[2]) else 1)
+except Exception:
+    sys.exit(1)
+EOF
+}
+
+tpu_up() {
+    timeout 300 python -c "import jax; jax.devices()" >/dev/null 2>&1
+}
+
+wait_tpu() {
+    until tpu_up; do
+        [ -e /tmp/frontier_stop ] && return 1
+        log "tpu down, waiting"
+        sleep 180
+    done
+    log "tpu up"
+}
+
+# phase 1: d=5 to 1e-6 (round-3 probes hit 9.6e-7 at rank ~1472)
+while [ ! -e /tmp/frontier_stop ]; do
+    if bound_met FRONTIER_d5.json 1e-6; then log "d=5 bound met"; break; fi
+    wait_tpu || break
+    run_leg 5 1e-6 75 "" || sleep 120
+done
+
+# phase 2: d=10 legs toward 1e-5 (resumes rank-2752 state)
+while [ ! -e /tmp/frontier_stop ]; do
+    if bound_met FRONTIER_d10.json 1e-5; then log "d=10 bound met"; break; fi
+    wait_tpu || break
+    run_leg 10 1e-5 120 "--screener-cap 3072" || sleep 120
+done
+log "orchestrator done"
