@@ -640,6 +640,7 @@ def cpu_baseline(n_modes_target):
     import pgdrome_tpu.solver as slv
 
     n_done = 0
+    converged = False
     prob.PGD_func = [list() for _ in range(prob.num_pgd_var)]
     normConv = []
     bcs = prob.bc
@@ -670,10 +671,11 @@ def cpu_baseline(n_modes_target):
         times.append(time.perf_counter() - t0)
         n_done += 1
         if normConv[-1] / normConv[0] < TOL:
+            converged = True  # fully measured: the baseline itself stops here
             break
 
     measured = sum(times)
-    if n_done < n_modes_target:
+    if n_done < n_modes_target and not converged:
         # per-mode cost grows mildly with mode count (rhs sum); linear
         # per-mode extrapolation is conservative (favors the baseline)
         per_mode = measured / n_done

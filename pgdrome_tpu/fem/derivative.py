@@ -52,14 +52,38 @@ def _dg_local_nodes(tdim: int, deg: int) -> np.ndarray:
 
 def _cell_jacobian_inverse(mesh):
     """Per-cell inverse affine Jacobians (nc, tdim, tdim): gradients wrt
-    the reduced barycentric coords map to global via J^{-1}."""
+    the reduced barycentric coords map to global via J^{-1}.  Cached on
+    the mesh — serving maps this over every mode of a vademecum and the
+    O(nc) inverses are identical each time."""
+    cached = getattr(mesh, "_jinv_cache", None)
+    if cached is not None:
+        return cached
     coords = mesh.coordinates()
     cells = mesh.cells()
     tdim = mesh.topology_dim()
     verts = coords[cells]
     v0 = verts[:, 0]
     J = np.stack([verts[:, i + 1] - v0 for i in range(tdim)], axis=2)
-    return np.linalg.inv(J)
+    Jinv = np.linalg.inv(J)
+    mesh._jinv_cache = Jinv
+    return Jinv
+
+
+def _dg_space(mesh, deg, dim=None):
+    """DG target space for derivative outputs, cached per mesh: the
+    dofmap/quadrature tabulation is O(nc·nq) host work and identical for
+    every mode mapped by serving."""
+    cache = getattr(mesh, "_dg_space_cache", None)
+    if cache is None:
+        cache = {}
+        mesh._dg_space_cache = cache
+    key = (deg, dim)
+    if key not in cache:
+        if dim is None:
+            cache[key] = FunctionSpace(mesh, "DG", deg)
+        else:
+            cache[key] = VectorFunctionSpace(mesh, "DG", deg, dim=dim)
+    return cache[key]
 
 
 def _simplex_gradients(V: FunctionSpace, bar: np.ndarray) -> np.ndarray:
@@ -67,6 +91,13 @@ def _simplex_gradients(V: FunctionSpace, bar: np.ndarray) -> np.ndarray:
     (nc, nl, nq, gdim)."""
     mesh = V.mesh()
     tdim = mesh.topology_dim()
+    cache = getattr(mesh, "_basis_grad_cache", None)
+    if cache is None:
+        cache = {}
+        mesh._basis_grad_cache = cache
+    key = (V.degree, bar.shape[0])
+    if key in cache:
+        return cache[key]
     if tdim == 2:
         _, dbary = _shape_tri(V.degree, bar)  # (nl, nq, 3)
     else:
@@ -75,7 +106,9 @@ def _simplex_gradients(V: FunctionSpace, bar: np.ndarray) -> np.ndarray:
         [dbary[:, :, i + 1] - dbary[:, :, 0] for i in range(tdim)], axis=2
     )  # (nl, nq, tdim)
     Jinv = _cell_jacobian_inverse(mesh)  # (nc, tdim, tdim)
-    return np.einsum("lqr,crg->clqg", dref, Jinv)
+    grads = np.einsum("lqr,crg->clqg", dref, Jinv)
+    cache[key] = grads
+    return grads
 
 
 def gradient_function(f: Function) -> Function:
@@ -107,7 +140,7 @@ def gradient_function(f: Function) -> Function:
     if vs == 1:
         src = arr[ed]  # (nc, nl)
         vals = np.einsum("cl,clqg->cqg", src, grads)  # (nc, nq, gdim)
-        Vd = VectorFunctionSpace(mesh, "DG", deg - 1, dim=gdim)
+        Vd = _dg_space(mesh, deg - 1, dim=gdim)
         out = np.zeros(Vd.dim())
         # DG scalar dof of (cell c, node q) is ed_d[c, q]; vector dof =
         # scalar dof · gdim + g
@@ -118,7 +151,7 @@ def gradient_function(f: Function) -> Function:
 
     # vector source → row-major grad tensor
     ncomp = vs * gdim
-    Vd = VectorFunctionSpace(mesh, "DG", deg - 1, dim=ncomp)
+    Vd = _dg_space(mesh, deg - 1, dim=ncomp)
     ed_d = Vd.element_dofs
     out = np.zeros(Vd.dim())
     for i in range(vs):
@@ -149,14 +182,14 @@ def derivative_function(f: Function, direction: int = 0) -> Function:
         gdim = mesh.geometry_dim()
         if not (0 <= direction < gdim):
             raise ValueError(f"direction {direction} out of range")
-        Vd = FunctionSpace(mesh, "DG", V.degree - 1)
+        Vd = _dg_space(mesh, V.degree - 1)
         return Function(
             Vd, np.asarray(G.array).reshape(-1, Vg.value_size)[:, direction].copy()
         )
     if V.value_size > 1:
         raise NotImplementedError("1D vector derivative not needed")
     deg = V.degree
-    Vd = FunctionSpace(mesh, "DG", deg - 1)
+    Vd = _dg_space(mesh, deg - 1)
     cells = mesh.cells()
     coords = mesh.coordinates()[:, 0]
     h = coords[cells[:, 1]] - coords[cells[:, 0]]

@@ -298,6 +298,23 @@ class SimplicialMesh(Mesh):
         det = np.linalg.det(T) if tdim > 1 else T[:, 0, 0]
         if np.any(np.abs(det) < 1e-300):
             raise ValueError("degenerate (zero-volume) cell in mesh")
+        if tdim == 1:
+            # the 1D quadrature (signed h) and point locator
+            # (searchsorted over the vertex array) assume interval
+            # ordering — reject anything else rather than corrupt
+            # results silently
+            if np.any(np.diff(coords[:, 0]) <= 0.0) or not np.array_equal(
+                cells,
+                np.stack(
+                    [np.arange(len(cells)), np.arange(1, len(cells) + 1)],
+                    axis=1,
+                ),
+            ):
+                raise ValueError(
+                    "1D SimplicialMesh requires strictly increasing "
+                    "coordinates and cells [[0,1],[1,2],...]; sort/renumber "
+                    "the input (or use IntervalMesh for uniform grids)"
+                )
         super().__init__(coords, cells, tdim=tdim)
         self.bounds = tuple(
             (float(coords[:, a].min()), float(coords[:, a].max()))

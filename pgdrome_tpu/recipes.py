@@ -630,7 +630,14 @@ def highd_frontier(num_params, *, bound=1e-6, n_x=1024, n_p=128,
         interior_small = grid[
             rng.integers(1, len(grid) - 1, size=(32, num_params))
         ]
-        screen = make_screener(sep_base, Vs, n_modes_cap=screener_cap)
+        # the cap must cover the deepest rank this run can reach —
+        # resumed legs start high and a mid-cascade cap overflow raises
+        # inside verify (no artifact, wasted leg)
+        start_rank = init_result.n_modes if init_result is not None else 0
+        max_rank = (start_rank + (0 if start_rank else n_stage1)
+                    + stage_budget * max_stages)
+        cap = max(int(screener_cap), -(-max_rank // 128) * 128)
+        screen = make_screener(sep_base, Vs, n_modes_cap=cap)
         verify = screened_verify(
             screen, verifier.sample_errors,
             np.concatenate([corners, edge_cands]),
@@ -702,6 +709,23 @@ def highd_frontier(num_params, *, bound=1e-6, n_x=1024, n_p=128,
         final.get("corners_rest_estimate", 0.0),
     )
 
+    # resumed legs extend the prior artifact's history so the shipped
+    # JSON always carries the FULL error-vs-rank law (the convergence
+    # claim), not just the last leg's stages
+    import os as _os
+
+    prior_hist, prior_wall, leg = [], 0.0, 1
+    if (artifact_path and init_result is not None
+            and _os.path.exists(artifact_path)):
+        try:
+            with open(artifact_path) as f:
+                prev = json.load(f)
+            prior_hist = prev.get("history", [])
+            prior_wall = float(prev.get("wall_s", 0.0))
+            leg = int(prev.get("legs", 1)) + 1
+        except Exception:
+            pass
+
     report = {
         "num_params": int(num_params),
         "n_x": int(n_x), "n_p": int(n_p),
@@ -709,13 +733,16 @@ def highd_frontier(num_params, *, bound=1e-6, n_x=1024, n_p=128,
         "rank": int(best.n_modes),
         "verified": final,
         "screened_verification": bool(screened),
-        "history": [
-            {k: (float(v) if isinstance(v, (int, float, np.floating))
-                 else v)
-             for k, v in h.items() if not isinstance(v, np.ndarray)}
+        "legs": leg,
+        "history": prior_hist + [
+            dict({k: (float(v)
+                      if isinstance(v, (int, float, np.floating))
+                      else v)
+                  for k, v in h.items()
+                  if not isinstance(v, np.ndarray)}, leg=leg)
             for h in history
         ],
-        "wall_s": round(_time.perf_counter() - t_run0, 1),
+        "wall_s": round(prior_wall + _time.perf_counter() - t_run0, 1),
     }
     if artifact_path:
         with open(artifact_path, "w") as f:

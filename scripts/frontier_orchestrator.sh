@@ -51,6 +51,27 @@ wait_tpu() {
     log "tpu up"
 }
 
+# phase 0: re-warm the bench AOT caches (models/problems.py edits
+# invalidate the serving program keys; the driver's round-end bench
+# must not hit 7x cold 105-390 s compiles)
+warm_tries=0
+while [ ! -e /tmp/frontier_stop ] && [ ! -e /tmp/bench_warm_done ]; do
+    if [ "$warm_tries" -ge 3 ]; then
+        log "bench re-warm gave up after $warm_tries tries, moving on"
+        break
+    fi
+    wait_tpu || break
+    log "bench re-warm starting"
+    if timeout 3000 python bench.py > /tmp/bench_warm_r4.json 2> /tmp/bench_warm_r4.log; then
+        touch /tmp/bench_warm_done
+        log "bench re-warm ok: $(cat /tmp/bench_warm_r4.json)"
+    else
+        warm_tries=$((warm_tries + 1))
+        log "bench re-warm failed (exit $?), try $warm_tries"
+        sleep 120
+    fi
+done
+
 # phase 1: d=5 to 1e-6 (round-3 probes hit 9.6e-7 at rank ~1472)
 while [ ! -e /tmp/frontier_stop ]; do
     if bound_met FRONTIER_d5.json 1e-6; then log "d=5 bound met"; break; fi

@@ -888,3 +888,71 @@ class TestHighdFrontier:
             max_stages=1, init_result=warm,
         )
         assert rep1["rank"] == warm.n_modes  # adopted, not re-solved
+
+    def test_resumed_leg_extends_artifact_history(self, tmp_path):
+        """A resumed leg must EXTEND the prior artifact's history (the
+        shipped JSON carries the full error-vs-rank law across legs, not
+        just the last leg's stages) and accumulate wall_s."""
+        import json
+
+        from pgdrome_tpu.recipes import highd_frontier
+        from pgdrome_tpu.separated import PGDResult
+
+        art = tmp_path / "d2.json"
+        state = tmp_path / "d2_state.npz"
+        _, rep0 = highd_frontier(
+            2, bound=1e-12, n_x=64, n_p=16, n_stage1=12, stage_budget=6,
+            max_stages=2, state_path=str(state), artifact_path=str(art),
+        )
+        n0 = len(rep0["history"])
+        assert rep0["legs"] == 1
+
+        with np.load(state) as z:
+            init = PGDResult(
+                modes=[z[f"m{d}"] for d in range(3)],
+                n_modes=int(z["n_modes"]), amplitudes=z["amplitudes"],
+                alpha=z["alpha"], fp_its=z["fp_its"],
+                normU0=float(z["normU0"]),
+            )
+        _, rep1 = highd_frontier(
+            2, bound=1e-12, n_x=64, n_p=16, n_stage1=12, stage_budget=6,
+            max_stages=1, state_path=str(state), artifact_path=str(art),
+            init_result=init,
+        )
+        assert rep1["legs"] == 2
+        assert len(rep1["history"]) > n0  # prior legs retained
+        assert rep1["history"][0] == rep0["history"][0]
+        assert rep1["history"][-1]["leg"] == 2
+        assert rep1["wall_s"] >= rep0["wall_s"]
+        with open(art) as f:
+            assert json.load(f)["legs"] == 2
+
+    def test_screener_cap_covers_resumed_rank(self, tmp_path):
+        """Resuming a screened run at a rank near/above screener_cap must
+        raise the cap to the deepest reachable rank instead of crashing
+        mid-cascade with a cap-overflow ValueError (wasting the leg)."""
+        from pgdrome_tpu.recipes import highd_frontier
+        from pgdrome_tpu.separated import PGDResult
+
+        state = tmp_path / "d3s_state.npz"
+        highd_frontier(
+            3, bound=1e-12, n_x=64, n_p=16, n_stage1=16, stage_budget=8,
+            max_stages=1, screen_from=3, screen_top_k=4,
+            n_screen_edges=16, screener_cap=4, final_fem_corners=4,
+            state_path=str(state),
+        )
+        with np.load(state) as z:
+            init = PGDResult(
+                modes=[z[f"m{d}"] for d in range(4)],
+                n_modes=int(z["n_modes"]), amplitudes=z["amplitudes"],
+                alpha=z["alpha"], fp_its=z["fp_its"],
+                normU0=float(z["normU0"]),
+            )
+        assert init.n_modes > 4  # already beyond the configured cap
+        _, rep = highd_frontier(
+            3, bound=1e-12, n_x=64, n_p=16, n_stage1=16, stage_budget=8,
+            max_stages=2, screen_from=3, screen_top_k=4,
+            n_screen_edges=16, screener_cap=4, final_fem_corners=4,
+            init_result=init,
+        )
+        assert rep["rank"] > init.n_modes  # cascade ran past the old cap

@@ -70,6 +70,23 @@ class TestSimplicialMeshConstruction(unittest.TestCase):
         )
         self.assertAlmostEqual(sm.hmin(), 1.0)
 
+    def test_1d_requires_interval_ordering(self):
+        """The 1D quadrature (signed h) and locator (searchsorted)
+        assume interval ordering — unsorted vertices or out-of-order
+        cells must raise instead of corrupting results silently."""
+        # canonical interval layout is accepted
+        sm = SimplicialMesh([0.0, 0.25, 0.6, 1.0], [[0, 1], [1, 2], [2, 3]])
+        self.assertEqual(sm.topology_dim(), 1)
+        # unsorted vertex array
+        with self.assertRaises(ValueError):
+            SimplicialMesh([0.0, 1.0, 0.5], [[0, 2], [2, 1]])
+        # sorted vertices but reversed cell
+        with self.assertRaises(ValueError):
+            SimplicialMesh([0.0, 0.5, 1.0], [[1, 0], [1, 2]])
+        # sorted vertices, cells not in [i, i+1] order
+        with self.assertRaises(ValueError):
+            SimplicialMesh([0.0, 0.5, 1.0], [[1, 2], [0, 1]])
+
 
 class TestBucketLocator(unittest.TestCase):
     def test_locate_parity_with_arithmetic(self):
