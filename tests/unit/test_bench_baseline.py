@@ -47,3 +47,38 @@ def test_capped_baseline_extrapolates(tiny_bench, monkeypatch):
     assert extrapolated is True
     assert total > measured
     np.testing.assert_allclose(total, measured + (measured / 3) * 7)
+
+
+def test_full_baseline_artifact_match(tiny_bench, monkeypatch):
+    """bench picks up BASELINE_FULL.json iff the config matches and the
+    measurement is complete — including a baseline that CONVERGED on its
+    own criterion before the deployed rank (modes < N_MODES,
+    extrapolated=False: the real 42/50-mode artifact on this host)."""
+    bench = tiny_bench
+    monkeypatch.setattr(bench, "N_MODES", 50, raising=False)
+    cfg = {
+        "n_x": bench.N_X, "n_p": bench.N_P,
+        "num_params": bench.NUM_PARAMS,
+        "boundary_boost": list(bench.BOUNDARY_BOOST),
+        "tol": bench.TOL, "tol_fp_it": 1e-6, "max_fp_it": 30,
+    }
+    # full budget measured
+    assert bench.full_baseline_matches(
+        {"config": cfg, "modes": 50, "extrapolated": False})
+    # converged early — complete measurement, still valid
+    assert bench.full_baseline_matches(
+        {"config": cfg, "modes": 42, "extrapolated": False})
+    # extrapolated artifacts never qualify
+    assert not bench.full_baseline_matches(
+        {"config": cfg, "modes": 42, "extrapolated": True})
+    # deeper than the deployed rank = different problem
+    assert not bench.full_baseline_matches(
+        {"config": cfg, "modes": 51, "extrapolated": False})
+    # config drift = different problem
+    assert not bench.full_baseline_matches(
+        {"config": dict(cfg, n_x=bench.N_X + 1), "modes": 50,
+         "extrapolated": False})
+    # degenerate/empty artifacts
+    assert not bench.full_baseline_matches({})
+    assert not bench.full_baseline_matches(
+        {"config": cfg, "modes": 0, "extrapolated": False})
