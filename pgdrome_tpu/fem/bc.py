@@ -23,25 +23,69 @@ def _on_boundary_mask(V: FunctionSpace) -> np.ndarray:
         x = pts[:, 0]
         lo, hi = mesh.coordinates()[:, 0].min(), mesh.coordinates()[:, 0].max()
         return (np.abs(x - lo) < 1e-12) | (np.abs(x - hi) < 1e-12)
-    if hasattr(mesh, "boundary_vertex_mask") and V.family != "DG":
+    if hasattr(mesh, "boundary_vertex_mask"):
         # unstructured (SimplicialMesh): the bounding box is NOT the
         # boundary — use the topological boundary (facets incident to
-        # exactly one cell).  P1: boundary vertices; P2: + midpoints of
-        # boundary edges (the dofmap records edge→vertex-pair).
-        vmask = mesh.boundary_vertex_mask()
-        mask = np.zeros(len(pts), dtype=bool)
-        nv = mesh.num_vertices()
-        mask[:nv] = vmask
-        if V.degree == 2 and hasattr(V, "edge_vertices"):
-            bset = {tuple(f) for f in mesh.boundary_facets()}
-            for e, (a, b) in enumerate(V.edge_vertices):
-                if (int(a), int(b)) in bset:
-                    mask[nv + e] = True
-        return mask
+        # exactly one cell).
+        if V.family != "DG":
+            # P1: boundary vertices; P2: + midpoints of boundary edges
+            # (the dofmap records edge→vertex-pair).
+            vmask = mesh.boundary_vertex_mask()
+            mask = np.zeros(len(pts), dtype=bool)
+            nv = mesh.num_vertices()
+            mask[:nv] = vmask
+            if V.degree == 2 and hasattr(V, "edge_vertices"):
+                bset = {tuple(f) for f in mesh.boundary_facets()}
+                for e, (a, b) in enumerate(V.edge_vertices):
+                    if (int(a), int(b)) in bset:
+                        mask[nv + e] = True
+            return mask
+        # DG dofs are per-cell (no vertex-indexed layout): a dof is on
+        # the boundary iff its coordinate lies ON a boundary facet
+        # (geometric test against the topological boundary — the bbox
+        # fallback below would mark ~nothing on a non-box mesh)
+        return _points_on_facets_mask(mesh, pts)
     mask = np.zeros(len(pts), dtype=bool)
     for ax, (lo, hi) in enumerate(mesh.bounds):
         mask |= np.abs(pts[:, ax] - lo) < 1e-12
         mask |= np.abs(pts[:, ax] - hi) < 1e-12
+    return mask
+
+
+def _points_on_facets_mask(mesh, pts: np.ndarray) -> np.ndarray:
+    """(len(pts),) bool: point lies on some topological-boundary facet
+    (within a scale-relative tolerance).  2D facets are segments, 3D
+    facets are triangles."""
+    coords = mesh.coordinates()
+    facets = mesh.boundary_facets()
+    scale = float(np.max(coords.max(axis=0) - coords.min(axis=0))) or 1.0
+    tol = 1e-10 * scale
+    mask = np.zeros(len(pts), dtype=bool)
+    if mesh.topology_dim() == 2:
+        for a, b in facets:
+            pa, pb = coords[a], coords[b]
+            d = pb - pa
+            L2 = float(d @ d)
+            t = np.clip((pts - pa) @ d / L2, 0.0, 1.0)
+            dist = np.linalg.norm(pts - (pa + t[:, None] * d), axis=1)
+            mask |= dist < tol
+        return mask
+    for a, b, c in facets:  # 3D: point-in-triangle via closest point
+        pa = coords[a]
+        e1, e2 = coords[b] - pa, coords[c] - pa
+        # solve least-squares (u, v) for p - pa ≈ u e1 + v e2, then check
+        # planarity residual and barycentric bounds
+        G = np.array([[e1 @ e1, e1 @ e2], [e1 @ e2, e2 @ e2]])
+        rel = pts - pa
+        rhs = np.stack([rel @ e1, rel @ e2], axis=1)
+        uv = rhs @ np.linalg.inv(G).T
+        proj = pa + uv[:, :1] * e1 + uv[:, 1:] * e2
+        dist = np.linalg.norm(pts - proj, axis=1)
+        inside = (
+            (uv[:, 0] >= -1e-10) & (uv[:, 1] >= -1e-10)
+            & (uv.sum(axis=1) <= 1 + 1e-10)
+        )
+        mask |= (dist < tol) & inside
     return mask
 
 

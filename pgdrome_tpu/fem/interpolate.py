@@ -76,8 +76,20 @@ class BucketLocator:
                 # under the best-candidate argmax
         self.cand = cand
 
+    # roundoff slack on barycentric containment (dimensionless; points on
+    # edges/vertices sit at exactly 0)
+    CONTAIN_TOL = 1e-9
+
     def locate(self, pts, xp):
-        """pts (..., gdim) → (cell (...,), bary (..., tdim+1))."""
+        """pts (..., gdim) → (cell (...,), bary (..., tdim+1)).
+
+        Points outside the mesh (best candidate's min barycentric
+        coordinate < -CONTAIN_TOL — e.g. inside the bounding box but in a
+        hole of a non-convex mesh) RAISE on the host path, matching
+        dolfin's BoundingBoxTree behavior the reference relies on
+        (model.py:822-842).  Under jit (xp=jnp) raising is impossible:
+        the barycentric weights are NaN-poisoned instead, so downstream
+        values are NaN rather than silently extrapolated garbage."""
         pts = xp.asarray(pts)
         lo = xp.asarray(self.lo)
         h = xp.asarray(self.h)
@@ -100,6 +112,18 @@ class BucketLocator:
         bary_best = xp.take_along_axis(
             bary, best[..., None, None], axis=-2
         )[..., 0, :]
+        outside = xp.min(bary_best, axis=-1) < -self.CONTAIN_TOL
+        if xp is np:
+            if np.any(outside):
+                bad = np.asarray(pts)[np.asarray(outside)]
+                raise ValueError(
+                    f"{bad.shape[0]} point(s) outside the mesh (first few: "
+                    f"{bad[:3].tolist()})"
+                )
+        else:
+            bary_best = xp.where(
+                outside[..., None], xp.full_like(bary_best, xp.nan), bary_best
+            )
         return cell, bary_best
 
 

@@ -415,6 +415,11 @@ class PGD:
             return self._eval_fixed_modes[key]
 
         att = self.mesh[fixed_dim].attributes[attri]
+        if derivative and len(att.derivationfct) == 0:
+            # lazily create like evaluate_derivative does (the
+            # interpolation path never hits this: interpolationfct always
+            # exists by construction)
+            self.create_derivation_fct([fixed_dim], attri)
         fcts = att.derivationfct if derivative else att.interpolationfct
         f0 = fcts[0]
         V = f0.function_space()
@@ -535,10 +540,14 @@ class PGD:
         (reference model.py:1208-1303).
 
         ``d_dim == fixed_dim`` derives the FIXED dimension (2D: spatial
-        gradient/strain fields) — the reference raises "not possible in
+        derivative/strain fields) — the reference raises "not possible in
         the moment" there (model.py:1232); implemented here: returns a
-        Function on the DG derivative space (vector for scalar fields,
-        row-major ∇u tensor for vector fields)."""
+        Function on the DG derivative space, with the reference's
+        create_derivation_fct semantics (model.py:1124-1173): scalar
+        fields → the DG ∂/∂x0 field (``f.dx(0)``; use
+        :meth:`create_derivation_fct` with another direction, or
+        serving's ``gradient()``, for other components), vector fields →
+        the row-major ∇u tensor (the ``grad`` branch)."""
         if len(coord) != self.num_pgd_var - 1:
             raise ValueError("given variables are missing or too much")
         if attri >= len(self.mesh[fixed_dim].attributes):

@@ -398,9 +398,8 @@ class Vademecum:
         parameter dependence (ν is a swept parameter in the flagship):
         combine the strain sweep with the separated C(p) weights
         sample-side."""
-        from pgdrome_tpu.fem.derivative import gradient_function
+        from pgdrome_tpu.fem.derivative import _dg_space, gradient_function
         from pgdrome_tpu.fem.function import Function
-        from pgdrome_tpu.fem.space import VectorFunctionSpace
 
         V0 = self.spaces[0]
         if V0.value_size != 2 or V0.mesh().topology_dim() != 2:
@@ -413,7 +412,8 @@ class Vademecum:
             eps = np.stack(
                 [g[:, 0], g[:, 3], g[:, 1] + g[:, 2]], axis=1
             )  # Voigt (ε_xx, ε_yy, γ_xy)
-            Vs = VectorFunctionSpace(Vg.mesh(), "DG", Vg.degree, dim=3)
+            # per-mesh cached DG space: to_strain runs once per mode
+            Vs = _dg_space(Vg.mesh(), Vg.degree, dim=3)
             return Function(Vs, eps.reshape(-1))
 
         return self._dim0_mode_map(to_strain)

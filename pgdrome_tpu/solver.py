@@ -601,8 +601,13 @@ class PGDProblem:
                 if np.all(np.isfinite(x)):
                     fct_F.array = x
                     return fct_F
-            # non-tridiagonal (or Thomas pivot failure): pivoted dense LU,
-            # matching the robustness of the reference's spsolve
+                # unpivoted Thomas hit a zero/tiny pivot — go straight to
+                # the pivoted dense LU (re-running Thomas on the densified
+                # but numerically identical diagonals cannot succeed)
+                fct_F.array = np.asarray(solve_dense(coo.toarray(), B))
+                return fct_F
+            # non-tridiagonal sparse input: pivoted dense LU, matching
+            # the robustness of the reference's spsolve
             A = coo.toarray()
 
         A = np.asarray(A, dtype=np.float64)

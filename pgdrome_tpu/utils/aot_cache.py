@@ -124,8 +124,15 @@ def aot_jit(jitted, key_data=None, cache_dir=None, max_shapes=16):
     table = {}
 
     def call(*args):
+        import jax
         import jax.numpy as jnp
 
+        if any(isinstance(a, jax.core.Tracer) for a in args):
+            # under a JAX transformation (jacfwd/vmap/grad through a
+            # serving fn, or an outer jit): a loaded Compiled executable
+            # cannot accept tracers — dispatch the plain jitted callable,
+            # which inlines into the enclosing trace
+            return jitted(*args)
         args = tuple(jnp.asarray(a) for a in args)
         sig = tuple((a.shape, str(a.dtype)) for a in args)
         fn = table.get(sig)

@@ -66,8 +66,9 @@ while [ ! -e /tmp/frontier_stop ] && [ ! -e /tmp/bench_warm_done ]; do
         touch /tmp/bench_warm_done
         log "bench re-warm ok: $(cat /tmp/bench_warm_r4.json)"
     else
+        rc=$?
         warm_tries=$((warm_tries + 1))
-        log "bench re-warm failed (exit $?), try $warm_tries"
+        log "bench re-warm failed (exit $rc), try $warm_tries"
         sleep 120
     fi
 done

@@ -107,6 +107,32 @@ class TestServingAot:
             np.testing.assert_allclose(out1, ref, rtol=1e-12)
             np.testing.assert_allclose(out2, ref, rtol=1e-12)
 
+    def test_transparent_to_transformations(self, monkeypatch):
+        # jacfwd/vmap through an aot_jit-wrapped serving fn must trace the
+        # underlying jitted callable, not the loaded Compiled executable
+        # (which rejects tracers) — regression for the warm-cache failure
+        # of tests/unit/test_serving_analytics.py::test_vs_jacfwd
+        import jax
+        import jax.numpy as jnp
+
+        from pgdrome_tpu.parallel.vademecum import make_sweep_fn
+
+        Vs, res = self._trained()
+        modes = [jnp.asarray(m) for m in res.modes]
+        p = jnp.asarray([[0.4, 0.6]])
+        with tempfile.TemporaryDirectory() as d:
+            monkeypatch.setenv("PGDROME_AOT_CACHE", d)
+            fn = make_sweep_fn(Vs, modes, res.n_modes)
+            fn(p)  # concrete call populates the per-shape table
+            J = jax.jacfwd(lambda q: fn(q[None])[0])(p[0])
+            # finite-difference cross-check on one parameter direction
+            h = 1e-6
+            fd = (np.asarray(fn(p + jnp.array([[h, 0.0]])))
+                  - np.asarray(fn(p - jnp.array([[h, 0.0]])))) / (2 * h)
+            np.testing.assert_allclose(
+                np.asarray(J)[:, 0], fd[0], rtol=1e-4, atol=1e-10
+            )
+
     def test_distinct_shapes_distinct_entries(self, monkeypatch):
         import jax.numpy as jnp
 
