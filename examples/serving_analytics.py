@@ -74,4 +74,19 @@ print(f"derivative vademecum: du/dx at {len(pts)} points for 100 samples "
       f"{flux_sensors.max():.3f}]")
 dmean, dvar = dvd.moments(samples, chunk=4096)
 print(f"du/dx moment fields: max flux std {np.sqrt(dvar.max()):.5f}")
+
+# --- exact Sobol' sensitivity indices ------------------------------------
+# closed-form through the separated structure (pgdrome_tpu.uq): no
+# sampling, no FOM solves — per-dim FE mass-matrix moments + O(d² rank²)
+# contractions.  points= gives per-sensor indices; no argument gives
+# GENERALIZED indices of the whole field
+sob = vd.sobol(points=pts)
+for j in range(sob["first"].shape[0]):
+    print(f"Sobol p{j + 1} at x={pts.tolist()}: "
+          f"S={np.round(sob['first'][j], 3).tolist()} "
+          f"ST={np.round(sob['total'][j], 3).tolist()}")
+agg = vd.sobol()  # field-aggregated (variance under the spatial mass)
+print(f"generalized indices: S={np.round(agg['first'], 3).tolist()}, "
+      f"interaction share {1 - float(np.sum(agg['first'])):.4f}")
+assert np.all(agg["total"] >= agg["first"] - 1e-12)
 print("OK")

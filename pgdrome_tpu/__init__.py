@@ -59,6 +59,7 @@ from pgdrome_tpu.recipes import (
     two_stage_minres,
 )
 from pgdrome_tpu.serving import TransientVademecum, Vademecum
+from pgdrome_tpu.uq import factor_stats, sobol_from_stats
 from pgdrome_tpu.utils.pgd_config import PGDConfig
 
 __version__ = "0.1.0"
@@ -102,6 +103,8 @@ __all__ = [
     "normal_equations",
     "TransientVademecum",
     "Vademecum",
+    "factor_stats",
+    "sobol_from_stats",
     "adaptive_cascade",
     "residual_cascade",
     "two_stage_elliptic",

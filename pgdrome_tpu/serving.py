@@ -338,6 +338,66 @@ class Vademecum:
         var = np.einsum("ki,ki->i", cov @ M0, M0)
         return mean, np.maximum(var, 0.0)
 
+    def sobol(self, points=None, densities=None):
+        """EXACT Sobol' sensitivity indices of the served solution —
+        closed-form through the separated structure (pgdrome_tpu.uq), no
+        sampling and no FOM solves; the reference's nearest capability
+        is Monte-Carlo over per-sample FEM (model.py:1666-1825).
+
+        points: sensor points (same contract as :meth:`sensors`; (x, t)
+        rows for TransientVademecum) → per-output indices ``(d_p, n_out)``
+        plus the mean/variance per output.  None → GENERALIZED indices of
+        the whole field (variance integrated against the dim-0
+        (vector-)mass measure, Lamboni/Gamboa aggregation): scalar
+        variance/indices plus the mean FIELD.
+
+        densities: optional per-parameter-dim UNNORMALIZED densities
+        (None = uniform; scalar / callable / fem Function on the factor
+        space).  Parameters are treated as independent — the product
+        measure every Sobol' decomposition assumes.
+
+        Returns ``{'mean', 'variance', 'first' (d_p, …), 'total'
+        (d_p, …)}``.  Host f64, O(d²·rank²): milliseconds next to any
+        sweep."""
+        from pgdrome_tpu.uq import factor_stats, sobol_from_stats
+
+        modes_h = [np.asarray(m, np.float64) for m in self._modes[1:]]
+        stats = factor_stats(self.spaces[1:], modes_h, self.n_modes,
+                             densities=densities)
+        if points is not None:
+            out = sobol_from_stats(stats, table=self._sobol_table(points))
+        else:
+            out = sobol_from_stats(stats, out_gram=self._output_gram())
+            fbar = np.ones(self.n_modes)
+            for m, _ in stats:
+                fbar *= m
+            out["mean"] = fbar @ np.asarray(self._modes[0], np.float64)
+        return out
+
+    def _sobol_table(self, points):
+        """(R, n_out) f64 dim-0 mode values at the sensor points."""
+        from pgdrome_tpu.fem.interpolate import eval_dofs_at_points
+
+        pts = np.asarray(points, dtype=np.float64)
+        m0 = np.asarray(self._modes[0], np.float64)
+        return np.stack([
+            np.asarray(eval_dofs_at_points(self.spaces[0], m0[k], pts))
+            for k in range(self.n_modes)
+        ]).reshape(self.n_modes, -1)
+
+    def _output_gram(self):
+        """(R, R) f64 Gram of the dim-0 modes under the spatial mass
+        measure, normalized by domain volume (so the aggregated
+        'variance' is the spatial MEAN of the pointwise variance)."""
+        from pgdrome_tpu.fem.assembly import mass_matrix, vector_mass_matrix
+
+        V0 = self.spaces[0]
+        W = (vector_mass_matrix(V0) if V0.value_size > 1
+             else mass_matrix(V0))
+        U = np.asarray(self._modes[0], np.float64)
+        vol = float(np.sum(V0.q_weights))
+        return U @ np.asarray(W, np.float64) @ U.T / vol
+
     def _dim0_mode_map(self, map_fn):
         """New Vademecum with every dim-0 mode replaced by
         ``map_fn(Function) -> Function`` (applied ONCE per mode); all
@@ -612,6 +672,38 @@ class TransientVademecum(Vademecum):
                 f"{self.field_dims}), got {pts.shape}"
             )
         return pts
+
+    def _sobol_table(self, points):
+        # space-time sensors: the dim-0 output weights are the product
+        # of the per-field-dim mode values at each (x, t) row
+        return self._st_table(self._st_points(points))
+
+    def _output_gram(self):
+        """Kron-structured space-time mass Gram of the flattened field
+        modes, normalized by the space-time volume: applied axis-by-axis
+        (never forming the n0·n1 × n0·n1 kron)."""
+        from pgdrome_tpu.fem.assembly import mass_matrix
+
+        U = np.asarray(self._modes[0], np.float64).reshape(
+            self.n_modes, *self.field_shape
+        )
+        T = U
+        vol = 1.0
+        for d, V in enumerate(self.field_spaces):
+            if V.value_size != 1:
+                raise ValueError(
+                    "aggregated sobol() needs scalar field dims; use "
+                    "points= for vector space-time quantities"
+                )
+            M = np.asarray(mass_matrix(V), np.float64)
+            T = np.moveaxis(
+                np.tensordot(T, M, axes=([d + 1], [0])), -1, d + 1
+            )
+            vol *= float(np.sum(V.q_weights))
+        return np.tensordot(
+            T.reshape(self.n_modes, -1),
+            U.reshape(self.n_modes, -1), axes=([1], [1]),
+        ) / vol
 
     def sensors(self, points):
         """Jitted sensor sweep at fixed SPACE-TIME points (n_pts,
