@@ -338,7 +338,7 @@ class Vademecum:
         var = np.einsum("ki,ki->i", cov @ M0, M0)
         return mean, np.maximum(var, 0.0)
 
-    def sobol(self, points=None, densities=None):
+    def sobol(self, points=None, densities=None, second_order=False):
         """EXACT Sobol' sensitivity indices of the served solution —
         closed-form through the separated structure (pgdrome_tpu.uq), no
         sampling and no FOM solves; the reference's nearest capability
@@ -357,22 +357,44 @@ class Vademecum:
         measure every Sobol' decomposition assumes.
 
         Returns ``{'mean', 'variance', 'first' (d_p, …), 'total'
-        (d_p, …)}``.  Host f64, O(d²·rank²): milliseconds next to any
-        sweep."""
-        from pgdrome_tpu.uq import factor_stats, sobol_from_stats
+        (d_p, …)}``; ``second_order=True`` adds ``'second' (d_p, d_p, …)``
+        pairwise interaction indices.  Host f64, O(d²·rank²):
+        milliseconds next to any sweep."""
+        from pgdrome_tpu.uq import sobol_from_stats
 
-        modes_h = [np.asarray(m, np.float64) for m in self._modes[1:]]
-        stats = factor_stats(self.spaces[1:], modes_h, self.n_modes,
-                             densities=densities)
+        stats = self._factor_stats(densities)
         if points is not None:
-            out = sobol_from_stats(stats, table=self._sobol_table(points))
+            out = sobol_from_stats(stats, table=self._sobol_table(points),
+                                   second_order=second_order)
         else:
-            out = sobol_from_stats(stats, out_gram=self._output_gram())
+            out = sobol_from_stats(stats, out_gram=self._output_gram(),
+                                   second_order=second_order)
             fbar = np.ones(self.n_modes)
             for m, _ in stats:
                 fbar *= m
             out["mean"] = fbar @ np.asarray(self._modes[0], np.float64)
         return out
+
+    def sobol_group(self, group, points=None, densities=None):
+        """Closed/total Sobol' indices of a GROUP of parameters (0-based
+        indices into the parameter dims) — e.g. 'how much variance do
+        the material parameters jointly control'.  Same exact machinery
+        and points/densities contract as :meth:`sobol`; returns
+        ``{'variance', 'closed', 'total'}`` (uq.sobol_group)."""
+        from pgdrome_tpu.uq import sobol_group
+
+        stats = self._factor_stats(densities)
+        if points is not None:
+            return sobol_group(stats, group,
+                               table=self._sobol_table(points))
+        return sobol_group(stats, group, out_gram=self._output_gram())
+
+    def _factor_stats(self, densities=None):
+        from pgdrome_tpu.uq import factor_stats
+
+        modes_h = [np.asarray(m, np.float64) for m in self._modes[1:]]
+        return factor_stats(self.spaces[1:], modes_h, self.n_modes,
+                            densities=densities)
 
     def _sobol_table(self, points):
         """(R, n_out) f64 dim-0 mode values at the sensor points."""

@@ -12,9 +12,9 @@ factor interpolants,
 
 both EXACT through the factor mass matrix (FE quadrature integrates the
 piecewise-polynomial products exactly: ``\\int f g rho = f^T M_rho g``).
-Mean, total variance, first-order and total-effect Sobol' indices then
-follow from O(d^2 * rank^2) host-f64 contractions — no sampling, no FOM
-solves, no tensor grid.
+Mean, total variance, first-order/second-order/total/group Sobol'
+indices then follow from O(d^2 * rank^2) host-f64 contractions — no
+sampling, no FOM solves, no tensor grid.
 
 The reference has no global-sensitivity capability at all: its closest
 tools are per-sample derivative evaluation (reference
@@ -23,18 +23,22 @@ solves (reference model.py:1666-1825).  Closed-form global sensitivity
 is a payoff of the separated representation itself; this module is the
 serving-side realization (see ``Vademecum.sobol``).
 
-Formulas (independent parameters; standard Sobol'/Hoeffding ANOVA):
+Formulas (independent parameters; standard Sobol'/Hoeffding ANOVA).
+For any subset S of parameter dims, the CLOSED variance
 
-    E[u]      = sum_k a_k P_k,                 P_k   = prod_j m_j[k]
-    E[u^2]    = sum_kl a_k a_l Q_kl,           Q     = prod_j G_j  (elementwise)
-    Var       = E[u^2] - E[u]^2
-    V_j       = sum_kl a_k a_l (G_j ∘ prod_{i≠j} m_i m_i^T)_kl - E[u]^2
-    V_{~j}    = sum_kl a_k a_l (m_j m_j^T ∘ prod_{i≠j} G_i)_kl - E[u]^2
-    S_j  = V_j / Var          (first order)
-    ST_j = 1 - V_{~j} / Var   (total effect)
+    V_S^c = Var( E[u | p_S] )
+          = sum_kl a_k a_l ( prod_{j in S} G_j ∘ prod_{i not in S} m_i m_i^T )_kl
+            - E[u]^2
 
-with a_k the dim-0 output weights (mode values at sensor points, or the
-identity for aggregated field indices — see ``sobol_from_stats``).
+gives everything:
+
+    first order   S_j   = V_{j}^c / Var
+    second order  S_ij  = ( V_{ij}^c - V_i^c - V_j^c ) / Var
+    total effect  ST_j  = 1 - V_{~j}^c / Var
+    group closed / total analogously for |S| > 1
+
+with a_k the dim-0 output weights (mode values at sensor points, or a
+Gram for aggregated field indices — see ``sobol_from_stats``).
 Generalized (field-aggregated) indices follow Lamboni/Gamboa: numerator
 and denominator variances are integrated against the dim-0 mass measure
 before the ratio.
@@ -83,34 +87,20 @@ def factor_stats(spaces, modes, n_modes, densities=None):
     return stats
 
 
-def _anova_matrices(stats):
-    """Q = prod_j G_j, and per-j (A_j, Abar_j) as in the module formulas.
-
-    Yields (Q, [(A_j, Abar_j)]) without storing prefix/suffix stacks:
-    O(d^2 R^2) flops, O(R^2) memory — the R^2 temporaries dominate and a
-    d-deep prefix stack would cost d× that (PERF: host copies are the
-    slow resource, not flops)."""
-    ms = [m for m, _ in stats]
-    Gs = [G for _, G in stats]
-    d = len(stats)
-    Q = Gs[0].copy()
-    for G in Gs[1:]:
-        Q *= G
-    per_j = []
-    for j in range(d):
-        A = Gs[j].copy()
-        Abar = np.outer(ms[j], ms[j])
-        for i in range(d):
-            if i == j:
-                continue
-            mm = np.outer(ms[i], ms[i])
-            A *= mm
-            Abar *= Gs[i]
-        per_j.append((A, Abar))
-    return Q, per_j
+def _mixed_product(stats, g_dims):
+    """(R, R) elementwise product with G_j for dims in ``g_dims`` and
+    m_j m_j^T otherwise — the kernel of every closed ANOVA variance.
+    O(d·R²) flops, O(R²) memory (no prefix stacks: the R² temporaries,
+    not the flops, are the slow resource on this host)."""
+    g_dims = set(g_dims)
+    out = None
+    for j, (m, G) in enumerate(stats):
+        f = G if j in g_dims else np.outer(m, m)
+        out = f.copy() if out is None else out * f
+    return out
 
 
-def sobol_from_stats(stats, table=None, out_gram=None):
+def sobol_from_stats(stats, table=None, out_gram=None, second_order=False):
     """ANOVA/Sobol' contractions from per-dim factor stats.
 
     stats: ``factor_stats`` output.  Exactly one of:
@@ -121,12 +111,14 @@ def sobol_from_stats(stats, table=None, out_gram=None):
       measure (``U W U^T``): AGGREGATED (generalized) indices, scalars.
 
     Returns dict with ``mean`` (table path only), ``variance``,
-    ``first (d, …)``, ``total (d, …)``.  Indices are NOT clipped: values
-    outside [0, 1] at roundoff scale are honest numerical noise, large
-    violations indicate a broken input."""
+    ``first (d, …)``, ``total (d, …)``, and with ``second_order=True``
+    also ``second (d, d, …)`` — the pairwise INTERACTION indices S_ij
+    (i < j filled, symmetric, zero diagonal; O(d²) extra R² products).
+    Indices are NOT clipped: values outside [0, 1] at roundoff scale are
+    honest numerical noise, large violations indicate a broken input."""
     if (table is None) == (out_gram is None):
         raise ValueError("pass exactly one of table / out_gram")
-    Q, per_j = _anova_matrices(stats)
+    d = len(stats)
     P = np.ones_like(stats[0][0])
     for m, _ in stats:
         P = P * m
@@ -148,22 +140,72 @@ def sobol_from_stats(stats, table=None, out_gram=None):
         mean = None
         mean2 = float(P @ B @ P)
 
-    e2 = quad(Q)
+    e2 = quad(_mixed_product(stats, range(d)))
     var = e2 - mean2
-    first, total = [], []
-    for A, Abar in per_j:
-        first.append(quad(A) - mean2)
-        total.append(e2 - quad(Abar))
-    first = np.asarray(first)
-    total = np.asarray(total)
+    closed = [quad(_mixed_product(stats, [j])) - mean2 for j in range(d)]
+    total = [e2 - quad(_mixed_product(stats, [i for i in range(d) if i != j]))
+             for j in range(d)]
     # guard the all-deterministic edge (variance ~ 0): indices undefined
     eps = np.finfo(np.float64).tiny
     denom = np.where(np.abs(var) < eps, np.inf, var)
     out = {
         "variance": var,
-        "first": first / denom,
-        "total": total / denom,
+        "first": np.asarray(closed) / denom,
+        "total": np.asarray(total) / denom,
     }
+    if second_order:
+        shape = (d, d) + np.shape(var)
+        S2 = np.zeros(shape)
+        for i in range(d):
+            for j in range(i + 1, d):
+                vij = quad(_mixed_product(stats, [i, j])) - mean2
+                S2[i, j] = S2[j, i] = (vij - closed[i] - closed[j]) / denom
+        out["second"] = S2
     if mean is not None:
         out["mean"] = mean
     return out
+
+
+def sobol_group(stats, group, table=None, out_gram=None):
+    """Closed and total Sobol' indices of a GROUP of parameter dims.
+
+    group: iterable of parameter-dim indices (0-based into ``stats``).
+    Returns dict ``{'closed', 'total', 'variance'}`` — closed =
+    Var(E[u|p_group])/Var (all effects involving ONLY group members),
+    total = 1 − Var(E[u|p_rest])/Var (all effects involving AT LEAST
+    one member).  Shapes follow ``sobol_from_stats``' table/out_gram
+    convention.  Useful when parameters form physical blocks (e.g. the
+    d=10 frontier's material vs. load parameters)."""
+    if (table is None) == (out_gram is None):
+        raise ValueError("pass exactly one of table / out_gram")
+    d = len(stats)
+    group = sorted(set(int(g) for g in group))
+    if not group or group[0] < 0 or group[-1] >= d:
+        raise ValueError(f"group must be non-empty subset of 0..{d - 1}")
+    P = np.ones_like(stats[0][0])
+    for m, _ in stats:
+        P = P * m
+    if table is not None:
+        t = np.asarray(table, np.float64)
+
+        def quad(X):
+            return np.einsum("ko,ko->o", X @ t, t)
+
+        mean2 = (P @ t) ** 2
+    else:
+        B = np.asarray(out_gram, np.float64)
+
+        def quad(X):
+            return float(np.einsum("kl,kl->", X, B))
+
+        mean2 = float(P @ B @ P)
+    e2 = quad(_mixed_product(stats, range(d)))
+    var = e2 - mean2
+    rest = [i for i in range(d) if i not in group]
+    eps = np.finfo(np.float64).tiny
+    denom = np.where(np.abs(var) < eps, np.inf, var)
+    closed = (quad(_mixed_product(stats, group)) - mean2) / denom
+    # empty rest: E[u|p_rest] = E[u] ⇒ V_rest = 0 ⇒ total = var/var
+    v_rest = (quad(_mixed_product(stats, rest)) - mean2) if rest else 0.0
+    total = (var - v_rest) / denom
+    return {"variance": var, "closed": closed, "total": total}

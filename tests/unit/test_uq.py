@@ -120,6 +120,65 @@ class TestInteraction:
         # interaction present: total strictly above first
         assert out["total"][0, 0] > out["first"][0, 0] + 0.05
 
+    def test_second_order_product_model(self):
+        # u = p·q at x=1: S_p = S_q computed above, and the REST of the
+        # variance is pure pairwise interaction: S_pq = 1 - S_p - S_q
+        Vx, Vp, Vq = _space(4, 1), _space(5, 1), _space(7, 1)
+        x = Vx.dof_coords[:, 0]
+        p = Vp.dof_coords[:, 0]
+        q = Vq.dof_coords[:, 0]
+        vd = Vademecum(
+            [Vx, Vp, Vq], _result([x[None], p[None], q[None]]),
+            dtype=np.float64,
+        )
+        out = vd.sobol(points=np.array([1.0]), second_order=True)
+        s2 = out["second"]
+        assert s2.shape == (2, 2, 1)
+        np.testing.assert_allclose(s2[0, 0], 0.0, atol=1e-15)
+        np.testing.assert_allclose(
+            s2[0, 1], 1.0 - out["first"].sum(axis=0), rtol=1e-12
+        )
+        np.testing.assert_allclose(s2[0, 1], s2[1, 0], rtol=1e-15)
+
+    def test_second_order_additive_is_zero(self, additive):
+        out = additive.sobol(points=np.array([0.4]), second_order=True)
+        np.testing.assert_allclose(out["second"], 0.0, atol=1e-12)
+
+    def test_group_indices(self):
+        # u = x·(p + q·r): group {q, r} closed == combined q,r effects;
+        # group of ALL dims: closed == total == 1
+        Vx = _space(4, 1)
+        Vp, Vq, Vr = _space(5, 1), _space(6, 1), _space(7, 1)
+        x = Vx.dof_coords[:, 0]
+        p = Vp.dof_coords[:, 0]
+        q = Vq.dof_coords[:, 0]
+        r = Vr.dof_coords[:, 0]
+        one = np.ones_like
+        vd = Vademecum(
+            [Vx, Vp, Vq, Vr],
+            _result([
+                np.stack([x, x]),
+                np.stack([p, one(p)]),
+                np.stack([one(q), q]),
+                np.stack([one(r), r]),
+            ]),
+            dtype=np.float64,
+        )
+        pts = np.array([1.0])
+        g = vd.sobol_group([1, 2], points=pts)
+        # Var(E[u|q,r]) = Var(q·r) = E[q²]E[r²] − (E[q]E[r])²
+        vqr = (1 / 3) ** 2 - (1 / 4) ** 2
+        var = 1 / 12 + vqr  # p additive with the q·r block
+        np.testing.assert_allclose(g["variance"][0], var, rtol=1e-12)
+        np.testing.assert_allclose(g["closed"][0], vqr / var, rtol=1e-12)
+        # no p↔(q,r) interaction: total == closed
+        np.testing.assert_allclose(g["total"], g["closed"], rtol=1e-12)
+        gall = vd.sobol_group([0, 1, 2], points=pts)
+        np.testing.assert_allclose(gall["closed"], 1.0, rtol=1e-12)
+        np.testing.assert_allclose(gall["total"], 1.0, rtol=1e-12)
+        with pytest.raises(ValueError, match="subset"):
+            vd.sobol_group([5], points=pts)
+
     def test_deterministic_dim(self):
         # a parameter the solution does not depend on: S = ST = 0
         Vx, Vp, Vq = _space(4, 1), _space(5, 1), _space(5, 1)
