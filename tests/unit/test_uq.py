@@ -284,6 +284,94 @@ class TestTransient:
         np.testing.assert_allclose(out["total"], man["total"], rtol=1e-12)
 
 
+class TestBruteForceRandom:
+    """Random separated solutions vs direct tensor-grid ANOVA: per-dim
+    per-cell Gauss nodes integrate the piecewise-poly factor products
+    EXACTLY, so the brute force is exact too and everything must match
+    to f64 roundoff (no hand-picked structure — rank 6, 3 params)."""
+
+    def test_random_modes_full_anova(self):
+        from pgdrome_tpu.fem.interpolate import eval_dofs_at_points
+
+        rng = np.random.default_rng(42)
+        K = 6
+        Vx = _space(5, 2)
+        Vps = [_space(4, 1), _space(5, 2), _space(3, 1)]
+        modes = [rng.standard_normal((K, V.dof_coords.shape[0]))
+                 for V in [Vx] + Vps]
+        vd = Vademecum([Vx] + Vps, _result(modes), dtype=np.float64)
+        pts = np.array([0.3, 0.85])
+        out = vd.sobol(points=pts, second_order=True)
+
+        # brute force: flattened per-dim quadrature nodes/weights
+        nodes, weights, vals = [], [], []
+        for V, m in zip(Vps, modes[1:]):
+            x = V.q_points.reshape(-1)
+            w = V.q_weights.reshape(-1)
+            nodes.append(x)
+            weights.append(w / w.sum())
+            vals.append(np.stack([
+                np.asarray(eval_dofs_at_points(V, m[k], x))
+                for k in range(K)
+            ]))
+        a = np.stack([
+            np.asarray(eval_dofs_at_points(Vx, modes[0][k], pts))
+            for k in range(K)
+        ])  # (K, n_pts)
+        # u on the tensor grid: (n_pts, n1, n2, n3)
+        u = np.einsum("kp,ka,kb,kc->pabc", a, *vals)
+        w1, w2, w3 = weights
+        mean = np.einsum("pabc,a,b,c->p", u, w1, w2, w3)
+        e2 = np.einsum("pabc,pabc,a,b,c->p", u, u, w1, w2, w3)
+        var = e2 - mean**2
+        np.testing.assert_allclose(out["mean"], mean, rtol=1e-11)
+        np.testing.assert_allclose(out["variance"], var, rtol=1e-10)
+
+        # conditional means per dim -> first/total/second
+        cm = [
+            np.einsum("pabc,b,c->pa", u, w2, w3),
+            np.einsum("pabc,a,c->pb", u, w1, w3),
+            np.einsum("pabc,a,b->pc", u, w1, w2),
+        ]
+        v_first = [
+            np.einsum("pa,pa,a->p", cm[0], cm[0], w1) - mean**2,
+            np.einsum("pb,pb,b->p", cm[1], cm[1], w2) - mean**2,
+            np.einsum("pc,pc,c->p", cm[2], cm[2], w3) - mean**2,
+        ]
+        for j in range(3):
+            np.testing.assert_allclose(out["first"][j], v_first[j] / var,
+                                       rtol=1e-8)
+        # total via complements
+        cm2 = [
+            np.einsum("pabc,a->pbc", u, w1),   # integrate out p1
+            np.einsum("pabc,b->pac", u, w2),
+            np.einsum("pabc,c->pab", u, w3),
+        ]
+        v_rest = [
+            np.einsum("pbc,pbc,b,c->p", cm2[0], cm2[0], w2, w3) - mean**2,
+            np.einsum("pac,pac,a,c->p", cm2[1], cm2[1], w1, w3) - mean**2,
+            np.einsum("pab,pab,a,b->p", cm2[2], cm2[2], w1, w2) - mean**2,
+        ]
+        for j in range(3):
+            np.testing.assert_allclose(out["total"][j],
+                                       (var - v_rest[j]) / var, rtol=1e-8)
+        # pairwise interaction S_01 from closed V_{01} = Var(E[u|p1,p2])
+        v01 = (np.einsum("pab,pab,a,b->p", cm2[2], cm2[2], w1, w2)
+               - mean**2)
+        s01 = (v01 - v_first[0] - v_first[1]) / var
+        np.testing.assert_allclose(out["second"][0, 1], s01,
+                                   rtol=1e-7, atol=1e-12)
+        # group {0, 2}: closed == Var(E[u | p1, p3])
+        from pgdrome_tpu.uq import sobol_group
+
+        g = vd.sobol_group([0, 2], points=pts)
+        v02 = (np.einsum("pac,pac,a,c->p", cm2[1], cm2[1], w1, w3)
+               - mean**2)
+        np.testing.assert_allclose(g["closed"], v02 / var, rtol=1e-8)
+        np.testing.assert_allclose(g["total"], (var - v_first[1]) / var,
+                                   rtol=1e-8)
+
+
 class TestErrorPaths:
     def test_bad_density_count(self, additive):
         with pytest.raises(ValueError, match="one entry per parameter"):
