@@ -95,8 +95,14 @@ def _mixed_product(stats, g_dims):
     g_dims = set(g_dims)
     out = None
     for j, (m, G) in enumerate(stats):
-        f = G if j in g_dims else np.outer(m, m)
-        out = f.copy() if out is None else out * f
+        if out is None:
+            out = (G if j in g_dims else np.outer(m, m)).copy()
+        elif j in g_dims:
+            np.multiply(out, G, out=out)
+        else:
+            # rank-1 factor without materializing the outer product
+            out *= m[:, None]
+            out *= m[None, :]
     return out
 
 
