@@ -284,6 +284,54 @@ class TestTransient:
         np.testing.assert_allclose(out["total"], man["total"], rtol=1e-12)
 
 
+class TestComposition:
+    def test_derivative_vademecum_sobol(self, additive):
+        # sobol composes with derivative(): du/dx = p + 2x·q², so at any
+        # x the variance split is Var(p)=1/12 vs 4x²·Var(q²)=4x²·4/45
+        dvd = additive.derivative()
+        x = 0.5
+        out = dvd.sobol(points=np.array([x]))
+        v_p, v_q = 1 / 12, 4 * x**2 * (4 / 45)
+        np.testing.assert_allclose(out["variance"][0], v_p + v_q,
+                                   rtol=1e-10)
+        np.testing.assert_allclose(out["first"][0, 0], v_p / (v_p + v_q),
+                                   rtol=1e-10)
+
+    def test_vector_dim0_aggregated(self):
+        # vector space dim: u = (x·p, x²·q) — aggregated variance sums
+        # components under the block mass: ∫x²/12 + ∫x⁴·(4/45)
+        from pgdrome_tpu.fem.space import VectorFunctionSpace
+
+        Vx = VectorFunctionSpace(IntervalMesh(8, 0.0, 1.0), "P", 2, dim=2)
+        Vp, Vq = _space(5, 1), _space(6, 2)
+        # interleaved dofs (component index fastest); dof_coords lists
+        # each scalar node once
+        xs = Vx.dof_coords[:, 0]
+        m1 = np.zeros(2 * xs.shape[0])
+        m1[0::2] = xs
+        m2 = np.zeros_like(m1)
+        m2[1::2] = xs**2
+        p = Vp.dof_coords[:, 0]
+        q = Vq.dof_coords[:, 0]
+        vd = Vademecum(
+            [Vx, Vp, Vq],
+            _result([
+                np.stack([m1, m2]),
+                np.stack([p, np.ones_like(p)]),
+                np.stack([np.ones_like(q), q]),
+            ]),
+            dtype=np.float64,
+        )
+        out = vd.sobol()
+        v_p = 1 / 36            # ∫x² dx · Var(p)
+        v_q = (1 / 5) * (1 / 12)  # ∫x⁴ dx · Var(q)
+        np.testing.assert_allclose(out["variance"], v_p + v_q, rtol=1e-12)
+        np.testing.assert_allclose(
+            out["first"], [v_p / (v_p + v_q), v_q / (v_p + v_q)],
+            rtol=1e-12,
+        )
+
+
 class TestBruteForceRandom:
     """Random separated solutions vs direct tensor-grid ANOVA: per-dim
     per-cell Gauss nodes integrate the piecewise-poly factor products
