@@ -389,6 +389,28 @@ class Vademecum:
                                table=self._sobol_table(points))
         return sobol_group(stats, group, out_gram=self._output_gram())
 
+    def main_effect(self, j, values, points, densities=None):
+        """Closed-form ANOVA main-effect curve of parameter ``j`` at the
+        given sensor ``points``: returns ``(mean (n_out,), effect
+        (n_values, n_out))`` with effect[v] = E[u|p_j = values[v]] − E[u]
+        (uq.main_effect — the deviation curves whose variances are the
+        first-order Sobol' numerators; exact, no sampling)."""
+        from pgdrome_tpu.separated import evaluate_modes_1d
+        from pgdrome_tpu.uq import main_effect
+
+        stats = self._factor_stats(densities)
+        j = int(j)
+        if not 0 <= j < len(stats):
+            raise ValueError(f"j must be in 0..{len(stats) - 1}")
+        vals = evaluate_modes_1d(
+            self.spaces[1 + j],
+            np.asarray(self._modes[1 + j], np.float64)[: self.n_modes],
+            np.asarray(values, np.float64), xp=np,
+        )
+        # evaluate_modes_1d returns (n_points, n_modes); uq wants (R, n_v)
+        vals = np.asarray(vals).T
+        return main_effect(stats, j, vals, self._sobol_table(points))
+
     def _factor_stats(self, densities=None):
         from pgdrome_tpu.uq import factor_stats
 

@@ -172,6 +172,35 @@ def sobol_from_stats(stats, table=None, out_gram=None, second_order=False):
     return out
 
 
+def main_effect(stats, j, factor_values, table):
+    """Closed-form ANOVA main-effect curve of parameter ``j``:
+
+        g_j(v) = E[u | p_j = v] - E[u]
+               = sum_k a_k ( Fj_k(v) - m_j[k] ) * prod_{i≠j} m_i[k]
+
+    factor_values: (R, n_v) factor-j interpolant values at the curve
+    abscissae (``evaluate_modes_1d``), table: (R, n_out) dim-0 output
+    weights.  Returns ``(mean (n_out,), effect (n_v, n_out))`` — the
+    conditional-mean DEVIATION curves whose per-dim variances are the
+    first-order Sobol' numerators.  O(R·(n_v+n_out)): plotting-cheap."""
+    d = len(stats)
+    if not 0 <= int(j) < d:
+        raise ValueError(f"j must be in 0..{d - 1}")
+    t = np.asarray(table, np.float64)
+    F = np.asarray(factor_values, np.float64)
+    P = np.ones_like(stats[0][0])
+    for m, _ in stats:
+        P = P * m
+    mean = P @ t
+    rest = np.ones_like(P)
+    for i, (m, _) in enumerate(stats):
+        if i != int(j):
+            rest = rest * m
+    centered = F - stats[int(j)][0][:, None]  # (R, n_v)
+    effect = (centered * rest[:, None]).T @ t  # (n_v, n_out)
+    return mean, effect
+
+
 def sobol_group(stats, group, table=None, out_gram=None):
     """Closed and total Sobol' indices of a GROUP of parameter dims.
 

@@ -284,6 +284,40 @@ class TestTransient:
         np.testing.assert_allclose(out["total"], man["total"], rtol=1e-12)
 
 
+class TestMainEffect:
+    def test_analytic(self, additive):
+        # u = x·p + x²·q²: g_p(v; x) = x·(v − 1/2), g_q(v; x) = x²(v² − 1/3)
+        x = np.array([0.4, 0.9])
+        v = np.array([0.0, 0.25, 0.5, 1.0])
+        mean, gp = additive.main_effect(0, v, points=x)
+        np.testing.assert_allclose(mean, x / 2 + x**2 / 3, rtol=1e-12)
+        np.testing.assert_allclose(gp, np.outer(v - 0.5, x), rtol=1e-12,
+                                   atol=1e-15)
+        _, gq = additive.main_effect(1, v, points=x)
+        np.testing.assert_allclose(gq, np.outer(v**2 - 1 / 3, x**2),
+                                   rtol=1e-12, atol=1e-15)
+
+    def test_variance_consistency(self, additive):
+        # ∫ g_j(v)² dv == the first-order Sobol numerator V_j (uniform
+        # density; Gauss–Legendre over v, exact for these polynomials)
+        from numpy.polynomial.legendre import leggauss
+
+        xg, wg = leggauss(8)
+        xg, wg = (xg + 1) / 2, wg / 2
+        pt = np.array([0.6])
+        out = additive.sobol(points=pt)
+        for j in range(2):
+            _, g = additive.main_effect(j, xg, points=pt)
+            vj = float(wg @ (g[:, 0] ** 2))
+            np.testing.assert_allclose(
+                vj, out["first"][j, 0] * out["variance"][0], rtol=1e-12
+            )
+
+    def test_bad_dim(self, additive):
+        with pytest.raises(ValueError, match="j must be"):
+            additive.main_effect(5, np.array([0.5]), points=np.array([0.5]))
+
+
 class TestComposition:
     def test_derivative_vademecum_sobol(self, additive):
         # sobol composes with derivative(): du/dx = p + 2x·q², so at any
