@@ -338,6 +338,83 @@ class Vademecum:
         var = np.einsum("ki,ki->i", cov @ M0, M0)
         return mean, np.maximum(var, 0.0)
 
+    def fit_parameters(self, points, observations, p0=None, n_starts=8,
+                       seed=0, n_iter=30, damping=1e-9):
+        """Identify the parameters behind observed sensor values: batched
+        box-projected Gauss–Newton on ``‖sensor(p) − obs‖²`` with the
+        analytic rank-1 Jacobian (parallel.vademecum.make_fit_fn) —
+        every (observation × start) runs in ONE compiled device program.
+
+        points: sensor locations (same contract as :meth:`sensors`);
+        observations: (B, n_out) measured responses; p0: optional
+        explicit starts (B, d_p) — otherwise ``n_starts`` Latin-hypercube
+        starts per observation are raced and the best residual wins
+        (the least-squares landscape of a multi-mode vademecum is
+        multimodal; a single start finds local optima).
+
+        Returns ``(p_hat (B, d_p), resnorm (B,))``.  Accuracy follows
+        the serving dtype (f64 ≈ 1e-9, f32 ≈ 1e-4 — the normal
+        equations square the conditioning).  The reference has no
+        inverse capability; its closest workflow is per-sample
+        scipy.optimize over evaluate() calls."""
+        from pgdrome_tpu.parallel.vademecum import make_fit_fn
+
+        key = ("fit", np.asarray(points, np.float64).tobytes(),
+               int(n_iter), float(damping))
+        fn = self._sensor_cache.get(key)
+        if fn is None:
+            fn = make_fit_fn(
+                self.spaces, self._modes, self.n_modes,
+                self._fit_points(points), table=self._fit_table(points),
+                n_iter=n_iter, damping=damping,
+            )
+            self._sensor_cache[key] = fn
+            while len(self._sensor_cache) > self._sensor_cache_max:
+                self._sensor_cache.popitem(last=False)
+        obs = jnp.asarray(observations)
+        if obs.ndim != 2:
+            raise ValueError(
+                f"observations must be (B, n_out), got {obs.shape}"
+            )
+        B = int(obs.shape[0])
+        d_p = self.num_dims - 1
+        lo = np.array([float(s.mesh().coordinates().min())
+                       for s in self.spaces[1:]])
+        hi = np.array([float(s.mesh().coordinates().max())
+                       for s in self.spaces[1:]])
+        if p0 is not None:
+            p0 = jnp.asarray(p0)
+            if p0.shape != (B, d_p):
+                raise ValueError(
+                    f"p0 must be ({B}, {d_p}), got {p0.shape}"
+                )
+            p_hat, res = fn(obs, p0.astype(obs.dtype))
+            return np.asarray(p_hat), np.asarray(res)
+        from scipy.stats import qmc
+
+        S = int(n_starts)
+        starts = qmc.LatinHypercube(d=d_p, seed=seed).random(S)
+        # shrink 2% off the box edges: the clip boundary is a GN fixed
+        # point, edge starts waste their run there
+        starts = lo + (0.02 + 0.96 * starts) * (hi - lo)
+        obs_t = jnp.repeat(obs, S, axis=0)                # (B·S, n_out)
+        p0_t = jnp.asarray(np.tile(starts, (B, 1)), obs.dtype)
+        p_all, r_all = fn(obs_t, p0_t)
+        p_all = np.asarray(p_all).reshape(B, S, d_p)
+        r_all = np.asarray(r_all).reshape(B, S)
+        best = np.argmin(r_all, axis=1)
+        idx = np.arange(B)
+        return p_all[idx, best], r_all[idx, best]
+
+    def _fit_points(self, points):
+        return np.asarray(points, dtype=np.float64)
+
+    def _fit_table(self, points):
+        # base class: the fit builder computes its own table from the
+        # dim-0 space; TransientVademecum overrides with the space-time
+        # product table
+        return None
+
     def sobol(self, points=None, densities=None, second_order=False):
         """EXACT Sobol' sensitivity indices of the served solution —
         closed-form through the separated structure (pgdrome_tpu.uq), no
@@ -720,6 +797,12 @@ class TransientVademecum(Vademecum):
     def _sobol_table(self, points):
         # space-time sensors: the dim-0 output weights are the product
         # of the per-field-dim mode values at each (x, t) row
+        return self._st_table(self._st_points(points))
+
+    def _fit_points(self, points):
+        return self._st_points(points)
+
+    def _fit_table(self, points):
         return self._st_table(self._st_points(points))
 
     def _output_gram(self):

@@ -1,0 +1,122 @@
+"""Batched parameter identification (Vademecum.fit_parameters /
+make_fit_fn): box-projected Gauss–Newton with the analytic rank-1
+Jacobian.  The reference has no inverse capability — its closest
+workflow is per-sample scipy.optimize over evaluate() calls; here every
+(observation × start) is one compiled batched program."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from pgdrome_tpu.models.problems import parametric_elliptic
+from pgdrome_tpu.separated import SeparatedPGD
+from pgdrome_tpu.serving import Vademecum
+
+
+@pytest.fixture(scope="module")
+def trained():
+    sep, Vs = parametric_elliptic(n_x=40, n_p=16, num_params=2)
+    res = SeparatedPGD(sep, n_max=8, tol=1e-12, tol_fp=1e-8).solve()
+    return Vs, res
+
+
+@pytest.fixture(scope="module")
+def vd(trained):
+    Vs, res = trained
+    return Vademecum(Vs, res, dtype=np.float64)
+
+
+PTS = np.array([0.2, 0.4, 0.6, 0.8])
+
+
+class TestRecovery:
+    def test_exact_recovery(self, vd):
+        rng = np.random.default_rng(3)
+        p_true = rng.uniform(0.15, 0.85, size=(7, 2))
+        obs = np.asarray(vd.sensors(PTS)(jnp.asarray(p_true)))
+        p_hat, res = vd.fit_parameters(PTS, obs, n_iter=40)
+        np.testing.assert_allclose(p_hat, p_true, atol=5e-7)
+        assert np.all(res < 1e-10)
+
+    def test_explicit_starts(self, vd):
+        p_true = np.array([[0.3, 0.7]])
+        obs = np.asarray(vd.sensors(PTS)(jnp.asarray(p_true)))
+        p0 = np.array([[0.5, 0.5]])
+        p_hat, res = vd.fit_parameters(PTS, obs, p0=p0, n_iter=40)
+        np.testing.assert_allclose(p_hat, p_true, atol=1e-6)
+
+    def test_noisy_observations(self, vd):
+        rng = np.random.default_rng(11)
+        p_true = np.array([[0.4, 0.6], [0.7, 0.25]])
+        clean = np.asarray(vd.sensors(PTS)(jnp.asarray(p_true)))
+        sigma = 1e-5 * np.abs(clean).mean()
+        obs = clean + rng.normal(0, sigma, clean.shape)
+        p_hat, res = vd.fit_parameters(PTS, obs, n_iter=40)
+        # the residual floor is the noise, the recovery error scales
+        # with noise / sensitivity — just sanity bounds here
+        assert np.all(res < 10 * sigma * np.sqrt(len(PTS)))
+        np.testing.assert_allclose(p_hat, p_true, atol=0.05)
+
+    def test_box_projection(self, vd):
+        # observations from OUTSIDE the reachable set (scaled fields):
+        # the solver must stay inside the parameter box and return
+        # finite residuals, not NaNs
+        p_true = np.array([[0.5, 0.5]])
+        obs = 5.0 * np.asarray(vd.sensors(PTS)(jnp.asarray(p_true)))
+        p_hat, res = vd.fit_parameters(PTS, obs, n_iter=25)
+        assert np.all(np.isfinite(p_hat)) and np.all(np.isfinite(res))
+        assert np.all(p_hat >= 0.0 - 1e-12) and np.all(p_hat <= 1.0 + 1e-12)
+
+    def test_f32_path(self, trained):
+        Vs, res = trained
+        vf = Vademecum(Vs, res, dtype=np.float32)
+        p_true = np.array([[0.35, 0.65]], np.float32)
+        obs = np.asarray(vf.sensors(PTS)(jnp.asarray(p_true)))
+        p_hat, r = vf.fit_parameters(PTS, obs, n_iter=30)
+        np.testing.assert_allclose(p_hat, p_true, atol=5e-3)
+
+
+class TestValidation:
+    def test_bad_obs_shape(self, vd):
+        with pytest.raises(ValueError, match="observations"):
+            vd.fit_parameters(PTS, np.ones(4))
+
+    def test_bad_p0_shape(self, vd):
+        with pytest.raises(ValueError, match="p0 must be"):
+            vd.fit_parameters(PTS, np.ones((2, 4)), p0=np.ones((3, 2)))
+
+    def test_cached_program(self, vd):
+        obs = np.asarray(vd.sensors(PTS)(jnp.asarray([[0.5, 0.5]])))
+        vd.fit_parameters(PTS, obs)
+        key = ("fit", np.asarray(PTS, np.float64).tobytes(), 30, 1e-9)
+        assert key in vd._sensor_cache
+
+
+class TestTransient:
+    def test_spacetime_recovery(self):
+        from pgdrome_tpu.fem.mesh import IntervalMesh
+        from pgdrome_tpu.fem.space import FunctionSpace
+        from pgdrome_tpu.separated import PGDResult
+        from pgdrome_tpu.serving import TransientVademecum
+
+        # hand-built space-time vademecum: u = (x·t)·p + (x²·t²)·p²
+        Vx = FunctionSpace(IntervalMesh(8, 0.0, 1.0), "P", 2)
+        Vt = FunctionSpace(IntervalMesh(6, 0.0, 1.0), "P", 2)
+        Vp = FunctionSpace(IntervalMesh(12, 0.0, 1.0), "P", 2)
+        x = Vx.dof_coords[:, 0]
+        t = Vt.dof_coords[:, 0]
+        p = Vp.dof_coords[:, 0]
+        res = PGDResult(
+            modes=[np.stack([x, x * x]), np.stack([t, t * t]),
+                   np.stack([p, p * p])],
+            n_modes=2, amplitudes=np.ones(2), alpha=np.ones(2),
+            fp_its=np.ones(2, int), normU0=1.0,
+        )
+        tv = TransientVademecum([Vx, Vt, Vp], res, field_dims=2,
+                                dtype=np.float64)
+        pts = np.array([[0.5, 0.5], [0.75, 1.0], [1.0, 0.25]])
+        p_true = np.array([[0.37], [0.81]])
+        obs = np.asarray(tv.sensors(pts)(jnp.asarray(p_true)))
+        p_hat, r = tv.fit_parameters(pts, obs, n_iter=40)
+        np.testing.assert_allclose(p_hat, p_true, atol=1e-8)
+        assert np.all(r < 1e-12)
