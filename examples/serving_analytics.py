@@ -89,4 +89,16 @@ agg = vd.sobol()  # field-aggregated (variance under the spatial mass)
 print(f"generalized indices: S={np.round(agg['first'], 3).tolist()}, "
       f"interaction share {1 - float(np.sum(agg['first'])):.4f}")
 assert np.all(agg["total"] >= agg["first"] - 1e-12)
+
+# --- parameter identification (inverse problem) ---------------------------
+# calibrate parameters from observed sensor values: batched multi-start
+# Gauss–Newton with the analytic rank-1 Jacobian, one compiled program
+p_true = np.array([[0.31, 0.72], [0.66, 0.44]])
+obs = np.asarray(vd.sensors(pts)(jnp.asarray(p_true)))
+p_hat, resnorm = vd.fit_parameters(pts, obs, n_iter=40)
+err = np.abs(p_hat - p_true).max()
+print(f"fit_parameters: recovered {p_hat.round(6).tolist()} "
+      f"(true {p_true.tolist()}), max |Δp| {err:.2e}, "
+      f"residuals {resnorm.round(12).tolist()}")
+assert err < 1e-4
 print("OK")
