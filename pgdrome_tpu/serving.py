@@ -339,7 +339,8 @@ class Vademecum:
         return mean, np.maximum(var, 0.0)
 
     def fit_parameters(self, points, observations, p0=None, n_starts=8,
-                       seed=0, n_iter=30, damping=1e-9):
+                       seed=0, n_iter=30, damping=1e-9,
+                       return_covariance=False):
         """Identify the parameters behind observed sensor values: batched
         box-projected Gauss–Newton on ``‖sensor(p) − obs‖²`` with the
         analytic rank-1 Jacobian (parallel.vademecum.make_fit_fn) —
@@ -352,10 +353,15 @@ class Vademecum:
         (the least-squares landscape of a multi-mode vademecum is
         multimodal; a single start finds local optima).
 
-        Returns ``(p_hat (B, d_p), resnorm (B,))``.  Accuracy follows
-        the serving dtype (f64 ≈ 1e-9, f32 ≈ 1e-4 — the normal
-        equations square the conditioning).  The reference has no
-        inverse capability; its closest workflow is per-sample
+        Returns ``(p_hat (B, d_p), resnorm (B,))``; with
+        ``return_covariance=True`` additionally the LINEARIZED posterior
+        covariance ``cov (B, d_p, d_p)`` = σ̂²(JᵀJ)⁻¹ at p_hat with
+        σ̂² = resnorm²/(n_out − d_p) — the standard Gauss–Newton
+        calibration-uncertainty estimate (exact for models linear in p,
+        a curvature approximation otherwise; needs n_out > d_p).
+        Accuracy follows the serving dtype (f64 ≈ 1e-9, f32 ≈ 1e-4 —
+        the normal equations square the conditioning).  The reference
+        has no inverse capability; its closest workflow is per-sample
         scipy.optimize over evaluate() calls."""
         from pgdrome_tpu.parallel.vademecum import make_fit_fn
 
@@ -389,22 +395,38 @@ class Vademecum:
                     f"p0 must be ({B}, {d_p}), got {p0.shape}"
                 )
             p_hat, res = fn(obs, p0.astype(obs.dtype))
-            return np.asarray(p_hat), np.asarray(res)
-        from scipy.stats import qmc
+            p_hat, res = np.asarray(p_hat), np.asarray(res)
+        else:
+            from scipy.stats import qmc
 
-        S = int(n_starts)
-        starts = qmc.LatinHypercube(d=d_p, seed=seed).random(S)
-        # shrink 2% off the box edges: the clip boundary is a GN fixed
-        # point, edge starts waste their run there
-        starts = lo + (0.02 + 0.96 * starts) * (hi - lo)
-        obs_t = jnp.repeat(obs, S, axis=0)                # (B·S, n_out)
-        p0_t = jnp.asarray(np.tile(starts, (B, 1)), obs.dtype)
-        p_all, r_all = fn(obs_t, p0_t)
-        p_all = np.asarray(p_all).reshape(B, S, d_p)
-        r_all = np.asarray(r_all).reshape(B, S)
-        best = np.argmin(r_all, axis=1)
-        idx = np.arange(B)
-        return p_all[idx, best], r_all[idx, best]
+            S = int(n_starts)
+            starts = qmc.LatinHypercube(d=d_p, seed=seed).random(S)
+            # shrink 2% off the box edges: the clip boundary is a GN
+            # fixed point, edge starts waste their run there
+            starts = lo + (0.02 + 0.96 * starts) * (hi - lo)
+            obs_t = jnp.repeat(obs, S, axis=0)            # (B·S, n_out)
+            p0_t = jnp.asarray(np.tile(starts, (B, 1)), obs.dtype)
+            p_all, r_all = fn(obs_t, p0_t)
+            p_all = np.asarray(p_all).reshape(B, S, d_p)
+            r_all = np.asarray(r_all).reshape(B, S)
+            best = np.argmin(r_all, axis=1)
+            idx = np.arange(B)
+            p_hat, res = p_all[idx, best], r_all[idx, best]
+        if not return_covariance:
+            return p_hat, res
+        n_out = int(obs.shape[1])
+        if n_out <= d_p:
+            raise ValueError(
+                f"return_covariance needs n_out > d_p "
+                f"({n_out} sensors for {d_p} parameters)"
+            )
+        J = np.asarray(
+            self.sensors_jacobian(points)(jnp.asarray(p_hat)), np.float64
+        )  # (B, n_out, d_p)
+        JtJ = np.einsum("bod,boe->bde", J, J)
+        sigma2 = res.astype(np.float64) ** 2 / (n_out - d_p)
+        cov = sigma2[:, None, None] * np.linalg.inv(JtJ)
+        return p_hat, res, cov
 
     def _fit_points(self, points):
         return np.asarray(points, dtype=np.float64)

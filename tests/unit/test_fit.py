@@ -76,6 +76,35 @@ class TestRecovery:
         np.testing.assert_allclose(p_hat, p_true, atol=5e-3)
 
 
+class TestCovariance:
+    def test_formula(self, vd):
+        rng = np.random.default_rng(5)
+        p_true = np.array([[0.45, 0.55]])
+        clean = np.asarray(vd.sensors(PTS)(jnp.asarray(p_true)))
+        sigma = 1e-6
+        obs = clean + rng.normal(0, sigma, clean.shape)
+        p_hat, res, cov = vd.fit_parameters(PTS, obs, n_iter=40,
+                                            return_covariance=True)
+        assert cov.shape == (1, 2, 2)
+        # manual: sigma_hat^2 (J^T J)^-1 at p_hat
+        J = np.asarray(vd.sensors_jacobian(PTS)(jnp.asarray(p_hat)))
+        s2 = res[0] ** 2 / (len(PTS) - 2)
+        man = s2 * np.linalg.inv(J[0].T @ J[0])
+        np.testing.assert_allclose(cov[0], man, rtol=1e-10)
+        # SPD and roughly at the noise scale
+        ev = np.linalg.eigvalsh(cov[0])
+        assert np.all(ev > 0)
+        assert np.all(np.sqrt(np.diag(cov[0])) < 100 * sigma / 1e-2)
+
+    def test_needs_overdetermined(self, vd):
+        obs = np.asarray(vd.sensors(np.array([0.4, 0.6]))(
+            jnp.asarray([[0.5, 0.5]])
+        ))
+        with pytest.raises(ValueError, match="n_out > d_p"):
+            vd.fit_parameters(np.array([0.4, 0.6]), obs,
+                              return_covariance=True)
+
+
 class TestValidation:
     def test_bad_obs_shape(self, vd):
         with pytest.raises(ValueError, match="observations"):
