@@ -59,7 +59,12 @@ from pgdrome_tpu.recipes import (
     two_stage_minres,
 )
 from pgdrome_tpu.serving import TransientVademecum, Vademecum
-from pgdrome_tpu.uq import factor_stats, sobol_from_stats
+from pgdrome_tpu.uq import (
+    factor_stats,
+    main_effect,
+    sobol_from_stats,
+    sobol_group,
+)
 from pgdrome_tpu.utils.pgd_config import PGDConfig
 
 __version__ = "0.1.0"
@@ -104,7 +109,9 @@ __all__ = [
     "TransientVademecum",
     "Vademecum",
     "factor_stats",
+    "main_effect",
     "sobol_from_stats",
+    "sobol_group",
     "adaptive_cascade",
     "residual_cascade",
     "two_stage_elliptic",
