@@ -97,6 +97,36 @@ class TestShardedSweep:
         np.testing.assert_allclose(errs, 0.0, atol=1e-14)
 
 
+class TestShardedFit:
+    def test_dp_sharded_identification(self, solved):
+        """Batch calibration scales over the device mesh: the fit
+        program is pure batch, so dp-sharding the (observations, p0)
+        inputs GSPMD-partitions every Gauss–Newton step (no aot wrapper
+        here — loaded executables are single-device)."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from pgdrome_tpu.parallel.vademecum import make_fit_fn
+
+        sep, Vs, res = solved
+        modes = [jnp.asarray(np.asarray(m, np.float64)) for m in res.modes]
+        pts = np.array([0.2, 0.4, 0.6, 0.8])
+        fit = make_fit_fn(Vs, modes, res.n_modes, pts, n_iter=30)
+        from pgdrome_tpu.parallel.vademecum import make_sensor_sweep_fn
+
+        sensor = make_sensor_sweep_fn(Vs, modes, res.n_modes, pts,
+                                      method="xla")
+        rng = np.random.default_rng(8)
+        p_true = rng.uniform(0.2, 0.8, size=(16, 2))
+        obs = np.asarray(sensor(jnp.asarray(p_true)))
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+        sh = NamedSharding(mesh, P("dp"))
+        obs_s = jax.device_put(jnp.asarray(obs), sh)
+        p0_s = jax.device_put(jnp.full((16, 2), 0.5), sh)
+        p_hat, r = fit(obs_s, p0_s)
+        np.testing.assert_allclose(np.asarray(p_hat), p_true, atol=1e-6)
+        assert np.all(np.asarray(r) < 1e-9)
+
+
 class TestMultichipTrainStep:
     def test_dryrun_8(self):
         assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
