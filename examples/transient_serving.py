@@ -84,6 +84,28 @@ def main():
     jac = np.asarray(vd.sensors_jacobian(gauges)(samples[:8]))
     print(f"dT/d(P, v) at gauge 0, sample 0: {jac[0, 0]}")
 
+    # inverse problem: recover the hidden (P, v) from gauge readings —
+    # batched multi-start Gauss–Newton with the analytic Jacobian; the
+    # linearized posterior covariance quantifies identifiability
+    gauges4 = np.array([[x_grid[20], t_grid[10]],
+                        [x_grid[30], t_grid[20]],
+                        [x_grid[45], t_grid[30]],
+                        [x_grid[50], t_grid[-1]]])
+    hidden = np.array([[0.4 * P_grid[0] + 0.6 * P_grid[-1],
+                        0.7 * v_grid[0] + 0.3 * v_grid[-1]]],
+                      dtype=np.float32)
+    readings = np.asarray(vd.sensors(gauges4)(hidden))
+    readings = readings + rng.normal(0, 1e-4, readings.shape)  # noise
+    p_hat, rnorm, cov = vd.fit_parameters(
+        gauges4, readings, return_covariance=True
+    )
+    err = np.abs(p_hat - hidden).max()
+    print(f"gauge calibration: recovered (P, v) = "
+          f"{p_hat[0].round(5).tolist()} (hidden "
+          f"{hidden[0].round(5).tolist()}), max |Δ| {err:.1e}, "
+          f"posterior std {np.sqrt(np.diag(cov[0])).round(6).tolist()}")
+    assert err < 1e-2  # f32 serving dtype + 1e-4 gauge noise
+
     # single-file snapshot; reload redoes the flatten
     import tempfile, os
     with tempfile.TemporaryDirectory() as d:
