@@ -322,20 +322,29 @@ def make_sensor_jacobian_fn(spaces, modes, n_modes, points, table=None):
 
 
 def make_fit_fn(spaces, modes, n_modes, points, table=None, n_iter=30,
-                damping=1e-9):
+                damping=1e-9, weights=None, prior=None):
     """Build the jitted batched parameter-identification solver:
     ``fit(observations (B, n_out), p0 (B, d-1)) → (p_hat (B, d-1),
     resnorm (B,))`` — box-projected Gauss–Newton on
 
-        min_p ‖sensor(p) − observations‖²
+        min_p ‖W·(sensor(p) − observations)‖² + ‖Γ·(p − p_prior)‖²
+
+    ``weights``: optional (n_out,) per-observation weights W (e.g.
+    1/σ_o for heteroscedastic gauges; resnorm is then the WEIGHTED
+    norm — a χ statistic when weights are 1/σ).  ``prior``: optional
+    ``(p_prior (d_p,), gamma scalar | (d_p,))`` Tikhonov term — makes
+    UNDERDETERMINED calibration well-posed (fewer sensors than
+    parameters: GN picks the prior-closest point on the observation
+    manifold instead of a damping-seeded arbitrary one).
 
     with the ANALYTIC sensor Jacobian (the same rank-1 contraction as
     :func:`make_sensor_jacobian_fn`; value and derivative factor tables
     share one evaluation pass per iteration).  Everything is one
-    compiled program: ``n_iter`` fixed Gauss–Newton steps under
-    ``lax.scan`` (batch-uniform control flow — no data-dependent
-    branching on TPU), Levenberg damping ``λ = damping·tr(JᵀJ)/d``
-    for rank-deficient spots, iterates clipped to the parameter box
+    compiled program: ``n_iter`` Levenberg–Marquardt steps under
+    ``lax.scan`` with per-sample ADAPTIVE relative damping (trial steps
+    are accepted only on true cost decrease, λ·tr(JᵀJ)/d otherwise
+    grows 4× — all jnp.where, batch-uniform control flow; ``damping``
+    is the λ floor), iterates clipped to the parameter box
     (the factor meshes' bounds — outside them the interpolants
     extrapolate garbage).  The reference has no inverse capability at
     all; per-sample scipy.optimize over evaluate() calls is the closest
@@ -363,9 +372,27 @@ def make_fit_fn(spaces, modes, n_modes, points, table=None, n_iter=30,
         from pgdrome_tpu.utils.aot_cache import array_fingerprint
 
         table_extra = ("tbl", array_fingerprint(table))
+    if weights is not None:
+        weights = np.asarray(weights, dtype=modes0.dtype).reshape(-1)
+        if weights.shape[0] != table.shape[1]:
+            raise ValueError(
+                f"weights must have one entry per output "
+                f"({table.shape[1]}), got {weights.shape[0]}"
+            )
+    if prior is not None:
+        p_prior, gamma = prior
+        p_prior = np.asarray(p_prior, dtype=modes0.dtype).reshape(-1)
+        if p_prior.shape[0] != d_p:
+            raise ValueError(f"p_prior must be ({d_p},)")
+        gamma2 = np.broadcast_to(
+            np.asarray(gamma, dtype=modes0.dtype) ** 2, (d_p,)
+        ).copy()
     key = _serving_key(
         "fit", spaces, n_modes, modes,
         extra=(pts.tobytes(), pts.shape, int(n_iter), float(damping),
+               (weights.tobytes() if weights is not None else b""),
+               (p_prior.tobytes() + gamma2.tobytes()
+                if prior is not None else b""),
                *table_extra),
     )
     mode_mask = (np.arange(n_max) < n_modes).astype(modes0.dtype)
@@ -379,12 +406,9 @@ def make_fit_fn(spaces, modes, n_modes, points, table=None, n_iter=30,
     hi = jnp.asarray([float(s.mesh().coordinates().max())
                       for s in spaces[1:]], dtype=modes0.dtype)
 
-    def _residual_and_jac(p, obs):
+    def _residual(p, obs, with_jac):
         vals = [evaluate_modes_1d(spaces[j], modes[j], p[:, j - 1])
                 for j in range(1, nd)]
-        dvals = [evaluate_modes_1d(spaces[j], modes[j], p[:, j - 1],
-                                   derivative=True)
-                 for j in range(1, nd)]
         fac = mask[None, :]
         for v in vals:
             fac = fac * v
@@ -392,6 +416,11 @@ def make_fit_fn(spaces, modes, n_modes, points, table=None, n_iter=30,
             fac = jnp.pad(fac, ((0, 0), (0, k_pad)))
         r = jnp.einsum("bk,kp->bp", fac, table_mm,
                        precision=_PREC) - obs
+        if not with_jac:
+            return r, None
+        dvals = [evaluate_modes_1d(spaces[j], modes[j], p[:, j - 1],
+                                   derivative=True)
+                 for j in range(1, nd)]
         cols = []
         for j in range(d_p):
             fj = mask[None, :] * dvals[j]
@@ -404,22 +433,64 @@ def make_fit_fn(spaces, modes, n_modes, points, table=None, n_iter=30,
                                    precision=_PREC))
         return r, jnp.stack(cols, axis=-1)  # (B, n_out), (B, n_out, d_p)
 
+    w_j = jnp.asarray(weights) if weights is not None else None
+    if prior is not None:
+        pp_j, g2_j = jnp.asarray(p_prior), jnp.asarray(gamma2)
+
     def fit(obs, p0):
         eye = jnp.eye(d_p, dtype=obs.dtype)
 
-        def step(p, _):
-            r, J = _residual_and_jac(p, obs)
-            JtJ = jnp.einsum("bod,boe->bde", J, J, precision=_PREC)
-            g = jnp.einsum("bod,bo->bd", J, r, precision=_PREC)
-            lam = damping * jnp.trace(JtJ, axis1=-2, axis2=-1) / d_p
-            lam = lam + jnp.finfo(obs.dtype).tiny
-            delta = jnp.linalg.solve(
-                JtJ + lam[:, None, None] * eye, -g[..., None]
-            )[..., 0]
-            return jnp.clip(p + delta, lo, hi), None
+        def cost_of(p, r):
+            if w_j is not None:
+                r = r * w_j[None, :]
+            c = jnp.sum(r * r, axis=-1)
+            if prior is not None:
+                c = c + jnp.sum(g2_j[None, :] * (p - pp_j[None, :]) ** 2,
+                                axis=-1)
+            return c
 
-        p, _ = jax.lax.scan(step, p0, None, length=int(n_iter))
-        r, _ = _residual_and_jac(p, obs)
+        # Levenberg–Marquardt with per-sample adaptive RELATIVE damping
+        # (λ scales tr(JᵀJ)/d): a trial step is accepted only if the
+        # TRUE cost decreases, else the iterate stays and λ grows 4× —
+        # plain fixed-damping Gauss–Newton overshoots along
+        # near-nullspace directions (measured: a 1000:1-weighted fit
+        # jumped cost 7.7e-6 → 0.41 in one step and box-clipped into a
+        # boundary fixed point).  All control flow is jnp.where —
+        # batch-uniform, scan-compiled.
+        def step(state, _):
+            p, lam = state
+            r, J = _residual(p, obs, with_jac=True)
+            if w_j is not None:
+                rw = r * w_j[None, :]
+                Jw = J * w_j[None, :, None]
+            else:
+                rw, Jw = r, J
+            JtJ = jnp.einsum("bod,boe->bde", Jw, Jw, precision=_PREC)
+            g = jnp.einsum("bod,bo->bd", Jw, rw, precision=_PREC)
+            if prior is not None:
+                JtJ = JtJ + jnp.diag(g2_j)[None]
+                g = g + g2_j[None, :] * (p - pp_j[None, :])
+            scale = (jnp.trace(JtJ, axis1=-2, axis2=-1) / d_p
+                     + jnp.finfo(obs.dtype).tiny)
+            delta = jnp.linalg.solve(
+                JtJ + (lam * scale)[:, None, None] * eye, -g[..., None]
+            )[..., 0]
+            p_try = jnp.clip(p + delta, lo, hi)
+            r_try, _ = _residual(p_try, obs, with_jac=False)
+            better = cost_of(p_try, r_try) < cost_of(p, r)
+            p_new = jnp.where(better[:, None], p_try, p)
+            lam_new = jnp.clip(
+                jnp.where(better, lam / 3.0, lam * 4.0),
+                damping, 1e10,
+            )
+            return (p_new, lam_new), None
+
+        lam0 = jnp.full((p0.shape[0],), max(1e-3, damping), obs.dtype)
+        (p, _), _ = jax.lax.scan(step, (p0, lam0), None,
+                                 length=int(n_iter))
+        r, _ = _residual(p, obs, with_jac=False)
+        if w_j is not None:
+            r = r * w_j[None, :]
         return p, jnp.sqrt(jnp.sum(r * r, axis=-1))
 
     return aot_jit(jax.jit(fit), key)

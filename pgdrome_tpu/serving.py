@@ -339,8 +339,8 @@ class Vademecum:
         return mean, np.maximum(var, 0.0)
 
     def fit_parameters(self, points, observations, p0=None, n_starts=8,
-                       seed=0, n_iter=30, damping=1e-9,
-                       return_covariance=False):
+                       seed=0, n_iter=30, damping=1e-9, weights=None,
+                       prior=None, return_covariance=False):
         """Identify the parameters behind observed sensor values: batched
         box-projected Gauss–Newton on ``‖sensor(p) − obs‖²`` with the
         analytic rank-1 Jacobian (parallel.vademecum.make_fit_fn) —
@@ -351,7 +351,11 @@ class Vademecum:
         explicit starts (B, d_p) — otherwise ``n_starts`` Latin-hypercube
         starts per observation are raced and the best residual wins
         (the least-squares landscape of a multi-mode vademecum is
-        multimodal; a single start finds local optima).
+        multimodal; a single start finds local optima).  ``weights``:
+        per-observation (n_out,) weights (1/σ_o → resnorm is a χ
+        statistic); ``prior=(p_prior, gamma)``: Tikhonov pull toward
+        p_prior — makes underdetermined gauge sets well-posed (see
+        make_fit_fn).
 
         Returns ``(p_hat (B, d_p), resnorm (B,))``; with
         ``return_covariance=True`` additionally the LINEARIZED posterior
@@ -366,13 +370,19 @@ class Vademecum:
         from pgdrome_tpu.parallel.vademecum import make_fit_fn
 
         key = ("fit", np.asarray(points, np.float64).tobytes(),
-               int(n_iter), float(damping))
+               int(n_iter), float(damping),
+               (np.asarray(weights, np.float64).tobytes()
+                if weights is not None else b""),
+               (np.asarray(prior[0], np.float64).tobytes()
+                + np.asarray(prior[1], np.float64).tobytes()
+                if prior is not None else b""))
         fn = self._sensor_cache.get(key)
         if fn is None:
             fn = make_fit_fn(
                 self.spaces, self._modes, self.n_modes,
                 self._fit_points(points), table=self._fit_table(points),
-                n_iter=n_iter, damping=damping,
+                n_iter=n_iter, damping=damping, weights=weights,
+                prior=prior,
             )
             self._sensor_cache[key] = fn
             while len(self._sensor_cache) > self._sensor_cache_max:
@@ -423,6 +433,10 @@ class Vademecum:
         J = np.asarray(
             self.sensors_jacobian(points)(jnp.asarray(p_hat)), np.float64
         )  # (B, n_out, d_p)
+        if weights is not None:
+            # resnorm is already the weighted norm; weight J to match
+            J = J * np.asarray(weights, np.float64).reshape(-1)[None, :,
+                                                                None]
         JtJ = np.einsum("bod,boe->bde", J, J)
         sigma2 = res.astype(np.float64) ** 2 / (n_out - d_p)
         cov = sigma2[:, None, None] * np.linalg.inv(JtJ)

@@ -76,6 +76,72 @@ class TestRecovery:
         np.testing.assert_allclose(p_hat, p_true, atol=5e-3)
 
 
+class TestWeightsAndPrior:
+    def test_weights_chi_statistic(self, vd):
+        rng = np.random.default_rng(17)
+        p_true = np.array([[0.5, 0.5]])
+        clean = np.asarray(vd.sensors(PTS)(jnp.asarray(p_true)))
+        sig = np.array([1e-6, 2e-6, 5e-7, 1e-6])
+        obs = clean + rng.normal(0, 1.0, clean.shape) * sig
+        p_hat, chi = vd.fit_parameters(PTS, obs, weights=1.0 / sig,
+                                       n_iter=40)
+        # weighted residual norm ~ sqrt(dof): order-one chi statistic
+        assert 0.05 < chi[0] < 10.0
+        np.testing.assert_allclose(p_hat, p_true, atol=1e-3)
+
+    def test_weights_change_optimum(self, vd):
+        # inconsistent observations (sensor 0 from a different p): from
+        # the SAME start, the unweighted fit moves away from matching
+        # sensor 0 (balances all four), the heavily-weighted one stays
+        # pinned to it
+        p_a = np.array([[0.3, 0.6]])
+        p_b = np.array([[0.6, 0.3]])
+        obs = np.asarray(vd.sensors(PTS)(jnp.asarray(p_a)))
+        obs_b = np.asarray(vd.sensors(PTS)(jnp.asarray(p_b)))
+        mixed = obs.copy()
+        mixed[0, 0] = obs_b[0, 0]  # sensor 0 disagrees
+        w_hi = np.array([1000.0, 1.0, 1.0, 1.0])
+        p1, _ = vd.fit_parameters(PTS, mixed, p0=p_b, n_iter=40)
+        p2, _ = vd.fit_parameters(PTS, mixed, p0=p_b, weights=w_hi,
+                                  n_iter=40)
+        r1 = np.asarray(vd.sensors(PTS)(jnp.asarray(p1)))[0, 0] - mixed[0, 0]
+        r2 = np.asarray(vd.sensors(PTS)(jnp.asarray(p2)))[0, 0] - mixed[0, 0]
+        assert abs(r2) < 0.1 * abs(r1)
+        # weighted resnorm IS the weighted norm (chi convention)
+        _, rn = vd.fit_parameters(PTS, mixed, p0=p_b, weights=w_hi,
+                                  n_iter=40)
+        f = np.asarray(vd.sensors(PTS)(
+            jnp.asarray(vd.fit_parameters(PTS, mixed, p0=p_b,
+                                          weights=w_hi, n_iter=40)[0])
+        ))
+        man = np.linalg.norm((f - mixed) * w_hi[None, :], axis=1)
+        np.testing.assert_allclose(rn, man, rtol=1e-8)
+
+    def test_prior_resolves_underdetermined(self, vd):
+        # ONE sensor, TWO parameters: the solution manifold is a curve;
+        # the Tikhonov prior picks the prior-closest point on it
+        pt1 = np.array([0.5])
+        p_true = np.array([[0.4, 0.6]])
+        obs = np.asarray(vd.sensors(pt1)(jnp.asarray(p_true)))
+        p_prior = np.array([0.35, 0.55])
+        p_hat, res = vd.fit_parameters(
+            pt1, obs, prior=(p_prior, 1e-4), n_iter=60,
+        )
+        # on the manifold (observation matched up to the tiny Tikhonov
+        # bias — gamma trades a ~gamma²·|Δp| manifold violation)...
+        fitted = np.asarray(vd.sensors(pt1)(jnp.asarray(p_hat)))
+        np.testing.assert_allclose(fitted, obs, atol=1e-6)
+        # ...and near the prior, NOT at an arbitrary point
+        assert np.linalg.norm(p_hat[0] - p_prior) < 0.08
+
+    def test_prior_validation(self, vd):
+        obs = np.ones((1, 4))
+        with pytest.raises(ValueError, match="p_prior"):
+            vd.fit_parameters(PTS, obs, prior=(np.ones(3), 1.0))
+        with pytest.raises(ValueError, match="weights"):
+            vd.fit_parameters(PTS, obs, weights=np.ones(3))
+
+
 class TestCovariance:
     def test_formula(self, vd):
         rng = np.random.default_rng(5)
@@ -117,7 +183,8 @@ class TestValidation:
     def test_cached_program(self, vd):
         obs = np.asarray(vd.sensors(PTS)(jnp.asarray([[0.5, 0.5]])))
         vd.fit_parameters(PTS, obs)
-        key = ("fit", np.asarray(PTS, np.float64).tobytes(), 30, 1e-9)
+        key = ("fit", np.asarray(PTS, np.float64).tobytes(), 30, 1e-9,
+               b"", b"")
         assert key in vd._sensor_cache
 
 
