@@ -100,5 +100,6 @@ err = np.abs(p_hat - p_true).max()
 print(f"fit_parameters: recovered {p_hat.round(6).tolist()} "
       f"(true {p_true.tolist()}), max |Δp| {err:.2e}, "
       f"residuals {resnorm.round(12).tolist()}")
-assert err < 1e-4
+# f64 CPU path recovers to roundoff; the TPU path serves f32 (~1e-3)
+assert err < (5e-3 if os.environ.get("SERVING_ANALYTICS_TPU") else 1e-4)
 print("OK")

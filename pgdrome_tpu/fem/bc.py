@@ -43,8 +43,17 @@ def _on_boundary_mask(V: FunctionSpace) -> np.ndarray:
         # DG dofs are per-cell (no vertex-indexed layout): a dof is on
         # the boundary iff its coordinate lies ON a boundary facet
         # (geometric test against the topological boundary — the bbox
-        # fallback below would mark ~nothing on a non-box mesh)
-        return _points_on_facets_mask(mesh, pts)
+        # fallback below would mark ~nothing on a non-box mesh).
+        # Candidate filter first: only dofs of boundary-ADJACENT cells
+        # can lie on a facet, which cuts the O(n_facets·n_dofs)
+        # geometric test by the interior/boundary cell ratio
+        vmask = mesh.boundary_vertex_mask()
+        bcells = vmask[mesh.cells()].any(axis=1)          # (nc,)
+        cand = np.unique(V.element_dofs[bcells].ravel())
+        mask = np.zeros(len(pts), dtype=bool)
+        if cand.size:
+            mask[cand] = _points_on_facets_mask(mesh, pts[cand])
+        return mask
     mask = np.zeros(len(pts), dtype=bool)
     for ax, (lo, hi) in enumerate(mesh.bounds):
         mask |= np.abs(pts[:, ax] - lo) < 1e-12

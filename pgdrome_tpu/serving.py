@@ -369,7 +369,8 @@ class Vademecum:
         scipy.optimize over evaluate() calls."""
         from pgdrome_tpu.parallel.vademecum import make_fit_fn
 
-        key = ("fit", np.asarray(points, np.float64).tobytes(),
+        pts_arr = np.asarray(points, np.float64)
+        key = ("fit", pts_arr.tobytes(), pts_arr.shape,
                int(n_iter), float(damping),
                (np.asarray(weights, np.float64).tobytes()
                 if weights is not None else b""),
@@ -377,6 +378,8 @@ class Vademecum:
                 + np.asarray(prior[1], np.float64).tobytes()
                 if prior is not None else b""))
         fn = self._sensor_cache.get(key)
+        if fn is not None:
+            self._sensor_cache.move_to_end(key)
         if fn is None:
             fn = make_fit_fn(
                 self.spaces, self._modes, self.n_modes,
@@ -419,7 +422,20 @@ class Vademecum:
             p_all, r_all = fn(obs_t, p0_t)
             p_all = np.asarray(p_all).reshape(B, S, d_p)
             r_all = np.asarray(r_all).reshape(B, S)
-            best = np.argmin(r_all, axis=1)
+            # pick the winner by the FULL objective each start minimized:
+            # with a prior, two starts can reach near-equal data residual
+            # at different manifold points — the regularized cost is what
+            # distinguishes the prior-closest one
+            cost_all = r_all**2
+            if prior is not None:
+                g2 = np.broadcast_to(
+                    np.asarray(prior[1], np.float64) ** 2, (d_p,)
+                )
+                pp = np.asarray(prior[0], np.float64).reshape(-1)
+                cost_all = cost_all + np.sum(
+                    g2 * (p_all - pp) ** 2, axis=-1
+                )
+            best = np.argmin(cost_all, axis=1)
             idx = np.arange(B)
             p_hat, res = p_all[idx, best], r_all[idx, best]
         if not return_covariance:
@@ -438,6 +454,14 @@ class Vademecum:
             J = J * np.asarray(weights, np.float64).reshape(-1)[None, :,
                                                                 None]
         JtJ = np.einsum("bod,boe->bde", J, J)
+        if prior is not None:
+            # the linearized posterior of the REGULARIZED objective:
+            # σ̂²(JᵀJ + Γ²)⁻¹ — without the prior precision, a gauge set
+            # that is well-posed only because of the prior gets a
+            # near-singular JᵀJ and garbage (1e10+) 'posterior' entries
+            JtJ = JtJ + np.diag(np.broadcast_to(
+                np.asarray(prior[1], np.float64) ** 2, (d_p,)
+            ))[None]
         sigma2 = res.astype(np.float64) ** 2 / (n_out - d_p)
         cov = sigma2[:, None, None] * np.linalg.inv(JtJ)
         return p_hat, res, cov

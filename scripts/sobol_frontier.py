@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--points", type=float, nargs="*", default=[0.5])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    # (float(beta), int(q)) — CLI floats would change the setup-cache
+    # key vs the frontier runs and force a minutes-long d=10 rebuild
+    args.boost = (float(args.boost[0]), int(args.boost[1]))
 
     from pgdrome_tpu.fem.assembly import load_vector, stiffness_matrix
     from pgdrome_tpu.fem.mesh import IntervalMesh

@@ -134,6 +134,39 @@ class TestWeightsAndPrior:
         # ...and near the prior, NOT at an arbitrary point
         assert np.linalg.norm(p_hat[0] - p_prior) < 0.08
 
+    def test_multistart_winner_uses_regularized_cost(self, vd):
+        # underdetermined + prior with MULTI-START (no p0): every start
+        # reaches near-zero data residual somewhere on the manifold; the
+        # winner must be chosen by the full regularized cost, i.e. land
+        # near the prior, not at an arbitrary manifold point
+        pt1 = np.array([0.5])
+        p_true = np.array([[0.4, 0.6]])
+        obs = np.asarray(vd.sensors(pt1)(jnp.asarray(p_true)))
+        p_prior = np.array([0.38, 0.58])
+        p_hat, _ = vd.fit_parameters(pt1, obs, prior=(p_prior, 1e-4),
+                                     n_starts=8, n_iter=60)
+        assert np.linalg.norm(p_hat[0] - p_prior) < 0.08
+
+    def test_covariance_includes_prior_precision(self, vd):
+        # a gauge set well-posed ONLY through the prior: without the
+        # prior precision in the linearized posterior, (J^T J)^{-1}
+        # explodes along the unconstrained direction
+        pts3 = np.array([0.48, 0.5, 0.52])  # nearly-redundant sensors
+        p_true = np.array([[0.4, 0.6]])
+        rng = np.random.default_rng(23)
+        obs = np.asarray(vd.sensors(pts3)(jnp.asarray(p_true)))
+        obs = obs + rng.normal(0, 1e-7, obs.shape)
+        gamma = 0.05
+        p_hat, res, cov = vd.fit_parameters(
+            pts3, obs, prior=(np.array([0.4, 0.6]), gamma),
+            return_covariance=True,
+        )
+        # bounded by the prior: std along ANY direction <= sigma_hat/gamma
+        sig2 = res[0] ** 2 / (len(pts3) - 2)
+        ev = np.linalg.eigvalsh(cov[0])
+        assert np.all(ev > 0)
+        assert ev.max() <= sig2 / gamma**2 * (1 + 1e-9)
+
     def test_prior_validation(self, vd):
         obs = np.ones((1, 4))
         with pytest.raises(ValueError, match="p_prior"):
@@ -183,8 +216,8 @@ class TestValidation:
     def test_cached_program(self, vd):
         obs = np.asarray(vd.sensors(PTS)(jnp.asarray([[0.5, 0.5]])))
         vd.fit_parameters(PTS, obs)
-        key = ("fit", np.asarray(PTS, np.float64).tobytes(), 30, 1e-9,
-               b"", b"")
+        key = ("fit", np.asarray(PTS, np.float64).tobytes(), PTS.shape,
+               30, 1e-9, b"", b"")
         assert key in vd._sensor_cache
 
 
