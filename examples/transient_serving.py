@@ -21,6 +21,13 @@ import pathlib
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
+import os
+
+import jax
+
+if not os.environ.get("PGDROME_EXAMPLE_TPU"):
+    jax.config.update("jax_platforms", "cpu")  # TPU opt-in via env
+
 import numpy as np
 
 import pgdrome_tpu.config as cfg

@@ -14,6 +14,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import time
 
+import jax
+
+if not os.environ.get("PGDROME_EXAMPLE_TPU"):
+    jax.config.update("jax_platforms", "cpu")  # TPU opt-in via env
+
 import numpy as np
 
 import pgdrome_tpu.config as cfg
