@@ -96,9 +96,9 @@ def main():
     # aggregated (generalized) indices over the spatial mass measure
     from pgdrome_tpu.fem.assembly import mass_matrix
 
-    W = np.asarray(mass_matrix(Vx), np.float64)
+    W = mass_matrix(Vx, sparse=True).tocsr()  # banded: O(nnz·R) product
     vol = float(np.sum(Vx.q_weights))
-    B = modes0 @ W @ modes0.T / vol
+    B = modes0 @ (W @ modes0.T) / vol
     agg = sobol_from_stats(stats, out_gram=B, second_order=True)
     t_agg = time.perf_counter() - t0
     log(f"aggregated indices in {t_agg:.1f}s "
