@@ -466,6 +466,65 @@ class Vademecum:
         cov = sigma2[:, None, None] * np.linalg.inv(JtJ)
         return p_hat, res, cov
 
+    def design_sensors(self, candidates, k, samples=None):
+        """D-optimal sensor placement for parameter identification:
+        greedily pick ``k`` of the ``candidates`` (same point contract
+        as :meth:`sensors`) maximizing ``det(JᵀJ)`` of the resulting
+        calibration problem — the volume of the posterior confidence
+        ellipsoid of :meth:`fit_parameters` shrinks as 1/√det.
+
+        J rows are the analytic parameter sensitivities of each
+        candidate response, averaged (in the Gram) over ``samples``
+        (default: the parameter-box center) so the design is not tuned
+        to a single nominal point.  Greedy with the standard
+        information-matrix update (exact for k ≤ d_p where det grows
+        from zero rank, 1−1/e-competitive beyond); O(n_cand·k·d_p²)
+        host work after one Jacobian sweep.
+
+        Returns ``(indices (k,), points (k, …))`` into/from the
+        candidate array.  The reference has no experiment-design story
+        at all."""
+        cands = np.asarray(candidates, np.float64)
+        n_cand = cands.shape[0] if cands.ndim > 1 else cands.shape[0]
+        k = int(k)
+        if not 1 <= k <= n_cand:
+            raise ValueError(f"k must be in 1..{n_cand}, got {k}")
+        d_p = self.num_dims - 1
+        if samples is None:
+            lo = np.array([float(s.mesh().coordinates().min())
+                           for s in self.spaces[1:]])
+            hi = np.array([float(s.mesh().coordinates().max())
+                           for s in self.spaces[1:]])
+            samples = (0.5 * (lo + hi))[None, :]
+        samples = jnp.asarray(np.asarray(samples, np.float64))
+        J = np.asarray(self.sensors_jacobian(candidates)(samples),
+                       np.float64)            # (S, n_out, d_p)
+        vs = max(1, J.shape[1] // n_cand)     # value_size outputs/point
+        # per-candidate information atoms, sample-averaged:
+        # A_c = mean_s Σ_comp J_sc J_scᵀ  (d_p, d_p)
+        A = np.einsum("sod,soe->ode", J, J) / J.shape[0]
+        A = A.reshape(n_cand, vs, d_p, d_p).sum(axis=1)
+        chosen: list = []
+        # regularized det: M starts at eps·I so det is defined below
+        # rank d_p and the greedy still orders by information gain
+        eps = 1e-12 * (np.trace(A, axis1=1, axis2=2).max() + 1e-300)
+        M = np.eye(d_p) * eps
+        avail = np.ones(n_cand, dtype=bool)
+        for _ in range(k):
+            Minv = np.linalg.inv(M)
+            # det(M + A_c) = det(M)·det(I + Minv A_c): rank-d_p form,
+            # evaluated for every available candidate at once
+            gain = np.linalg.det(
+                np.eye(d_p)[None] + np.einsum("de,cef->cdf", Minv, A)
+            )
+            gain[~avail] = -np.inf
+            c = int(np.argmax(gain))
+            chosen.append(c)
+            avail[c] = False
+            M = M + A[c]
+        idx = np.asarray(chosen)
+        return idx, cands[idx]
+
     def _fit_points(self, points):
         return np.asarray(points, dtype=np.float64)
 

@@ -221,6 +221,62 @@ class TestValidation:
         assert key in vd._sensor_cache
 
 
+class TestDesignSensors:
+    def _additive(self):
+        from pgdrome_tpu.fem.mesh import IntervalMesh
+        from pgdrome_tpu.fem.space import FunctionSpace
+        from pgdrome_tpu.separated import PGDResult
+
+        Vx = FunctionSpace(IntervalMesh(10, 0.0, 1.0), "P", 2)
+        Vp = FunctionSpace(IntervalMesh(6, 0.0, 1.0), "P", 1)
+        Vq = FunctionSpace(IntervalMesh(6, 0.0, 1.0), "P", 2)
+        x = Vx.dof_coords[:, 0]
+        p = Vp.dof_coords[:, 0]
+        q = Vq.dof_coords[:, 0]
+        res = PGDResult(
+            modes=[np.stack([x, x * x]),
+                   np.stack([p, np.ones_like(p)]),
+                   np.stack([np.ones_like(q), q * q])],
+            n_modes=2, amplitudes=np.ones(2), alpha=np.ones(2),
+            fp_its=np.ones(2, int), normU0=1.0,
+        )
+        return Vademecum([Vx, Vp, Vq], res, dtype=np.float64)
+
+    def test_analytic_optimum(self):
+        # u = x·p + x²·q²: at the box center the Jacobian row of a
+        # sensor at x is [x, x²]; the D-optimal pair over a grid
+        # maximizes x1²x2²(x2−x1)² → {0.5, 1.0}
+        vd = self._additive()
+        cands = np.round(np.linspace(0.1, 1.0, 19), 4)
+        idx, pts = vd.design_sensors(cands, 2)
+        assert set(np.round(pts, 2)) == {0.5, 1.0}
+
+    def test_beats_clustered_design(self):
+        # posterior volume with the designed sensors must beat a
+        # clustered (nearly redundant) gauge set
+        rng = np.random.default_rng(31)
+        vd = self._additive()
+        cands = np.linspace(0.1, 1.0, 19)
+        _, good = vd.design_sensors(cands, 3)
+        bad = np.array([0.48, 0.5, 0.52])
+        p_true = np.array([[0.4, 0.6]])
+        for pts, label in [(good, "good"), (bad, "bad")]:
+            obs = np.asarray(vd.sensors(pts)(jnp.asarray(p_true)))
+            obs = obs + rng.normal(0, 1e-6, obs.shape)
+            _, _, cov = vd.fit_parameters(pts, obs, n_iter=40,
+                                          return_covariance=True)
+            if label == "good":
+                det_good = np.linalg.det(cov[0])
+            else:
+                det_bad = np.linalg.det(cov[0])
+        assert det_good < det_bad
+
+    def test_validation(self):
+        vd = self._additive()
+        with pytest.raises(ValueError, match="k must be"):
+            vd.design_sensors(np.linspace(0, 1, 5), 9)
+
+
 class TestTransient:
     def test_spacetime_recovery(self):
         from pgdrome_tpu.fem.mesh import IntervalMesh
