@@ -707,11 +707,47 @@ def cpu_baseline(n_modes_target):
     return measured, measured, n_done, False
 
 
+def _start_backend_probe():
+    """Probe the TPU tunnel in a subprocess, launched BEFORE the
+    host-side build so its network wait overlaps free host time (the
+    axon plugin can wedge the importing process for many minutes when
+    the tunnel is down — a raw hang-then-traceback is what this
+    replaces)."""
+    import subprocess
+
+    return subprocess.Popen(
+        [sys.executable, "-c", "import jax; jax.devices()"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+    )
+
+
+def _require_backend(probe, timeout_s=420):
+    """Fail FAST and HONESTLY when the probe says the TPU is down:
+    print a parseable diagnostic JSON line, exit nonzero."""
+    try:
+        _, err = probe.communicate(timeout=timeout_s)
+        if probe.returncode == 0:
+            return
+        reason = (err.decode(errors="replace").strip()
+                  .splitlines() or ["backend init failed"])[-1][:200]
+    except Exception:
+        probe.kill()
+        reason = f"backend init timed out after {timeout_s}s"
+    print(json.dumps({
+        "metric": "time_to_1e-6", "value": None, "unit": "s",
+        "vs_baseline": None, "error": "tpu_unreachable",
+        "error_detail": reason,
+    }), flush=True)
+    sys.exit(1)
+
+
 def main():
     import pgdrome_tpu.config as cfg
 
+    probe = _start_backend_probe()
     cfg.use_full_f32_matmul()  # bf16-default matmuls would cost ~4e-3 acc.
     sep_pc64, tf, Vs, meta, t_setup, setup_cache_status = build()
+    _require_backend(probe)
 
     res, t_solve, t_first_call, aot_status = tpu_solve(sep_pc64)
 
