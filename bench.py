@@ -718,10 +718,17 @@ def _start_backend_probe():
     return subprocess.Popen(
         [sys.executable, "-c", "import jax; jax.devices()"],
         stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+        # nice 19: the probe's ~4 s of import CPU must not time-slice
+        # against the TIMED build() on the 1-core host (CLAUDE.md
+        # invariant; the probe is otherwise network wait)
+        preexec_fn=lambda: os.nice(19),
     )
 
 
-def _require_backend(probe, timeout_s=420):
+def _require_backend(probe, timeout_s=1500):
+    # 1500 s, not less: documented server stalls reach 20+ min while the
+    # tunnel is ALIVE (CLAUDE.md stall discipline) — a shorter timeout
+    # would misreport a recoverable stall as a hard outage
     """Fail FAST and HONESTLY when the probe says the TPU is down:
     print a parseable diagnostic JSON line, exit nonzero."""
     try:

@@ -95,7 +95,10 @@ def _simplex_gradients(V: FunctionSpace, bar: np.ndarray) -> np.ndarray:
     if cache is None:
         cache = {}
         mesh._basis_grad_cache = cache
-    key = (V.degree, bar.shape[0])
+    # key on the point VALUES, not just the count — same-degree callers
+    # with a different same-size point set must not get stale gradients
+    key = (V.degree, bar.shape[0],
+           hash(np.ascontiguousarray(bar).tobytes()))
     if key in cache:
         return cache[key]
     if tdim == 2:

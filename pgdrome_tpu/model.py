@@ -517,9 +517,12 @@ class PGD:
         return np.abs(np.asarray(new(self.pos))).max()
 
     # ----------------------------------------------------------- derivative
-    def create_derivation_fct(self, free_dim, attri):
+    def create_derivation_fct(self, free_dim, attri, direction=0):
         """Derivative interpolants on DG(degree-1)
-        (reference model.py:1088-1206)."""
+        (reference model.py:1088-1206).  ``direction``: spatial
+        component for multi-D SCALAR dims (the reference hardcodes
+        ``f.dx(0)``; vector dims always build the full ∇ tensor and
+        ignore it)."""
         if len(free_dim) > self.num_pgd_var:
             raise ValueError("too many dimensions")
         if attri > len(self.mesh[free_dim[0]].attributes):
@@ -533,7 +536,18 @@ class PGD:
                 )
             att.derivationfct = list()
             for k in range(self.numModes):
-                att.derivationfct.append(derivative_function(att.interpolationfct[k]))
+                att.derivationfct.append(
+                    derivative_function(att.interpolationfct[k],
+                                        direction=direction)
+                )
+            # rebuilt derivatives invalidate any cached fixed-mode
+            # derivative tables (e.g. a direction switch must not serve
+            # stale sensor responses)
+            self._eval_fixed_modes = {
+                key: v for key, v in self._eval_fixed_modes.items()
+                if not (key[2] == free_dim[i] and key[3] == attri
+                        and key[4])
+            }
 
     def evaluate_derivative(self, fixed_dim, free_dim, coord, attri, d_dim):
         """Reconstruction with the d_dim factor replaced by its derivative

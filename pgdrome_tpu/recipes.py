@@ -542,8 +542,10 @@ def highd_frontier(num_params, *, bound=1e-6, n_x=1024, n_p=128,
       FEM-verifies the worst ``screen_top_k``
       (:func:`parallel.certify.screened_verify`), with a one-off FEM
       confirmation sweep of the ``final_fem_corners`` worst-screened
-      corners at the end — the claimed bound is a MEASURED maximum,
-      not an estimate.
+      corners at the end — the claimed ``final['max']`` is the max of
+      the FEM-MEASURED worst sets AND η-calibrated (1.5× safety)
+      estimates for every unmeasured screened corner/edge candidate,
+      each reported separately in the artifact.
 
     Returns ``(best_result, report)``; ``report`` carries the verified
     maxima, rank, the per-stage history (the error-vs-rank law) and the
@@ -689,10 +691,25 @@ def highd_frontier(num_params, *, bound=1e-6, n_x=1024, n_p=128,
                 eta * rs[np.argsort(rs)[:-k]].max()
             )
         ev = screen(best, edge_cands)
-        worst_e = edge_cands[np.argsort(ev)[-screen_top_k:]]
-        final["edges_fem_max"] = float(
-            verifier.sample_errors(best, worst_e).max()
-        )
+        e_order = np.argsort(ev)
+        worst_e = edge_cands[e_order[-screen_top_k:]]
+        te_e = verifier.sample_errors(best, worst_e)
+        final["edges_fem_max"] = float(te_e.max())
+        final["edges_fem_n"] = int(len(worst_e))
+        if screen_top_k < len(edge_cands):
+            # the f32 screener's effectivity can under-rank a pocket:
+            # like the corners, the UNMEASURED edge candidates get an
+            # eta-calibrated estimate (eta fit on the measured worst
+            # set, 1.5x safety) that participates in the claimed max —
+            # a 'measured maximum' that silently ignored 2016 screened
+            # edges would repeat the round-3 5-param edge-pocket miss
+            eta_e = 1.5 * float(
+                (te_e / np.maximum(ev[e_order[-screen_top_k:]],
+                                   1e-300)).max()
+            )
+            final["edges_rest_estimate"] = float(
+                eta_e * ev[e_order[:-screen_top_k]].max()
+            )
         final["interior_fem_max"] = float(
             verifier.sample_errors(best, interior_small).max()
         )
@@ -707,6 +724,7 @@ def highd_frontier(num_params, *, bound=1e-6, n_x=1024, n_p=128,
         final.get("edges_fem_max", 0.0),
         final.get("interior_fem_max", 0.0),
         final.get("corners_rest_estimate", 0.0),
+        final.get("edges_rest_estimate", 0.0),
     )
 
     # resumed legs extend the prior artifact's history so the shipped

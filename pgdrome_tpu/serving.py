@@ -485,7 +485,7 @@ class Vademecum:
         candidate array.  The reference has no experiment-design story
         at all."""
         cands = np.asarray(candidates, np.float64)
-        n_cand = cands.shape[0] if cands.ndim > 1 else cands.shape[0]
+        n_cand = cands.shape[0]
         k = int(k)
         if not 1 <= k <= n_cand:
             raise ValueError(f"k must be in 1..{n_cand}, got {k}")

@@ -191,6 +191,30 @@ class TestModelLayerFixedDimDerivative(unittest.TestCase):
             )[:, 0]
         np.testing.assert_allclose(out, manual, atol=1e-12)
 
+    def test_scalar_direction_1(self):
+        # model-layer access to ∂/∂x1 for 2D scalar dims: the direction
+        # parameter of create_derivation_fct (the reference hardcodes
+        # dx(0); serving gradient() was previously the only way)
+        pgd, Vx, Vp, modes_x, modes_p = self._build_pgd()
+        pgd.create_derivation_fct([0], 0, direction=1)
+        p = [1.37]
+        D = pgd.evaluate_derivative(0, [1], p, 0, d_dim=0)
+        fk = np.array(
+            [
+                eval_dofs_at_points(Vp, m.array, np.asarray(p))[0]
+                for m in modes_p
+            ]
+        )
+        pts = np.array([[0.31, 0.62], [0.77, 0.18]])
+        served = eval_dofs_at_points(D.function_space(), D.array, pts)
+        manual = np.zeros_like(served)
+        for k, mx in enumerate(modes_x):
+            G = gradient_function(mx)
+            manual += fk[k] * np.asarray(
+                eval_dofs_at_points(G.function_space(), G.array, pts)
+            )[:, 1]  # the x1 component
+        np.testing.assert_allclose(served, manual, atol=1e-12)
+
     def test_vector_fixed_dim_tensor(self):
         pgd, Vx, Vp, modes_x, modes_p = self._build_pgd(vector=True)
         D = pgd.evaluate_derivative(0, [1], [1.5], 0, d_dim=0)

@@ -847,13 +847,18 @@ class TestHighdFrontier:
         assert report["screened_verification"] is True
         fin = report["verified"]
         for key in ("corners_fem_max", "edges_fem_max",
-                    "interior_fem_max", "corners_rest_estimate", "max"):
+                    "interior_fem_max", "corners_rest_estimate",
+                    "edges_rest_estimate", "max"):
             assert key in fin, key
-        # 4 of the 8 corners FEM-measured, the rest estimated
+        # 4 of the 8 corners FEM-measured, the rest estimated; same
+        # discipline for the 16-4 unmeasured edge candidates
         assert fin["corners_fem_n"] == 4
+        assert fin["edges_fem_n"] == 4
         assert fin["max"] >= max(fin["corners_fem_max"],
                                  fin["edges_fem_max"],
-                                 fin["interior_fem_max"])
+                                 fin["interior_fem_max"],
+                                 fin["corners_rest_estimate"],
+                                 fin["edges_rest_estimate"])
         # stage history keeps the screened audit trail (ADVICE round 3)
         assert all(h.get("screened") for h in report["history"])
         assert all("eta" in h and "measured_max" in h
