@@ -62,6 +62,7 @@ from pgdrome_tpu.serving import TransientVademecum, Vademecum
 from pgdrome_tpu.uq import (
     factor_stats,
     main_effect,
+    output_covariance,
     sobol_from_stats,
     sobol_group,
 )
@@ -110,6 +111,7 @@ __all__ = [
     "Vademecum",
     "factor_stats",
     "main_effect",
+    "output_covariance",
     "sobol_from_stats",
     "sobol_group",
     "adaptive_cascade",

@@ -585,6 +585,21 @@ class Vademecum:
                                table=self._sobol_table(points))
         return sobol_group(stats, group, out_gram=self._output_gram())
 
+    def output_covariance(self, points, densities=None):
+        """EXACT mean and covariance matrix of the sensor responses
+        under the parameter measure (uq.output_covariance): returns
+        ``(mean (n_out,), cov (n_out, n_out))`` — closed-form through
+        the separated structure, no sampling.  Same points/densities
+        contract as :meth:`sobol`; cov's diagonal equals the per-output
+        Sobol' ``variance``.  This is the exact quantity
+        :meth:`moments` Monte-Carlo-estimates per field dof — here for
+        sensor sets, WITH the cross-covariances (assimilation, QoI
+        correlation, sensor-redundancy screening)."""
+        from pgdrome_tpu.uq import output_covariance
+
+        return output_covariance(self._factor_stats(densities),
+                                 self._sobol_table(points))
+
     def main_effect(self, j, values, points, densities=None):
         """Closed-form ANOVA main-effect curve of parameter ``j`` at the
         given sensor ``points``: returns ``(mean (n_out,), effect

@@ -172,6 +172,42 @@ def sobol_from_stats(stats, table=None, out_gram=None, second_order=False):
     return out
 
 
+def output_covariance(stats, table):
+    """Exact mean vector and covariance MATRIX of the outputs under the
+    parameter measure:
+
+        mean_a     = E[u(x_a)]
+        Cov[a, b]  = E[u(x_a) u(x_b)] - mean_a mean_b
+                   = sum_kl t_ka t_lb ( prod_j G_j - prod_j m_j m_j^T )_kl
+
+    closed-form through the same per-dim factor moments as the Sobol'
+    machinery (``factor_stats``) — no sampling.  table: (R, n_out) dim-0
+    output weights per mode (mode values at sensor points).  Returns
+    ``(mean (n_out,), cov (n_out, n_out))``; cov's diagonal equals the
+    per-output ANOVA ``variance`` of ``sobol_from_stats``, and it is
+    the exact covariance that Monte-Carlo ``Vademecum.moments`` only
+    estimates.  O(R^2 (d + n_out)) host f64.
+
+    Uses: observation-noise-free data covariance for assimilation /
+    Kalman updates, correlation between QoIs, low-rank surrogate
+    screening of sensor redundancy (complements D-optimal design,
+    which targets PARAMETER information instead)."""
+    t = np.asarray(table, np.float64)
+    if t.ndim != 2 or t.shape[0] != stats[0][0].shape[0]:
+        raise ValueError(
+            f"table must be (R={stats[0][0].shape[0]}, n_out), "
+            f"got {t.shape}"
+        )
+    P = np.ones_like(stats[0][0])
+    for m, _ in stats:
+        P = P * m
+    mean = P @ t
+    K = _mixed_product(stats, range(len(stats)))  # (R, R): prod_j G_j
+    cov = t.T @ K @ t - np.outer(mean, mean)
+    # exact symmetry is structural; enforce it against roundoff
+    return mean, 0.5 * (cov + cov.T)
+
+
 def main_effect(stats, j, factor_values, table):
     """Closed-form ANOVA main-effect curve of parameter ``j``:
 

@@ -454,6 +454,87 @@ class TestBruteForceRandom:
                                    rtol=1e-8)
 
 
+class TestOutputCovariance:
+    def test_analytic_additive(self, additive):
+        # u = x·p + x²·q²: Cov(u(a), u(b)) = ab·Var(p) + a²b²·Var(q²)
+        pts = np.array([0.3, 0.7, 1.0])
+        mean, cov = additive.output_covariance(pts)
+        np.testing.assert_allclose(mean, pts / 2 + pts**2 / 3, rtol=1e-12)
+        expect = (np.outer(pts, pts) / 12
+                  + np.outer(pts**2, pts**2) * (4 / 45))
+        np.testing.assert_allclose(cov, expect, rtol=1e-12)
+        # diagonal == per-output ANOVA variance
+        out = additive.sobol(points=pts)
+        np.testing.assert_allclose(np.diag(cov), out["variance"],
+                                   rtol=1e-12)
+
+    def test_random_modes_brute_force(self):
+        from pgdrome_tpu.fem.interpolate import eval_dofs_at_points
+
+        rng = np.random.default_rng(3)
+        K = 5
+        Vx = _space(5, 2)
+        Vps = [_space(4, 1), _space(5, 2)]
+        modes = [rng.standard_normal((K, V.dof_coords.shape[0]))
+                 for V in [Vx] + Vps]
+        vd = Vademecum([Vx] + Vps, _result(modes), dtype=np.float64)
+        pts = np.array([0.2, 0.55, 0.9])
+        mean, cov = vd.output_covariance(pts)
+        # brute force on per-cell Gauss tensor grid (exact for the
+        # piecewise-polynomial integrand)
+        weights, vals = [], []
+        for V, m in zip(Vps, modes[1:]):
+            x = V.q_points.reshape(-1)
+            w = V.q_weights.reshape(-1)
+            weights.append(w / w.sum())
+            vals.append(np.stack([
+                np.asarray(eval_dofs_at_points(V, m[k], x))
+                for k in range(K)
+            ]))
+        a = np.stack([
+            np.asarray(eval_dofs_at_points(Vx, modes[0][k], pts))
+            for k in range(K)
+        ])
+        u = np.einsum("kp,ka,kb->pab", a, *vals)
+        w1, w2 = weights
+        mean_bf = np.einsum("pab,a,b->p", u, w1, w2)
+        cov_bf = (np.einsum("pab,qab,a,b->pq", u, u, w1, w2)
+                  - np.outer(mean_bf, mean_bf))
+        np.testing.assert_allclose(mean, mean_bf, rtol=1e-11)
+        np.testing.assert_allclose(cov, cov_bf, rtol=1e-9, atol=1e-13)
+        # symmetric PSD (up to roundoff)
+        np.testing.assert_allclose(cov, cov.T, rtol=0, atol=0)
+        assert np.linalg.eigvalsh(cov).min() > -1e-12
+
+    def test_transient_diag_matches_sobol(self):
+        Vx, Vt, Vp = _space(6, 1), _space(5, 1), _space(7, 1)
+        x = Vx.dof_coords[:, 0]
+        t = Vt.dof_coords[:, 0]
+        p = Vp.dof_coords[:, 0]
+        res = _result([
+            np.stack([x, x * x]),
+            np.stack([t, np.ones_like(t)]),
+            np.stack([p, p * p]),
+        ])
+        vd = TransientVademecum([Vx, Vt, Vp], res, field_dims=2,
+                                dtype=np.float64)
+        pts = np.array([[0.5, 0.2], [1.0, 1.0]])
+        mean, cov = vd.output_covariance(pts)
+        out = vd.sobol(points=pts)
+        np.testing.assert_allclose(mean, out["mean"], rtol=1e-12)
+        np.testing.assert_allclose(np.diag(cov), out["variance"],
+                                   rtol=1e-12)
+
+    def test_bad_table_shape(self):
+        from pgdrome_tpu.uq import output_covariance
+
+        Vp = _space(4, 1)
+        p = Vp.dof_coords[:, 0]
+        stats = factor_stats([Vp], [np.stack([p, p * p])], 2)
+        with pytest.raises(ValueError, match="table must be"):
+            output_covariance(stats, np.ones((3, 2)))
+
+
 class TestErrorPaths:
     def test_bad_density_count(self, additive):
         with pytest.raises(ValueError, match="one entry per parameter"):
