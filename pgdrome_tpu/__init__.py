@@ -60,11 +60,13 @@ from pgdrome_tpu.recipes import (
 )
 from pgdrome_tpu.serving import TransientVademecum, Vademecum
 from pgdrome_tpu.uq import (
+    effective_sample_size,
     factor_stats,
     main_effect,
     output_covariance,
     sobol_from_stats,
     sobol_group,
+    split_rhat,
 )
 from pgdrome_tpu.utils.pgd_config import PGDConfig
 
@@ -110,8 +112,10 @@ __all__ = [
     "TransientVademecum",
     "Vademecum",
     "factor_stats",
+    "effective_sample_size",
     "main_effect",
     "output_covariance",
+    "split_rhat",
     "sobol_from_stats",
     "sobol_group",
     "adaptive_cascade",

@@ -466,6 +466,186 @@ class Vademecum:
         cov = sigma2[:, None, None] * np.linalg.inv(JtJ)
         return p_hat, res, cov
 
+    def sample_posterior(self, points, observation, sigma, n_samples=1000,
+                         n_chains=64, burn=0.5, n_adapt=4, adapt_steps=150,
+                         seed=0, prior=None, target_accept=0.3):
+        """Sample the FULL Bayesian posterior of the parameters given
+        observed sensor values — batched random-walk Metropolis over the
+        vademecum (parallel.bayes.make_mcmc_fn): all ``n_chains`` chains
+        advance together, one table contraction per step, the whole
+        sampler one compiled program.
+
+        Model: obs = sensor(p) + N(0, diag(σ²)), p ~ uniform on the
+        parameter box, optionally × Gaussian ``prior=(p_prior, gamma)``
+        with γ = 1/σ_prior (the :meth:`fit_parameters` convention — the
+        MAP of that fit is the mode of this posterior).  ``sigma``:
+        scalar or (n_out,) observation noise.
+
+        Pipeline: (1) MAP via :meth:`fit_parameters` + Laplace
+        (JᵀΣ⁻¹J + Γ²)⁻¹ proposal shape from the analytic Jacobian;
+        (2) ``n_adapt`` short adaptation rounds tune the global step
+        scale to ``target_accept`` and re-estimate the proposal shape
+        from the pooled walkers (all rounds reuse ONE executable —
+        scale/shape are runtime inputs); (3) the main run, first
+        ``burn`` fraction discarded.  Adaptation stops before the kept
+        samples, so the recorded chain is a valid Markov chain.
+
+        Returns dict: ``samples (n_samples·n_chains, d_p)`` (pooled
+        post-burn draws), ``chains (n_samples, n_chains, d_p)``,
+        ``acceptance``, ``r_hat (d_p,)`` / ``ess (d_p,)``
+        (uq.split_rhat / uq.effective_sample_size — check r_hat ≤ 1.05
+        before trusting intervals), ``p_map``, ``logpost_sigma_note``.
+        Accuracy follows the serving dtype (build the vademecum with
+        ``dtype=np.float64`` for tight posteriors — f32 likelihoods
+        blur below σ ~1e-4 relative).  The reference has no Bayesian
+        capability; its closest workflow is per-sample scipy over
+        ``evaluate()`` calls."""
+        import jax
+
+        from pgdrome_tpu.parallel.bayes import make_mcmc_fn
+        from pgdrome_tpu.uq import effective_sample_size, split_rhat
+
+        if n_chains < 2:
+            raise ValueError("n_chains must be >= 2 (R-hat needs them)")
+        if n_samples < 4:
+            raise ValueError("n_samples must be >= 4")
+        dtype = np.asarray(self._modes[0]).dtype
+        obs = np.asarray(observation, np.float64).reshape(-1)
+        n_out = obs.shape[0]
+        d_p = self.num_dims - 1
+        sig = np.broadcast_to(
+            np.asarray(sigma, np.float64).reshape(-1), (n_out,)
+        ).astype(np.float64)
+        if np.any(sig <= 0):
+            raise ValueError("sigma must be positive")
+        lo = np.array([float(s.mesh().coordinates().min())
+                       for s in self.spaces[1:]])
+        hi = np.array([float(s.mesh().coordinates().max())
+                       for s in self.spaces[1:]])
+        rng = np.random.default_rng(seed)
+
+        # --- MAP + Laplace proposal shape ------------------------------
+        p_map, _ = self.fit_parameters(
+            points, obs[None], weights=1.0 / sig, prior=prior,
+            n_starts=8, seed=seed,
+        )
+        p_map = np.asarray(p_map, np.float64)[0]
+        J = np.asarray(
+            self.sensors_jacobian(points)(
+                jnp.asarray(p_map[None], dtype)
+            ), np.float64,
+        )[0]  # (n_out, d_p)
+        Jw = J / sig[:, None]
+        H = Jw.T @ Jw
+        if prior is not None:
+            H = H + np.diag(np.broadcast_to(
+                np.asarray(prior[1], np.float64) ** 2, (d_p,)
+            ))
+        # Laplace covariance; fall back to box-scaled diagonal where the
+        # information matrix is (near-)singular
+        jitter = 1e-12 * max(np.trace(H) / d_p, 1e-300)
+        try:
+            cov0 = np.linalg.inv(H + jitter * np.eye(d_p))
+        except np.linalg.LinAlgError:
+            cov0 = np.diag(((hi - lo) / 20.0) ** 2)
+        if not np.all(np.isfinite(cov0)):
+            cov0 = np.diag(((hi - lo) / 20.0) ** 2)
+        # cap the proposal at the box scale: a flat likelihood direction
+        # must not fling every proposal outside the box
+        box_var = ((hi - lo) / 2.0) ** 2
+        s = np.sqrt(np.minimum(np.diag(cov0), box_var)
+                    / np.maximum(np.diag(cov0), 1e-300))
+        cov0 = cov0 * np.outer(s, s)
+
+        def _chol(C):
+            C = 0.5 * (C + C.T)
+            eps = 1e-12 * max(np.trace(C) / d_p, 1e-300)
+            for _ in range(8):
+                try:
+                    return np.linalg.cholesky(C + eps * np.eye(d_p))
+                except np.linalg.LinAlgError:
+                    eps *= 100.0
+            return np.diag(np.sqrt(np.maximum(np.diag(C), 1e-300)))
+
+        chol = _chol(cov0)
+        scale = 2.38 / np.sqrt(d_p)
+
+        # --- chain starts: MAP + proposal-shaped scatter, kept in-box --
+        starts = p_map[None, :] + rng.standard_normal(
+            (int(n_chains), d_p)
+        ) @ chol.T
+        margin = 1e-6 * (hi - lo)
+        starts = np.clip(starts, lo + margin, hi - margin)
+
+        def _fn(steps):
+            key = ("mcmc", self._fit_points(points).tobytes(),
+                   np.asarray(points).shape, int(steps),
+                   (np.asarray(prior[0], np.float64).tobytes()
+                    + np.asarray(prior[1], np.float64).tobytes()
+                    if prior is not None else b""))
+            fn = self._sensor_cache.get(key)
+            if fn is None:
+                fn = make_mcmc_fn(
+                    self.spaces, self._modes, self.n_modes,
+                    self._fit_points(points),
+                    table=self._fit_table(points),
+                    n_steps=int(steps), prior=prior,
+                )
+                self._sensor_cache[key] = fn
+                while len(self._sensor_cache) > self._sensor_cache_max:
+                    self._sensor_cache.popitem(last=False)
+            else:
+                self._sensor_cache.move_to_end(key)
+            return fn
+
+        obs_j = jnp.asarray(obs, dtype)
+        sig_j = jnp.asarray(sig, dtype)
+        state = jnp.asarray(starts, dtype)
+
+        # --- adaptation: tune scale to target_accept, re-estimate the
+        # proposal shape from the pooled walkers ------------------------
+        if n_adapt > 0:
+            fn_a = _fn(adapt_steps)
+            for i in range(int(n_adapt)):
+                key = jax.random.PRNGKey(
+                    np.uint32(rng.integers(0, 2**31 - 1))
+                )
+                chain, n_acc = fn_a(obs_j, sig_j, state,
+                                    jnp.asarray(chol, dtype),
+                                    jnp.asarray(scale, dtype), key)
+                state = chain[-1]
+                acc = float(np.mean(np.asarray(n_acc))) / adapt_steps
+                scale *= float(np.exp(1.5 * (acc - target_accept)))
+                scale = float(np.clip(scale, 1e-4, 1e2))
+                pool = np.asarray(
+                    chain[adapt_steps // 2:], np.float64
+                ).reshape(-1, d_p)
+                cov_emp = np.cov(pool.T).reshape(d_p, d_p)
+                if (np.all(np.isfinite(cov_emp))
+                        and np.trace(cov_emp) > 0):
+                    chol = _chol(cov_emp)
+
+        # --- main run --------------------------------------------------
+        n_burn = int(np.ceil(float(burn) * n_samples))
+        n_total = int(n_samples) + n_burn
+        fn_m = _fn(n_total)
+        key = jax.random.PRNGKey(np.uint32(rng.integers(0, 2**31 - 1)))
+        chain, n_acc = fn_m(obs_j, sig_j, state,
+                            jnp.asarray(chol, dtype),
+                            jnp.asarray(scale, dtype), key)
+        kept = np.asarray(chain, np.float64)[n_burn:]
+        acc = float(np.mean(np.asarray(n_acc))) / n_total
+        return {
+            "samples": kept.reshape(-1, d_p),
+            "chains": kept,
+            "acceptance": acc,
+            "r_hat": split_rhat(kept),
+            "ess": effective_sample_size(kept),
+            "p_map": p_map,
+            "proposal_scale": scale,
+            "proposal_chol": chol,
+        }
+
     def design_sensors(self, candidates, k, samples=None):
         """D-optimal sensor placement for parameter identification:
         greedily pick ``k`` of the ``candidates`` (same point contract

@@ -237,6 +237,72 @@ def main_effect(stats, j, factor_values, table):
     return mean, effect
 
 
+def split_rhat(chains):
+    """Split-chain Gelman–Rubin R̂ per dimension.
+
+    chains: (L, C, d) — L post-burn samples from C chains.  Each chain
+    is split in half (2C sequences of length L//2), R̂² = (within-seq
+    variance blended with between-seq variance) / within.  R̂ ≈ 1 at
+    convergence; > 1.01–1.05 means the chains have not mixed.  Returns
+    (d,) f64; a dimension with zero within-chain variance (all chains
+    stuck) returns inf unless the between-variance is zero too (a
+    genuinely deterministic dim → 1.0)."""
+    x = np.asarray(chains, np.float64)
+    if x.ndim != 3 or x.shape[0] < 4:
+        raise ValueError(f"chains must be (L>=4, C, d), got {x.shape}")
+    half = x.shape[0] // 2
+    x = np.concatenate([x[:half], x[half : 2 * half]], axis=1)
+    n = half
+    means = x.mean(axis=0)                      # (2C, d)
+    W = x.var(axis=0, ddof=1).mean(axis=0)      # (d,)
+    B = n * means.var(axis=0, ddof=1)           # (d,)
+    var_plus = (n - 1) / n * W + B / n
+    with np.errstate(divide="ignore", invalid="ignore"):
+        r = np.sqrt(var_plus / W)
+    return np.where(W > 0, r, np.where(B > 0, np.inf, 1.0))
+
+
+def effective_sample_size(chains):
+    """Effective sample size per dimension (Stan-style: split chains,
+    chain-averaged autocovariance against the blended variance,
+    Geyer initial-positive-sequence truncation).
+
+    chains: (L, C, d) post-burn samples.  Returns (d,) f64 — ≈ L·C for
+    independent draws, much smaller for sticky chains; the Monte-Carlo
+    s.e. of a posterior mean is std/√ESS."""
+    x = np.asarray(chains, np.float64)
+    if x.ndim != 3 or x.shape[0] < 4:
+        raise ValueError(f"chains must be (L>=4, C, d), got {x.shape}")
+    half = x.shape[0] // 2
+    x = np.concatenate([x[:half], x[half : 2 * half]], axis=1)
+    n, m, d = x.shape
+    xc = x - x.mean(axis=0, keepdims=True)
+    # per-chain autocovariance via FFT, biased (1/n) normalization
+    nfft = 1 << int(np.ceil(np.log2(2 * n)))
+    f = np.fft.rfft(xc, n=nfft, axis=0)
+    acov = np.fft.irfft(f * np.conj(f), n=nfft, axis=0)[:n].real / n
+    acov_m = acov.mean(axis=1)                  # (n, d) chain-averaged
+    W = x.var(axis=0, ddof=1).mean(axis=0)
+    B = n * x.mean(axis=0).var(axis=0, ddof=1)
+    var_plus = (n - 1) / n * W + B / n
+    ess = np.empty(d)
+    for j in range(d):
+        if var_plus[j] <= 0:
+            ess[j] = n * m  # deterministic dim: no MC error at all
+            continue
+        rho = 1.0 - (W[j] - acov_m[:, j]) / var_plus[j]
+        # Geyer: sum lag pairs (2t, 2t+1) while the pair sum is positive
+        s, t = 0.0, 1
+        while t + 1 < n:
+            pair = rho[t] + rho[t + 1]
+            if pair < 0:
+                break
+            s += pair
+            t += 2
+        ess[j] = n * m / max(1.0, 1.0 + 2.0 * s)
+    return ess
+
+
 def sobol_group(stats, group, table=None, out_gram=None):
     """Closed and total Sobol' indices of a GROUP of parameter dims.
 
