@@ -102,4 +102,33 @@ print(f"fit_parameters: recovered {p_hat.round(6).tolist()} "
       f"residuals {resnorm.round(12).tolist()}")
 # f64 CPU path recovers to roundoff; the TPU path serves f32 (~1e-3)
 assert err < (5e-3 if os.environ.get("SERVING_ANALYTICS_TPU") else 1e-4)
+
+# --- exact sensor covariance ---------------------------------------------
+# closed-form mean + covariance MATRIX of the sensor responses under the
+# parameter measure (uq.output_covariance) — the exact quantity moments()
+# Monte-Carlo-estimates, with the cross terms (assimilation priors,
+# sensor-redundancy screening)
+cmean, ccov = vd.output_covariance(pts)
+corr = ccov / np.sqrt(np.outer(np.diag(ccov), np.diag(ccov)))
+print(f"output_covariance: sensor stds {np.sqrt(np.diag(ccov)).round(5).tolist()}, "
+      f"corr(x=0.25, x=0.75) = {corr[0, 2]:.4f}")
+
+# --- Bayesian calibration (full posterior, not just the MAP) --------------
+# noisy observations of ONE true parameter point: sample the exact
+# posterior with batched MCMC chains over the vademecum; R-hat/ESS
+# diagnostics come back with the draws
+p_star = np.array([0.58, 0.37])
+y_clean = np.asarray(vd.sensors(pts)(jnp.asarray(p_star[None])))[0]
+sigma = 0.01 * float(np.abs(y_clean).max())
+y_obs = y_clean + rng.normal(0.0, sigma, y_clean.shape)
+post = vd.sample_posterior(pts, y_obs, sigma, n_samples=1500,
+                           n_chains=32, seed=4)
+pm, ps = post["samples"].mean(0), post["samples"].std(0)
+print(f"sample_posterior: mean {pm.round(4).tolist()} ± "
+      f"{ps.round(4).tolist()} (true {p_star.tolist()}), "
+      f"acceptance {post['acceptance']:.2f}, "
+      f"R-hat {post['r_hat'].round(3).tolist()}, "
+      f"min ESS {post['ess'].min():.0f}")
+assert np.all(post["r_hat"] < 1.1)
+assert np.all(np.abs(pm - p_star) < 5 * ps + 1e-3)
 print("OK")
