@@ -714,6 +714,75 @@ class Vademecum:
         # product table
         return None
 
+    def _fixed_weights(self, fixed):
+        """Validate ``fixed`` {param index → value} and return the
+        (n_modes,) per-mode weights of the fixed factors' values."""
+        from pgdrome_tpu.separated import evaluate_modes_1d
+
+        d_p = self.num_dims - 1
+        fixed = {int(j): float(v) for j, v in dict(fixed).items()}
+        if not fixed:
+            raise ValueError("fixed must name at least one parameter dim")
+        if not all(0 <= j < d_p for j in fixed):
+            raise ValueError(f"parameter indices must be in 0..{d_p - 1}")
+        if len(fixed) >= d_p:
+            raise ValueError(
+                "at least one parameter dim must stay free (to evaluate "
+                "at a single full parameter point, use fields/sensors)"
+            )
+        w = np.ones(self.n_modes, np.float64)
+        for j, v in fixed.items():
+            V = self.spaces[1 + j]
+            lo = float(V.mesh().coordinates().min())
+            hi = float(V.mesh().coordinates().max())
+            if not lo <= v <= hi:
+                raise ValueError(
+                    f"fixed value {v} for parameter {j} is outside its "
+                    f"box [{lo}, {hi}]"
+                )
+            vals = evaluate_modes_1d(
+                V, np.asarray(self._modes[1 + j], np.float64),
+                np.array([v]), xp=np,
+            )
+            w *= np.asarray(vals, np.float64).reshape(-1)
+        return fixed, w
+
+    def fix_parameters(self, fixed):
+        """Partial evaluation: fold FIXED parameter dims into the dim-0
+        mode weights and return a LOWER-dimensional vademecum over the
+        remaining parameters — every serving path (fields/sensors/
+        streams/sobol/fit/posterior) then runs on the conditional
+        solution u(·; p_free | p_fixed) at full rate.
+
+        fixed: {parameter index (0-based, the fit/sobol convention) →
+        value inside that parameter's box}.  At least one parameter must
+        stay free.  Exact: fixing is evaluation of the separated factors,
+        not approximation — parity with the full vademecum is asserted
+        in tests/unit/test_slice.py.  The reference has no partial-
+        evaluation concept; its evaluate() (model.py:724-860) always
+        takes the full parameter tuple."""
+        from pgdrome_tpu.separated import PGDResult
+
+        fixed, w = self._fixed_weights(fixed)
+        dtype = np.asarray(self._modes[0]).dtype
+        d_p = self.num_dims - 1
+        keep = [j for j in range(d_p) if j not in fixed]
+        new0 = (np.asarray(self._modes[0], np.float64)
+                * w[:, None]).astype(dtype)
+        res = PGDResult(
+            modes=[new0] + [np.asarray(self._modes[1 + j])
+                            for j in keep],
+            n_modes=self.n_modes,
+            amplitudes=np.asarray(self._result.amplitudes),
+            alpha=np.asarray(self._result.alpha),
+            fp_its=np.asarray(self._result.fp_its),
+            normU0=self._result.normU0,
+        )
+        return Vademecum(
+            [self.spaces[0]] + [self.spaces[1 + j] for j in keep],
+            res, method=self._method, dtype=dtype,
+        )
+
     def sobol(self, points=None, densities=None, second_order=False):
         """EXACT Sobol' sensitivity indices of the served solution —
         closed-form through the separated structure (pgdrome_tpu.uq), no
@@ -1218,6 +1287,36 @@ class TransientVademecum(Vademecum):
             [dfs[0].function_space()] + self._all_spaces[1:], res,
             field_dims=self.field_dims, method=self._method,
             dtype=m0.dtype,
+        )
+
+    def fix_parameters(self, fixed):
+        """Partial evaluation over the PARAMETER dims (0-based among
+        parameters, the fit/sobol convention); the space-time field
+        dims always stay.  Fixed factor values fold into the SECOND
+        field dim's modes (exact — any one dim carries the per-mode
+        weights), so the returned TransientVademecum keeps the full
+        (x, t) serving contract over the remaining parameters."""
+        from pgdrome_tpu.separated import PGDResult
+
+        fixed, w = self._fixed_weights(fixed)
+        dtype = np.asarray(self._modes[0]).dtype
+        d_p = self.num_dims - 1
+        keep = [j for j in range(d_p) if j not in fixed]
+        fmods = [np.asarray(m) for m in self._field_modes]
+        fmods[1] = (np.asarray(fmods[1], np.float64)
+                    * w[:, None]).astype(dtype)
+        res = PGDResult(
+            modes=fmods + [np.asarray(self._modes[1 + j]) for j in keep],
+            n_modes=self.n_modes,
+            amplitudes=np.asarray(self._result.amplitudes),
+            alpha=np.asarray(self._result.alpha),
+            fp_its=np.asarray(self._result.fp_its),
+            normU0=self._result.normU0,
+        )
+        return TransientVademecum(
+            self.field_spaces + [self.spaces[1 + j] for j in keep],
+            res, field_dims=self.field_dims, method=self._method,
+            dtype=dtype,
         )
 
     def to_pgd(self, name="vademecum", name_coord=None):
