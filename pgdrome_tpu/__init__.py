@@ -52,6 +52,11 @@ from pgdrome_tpu.separated import (
     galerkin_update,
     normal_equations,
 )
+from pgdrome_tpu.dual import (
+    DualCorrector,
+    adjoint_problem,
+    point_functional,
+)
 from pgdrome_tpu.recipes import (
     adaptive_cascade,
     residual_cascade,
@@ -118,6 +123,9 @@ __all__ = [
     "split_rhat",
     "sobol_from_stats",
     "sobol_group",
+    "DualCorrector",
+    "adjoint_problem",
+    "point_functional",
     "adaptive_cascade",
     "residual_cascade",
     "two_stage_elliptic",
