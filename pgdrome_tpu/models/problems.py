@@ -203,7 +203,7 @@ def parametric_elliptic(
 def elliptic_dense_verifier(Vs, tf=None, n_random: int = 16,
                             seeds=(7, 101, 1234, 777),
                             corner_cap: int | None = None,
-                            n_edge: int = 0):
+                            n_edge: int = 0, rhs_vec=None):
     """Dense held-out verifier for :func:`parametric_elliptic` results:
     returns ``verify(result) -> {"corners", "interior", "max"}`` with the
     max relative L2 error vs a PER-SAMPLE banded f64 FEM solve at all
@@ -221,6 +221,12 @@ def elliptic_dense_verifier(Vs, tf=None, n_random: int = 16,
     corner_cap: verify a fixed-seed corner subset + both all-lo/all-hi
     extremes instead of all 2^d (the full sweep at 10 params costs
     ~6 min of host FEM per call).
+    rhs_vec: verify against per-sample FEM solves of THIS fixed rhs
+    instead of the builder's unit load — e.g. a sensor functional, which
+    makes this the dense verifier for ADJOINT vademecums
+    (:func:`pgdrome_tpu.dual.adjoint_problem`; the elliptic operator is
+    symmetric, so the adjoint FEM solve is the same banded solve with
+    rhs = l).
     n_edge: additionally verify this many EDGE/FACE samples per seed —
     a random 1..d-1 dims pinned at the box extremes, the rest random
     interior grid points.  Corners + random-interior draws never probe
@@ -235,7 +241,10 @@ def elliptic_dense_verifier(Vs, tf=None, n_random: int = 16,
 
     Vx = Vs[0]
     num_params = len(Vs) - 1
-    b_full = load_vector(Vx, lambda x: np.ones_like(x))
+    if rhs_vec is None:
+        b_full = load_vector(Vx, lambda x: np.ones_like(x))
+    else:
+        b_full = np.asarray(rhs_vec, dtype=np.float64)
     grid = Vs[1].tabulate_dof_coordinates()[:, 0]
     lo, hi = grid[1], grid[-2]
     n_c = 2 ** num_params
