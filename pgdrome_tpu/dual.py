@@ -165,6 +165,7 @@ class DualCorrector:
         ])                               # (T, rz, ru)
         self.B = g0 @ Z0.T               # (R, rz)
 
+        self._grids = self._g_ops = self._g_rhs = None
         if theta_ops is None or theta_rhs is None:
             grids = [Vs[1 + j].tabulate_dof_coordinates()[:, 0]
                      for j in range(self.num_params)]
@@ -175,6 +176,10 @@ class DualCorrector:
                      for j in range(self.num_params)]      # (T, n_p)
             g_rhs = [np.asarray(sep.rhs[1 + j]) / w[j][None, :]
                      for j in range(self.num_params)]      # (R, n_p)
+            # retained for the device sweep (make_corrected_sensor_fn):
+            # the tables are P1 grid functions, evaluated on device with
+            # the same mode-table interpolation as the factors
+            self._grids, self._g_ops, self._g_rhs = grids, g_ops, g_rhs
 
             def _theta(tables):
                 def ev(samples):
@@ -230,3 +235,98 @@ class DualCorrector:
         if return_parts:
             return s, s_plain, z_r
         return s
+
+
+def make_corrected_sensor_fn(dc: DualCorrector, *, aot: bool = True):
+    """Device (TPU) sweep of dual-corrected outputs: jitted
+    ``samples (B, d) → (s_corr, s_plain)``, both ``(B,)`` f32.
+
+    Precision design (the correction is a ~1e-5-of-output cancellation;
+    naive f32 einsums would floor it at ~1e-6 relative):
+
+    * the adjoint identity  z_trueᵀ A(p) u_n = lᵀ u_n  pre-cancels the
+      big terms PER PRIMAL MODE:  c_n(p) = L_n − Σ_t θ_t (f_zᵀ C_t)_n
+      is O(dual_err · |u_n|), so the MXU f32 contractions only ever
+      subtract like-sized small quantities (noise/signal ~ eps·√K /
+      dual_err, measured harmless);
+    * the one remaining LARGE reduction, z_r·b(p) (O(output), rz
+      summands), runs compensated in double-f32 on the VPU
+      (ops/ddf32.py) — its f32 rounding alone (~1.4e-7 abs) would
+      dominate the corrected error;
+    * s_corr = z_r·b + Σ_n φ_n(p) c_n(p);  s_plain (returned for the
+      error estimate est = s_corr − s_plain) is a plain f32 reduction —
+      its ~3e-7 abs rounding only perturbs the ESTIMATE by ~1%, never
+      s_corr.
+
+    Requires the corrector's auto-extracted collocation thetas (the
+    tables are interpolated on device exactly like mode factors).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from pgdrome_tpu.ops.ddf32 import dd_from_f64, dd_mul_f, dd_sum
+    from pgdrome_tpu.separated import evaluate_modes_1d
+    from pgdrome_tpu.utils.aot_cache import aot_jit, array_fingerprint
+
+    if dc._g_ops is None:
+        raise ValueError(
+            "make_corrected_sensor_fn needs the auto-extracted "
+            "collocation thetas (explicit theta callables cannot be "
+            "staged onto the device)"
+        )
+    spaces = dc.Vs
+    ru, rz = dc.res_u.n_modes, dc.res_z.n_modes
+    f32 = jnp.float32
+    mu = [jnp.asarray(np.asarray(dc.res_u.modes[1 + j])[:ru], f32)
+          for j in range(dc.num_params)]
+    mz = [jnp.asarray(np.asarray(dc.res_z.modes[1 + j])[:rz], f32)
+          for j in range(dc.num_params)]
+    g_ops = [jnp.asarray(g, f32) for g in dc._g_ops]
+    g_rhs = [jnp.asarray(g, f32) for g in dc._g_rhs]
+    L = jnp.asarray(dc.L, f32)                       # (ru,)
+    C = jnp.asarray(dc.C, f32)                       # (T, rz, ru)
+    B_dd = jnp.asarray(dd_from_f64(dc.B))            # (R, rz, 2)
+    prec = jax.lax.Precision.HIGHEST
+
+    def _prod(tables, samples):
+        out = None
+        for j, tab in enumerate(tables):
+            v = evaluate_modes_1d(spaces[1 + j], tab, samples[:, j])
+            out = v if out is None else out * v
+        return out
+
+    def fn(samples):
+        samples = jnp.asarray(samples, f32)
+        fu = _prod(mu, samples)                      # (B, ru)
+        fz = _prod(mz, samples)                      # (B, rz)
+        th = _prod(g_ops, samples)                   # (B, T)
+        hr = _prod(g_rhs, samples)                   # (B, R)
+        # per-mode pre-cancelled correction coefficients
+        W = jnp.zeros_like(fu)
+        for t in range(C.shape[0]):
+            W = W + th[:, t : t + 1] * jnp.einsum(
+                "bm,mn->bn", fz, C[t], precision=prec)
+        corr = jnp.einsum("bn,bn->b", fu, L[None, :] - W, precision=prec)
+        # z_r · b(p): compensated (dd) over the dual rank
+        ph, pl = dd_mul_f(B_dd[:, None, :, 0], B_dd[:, None, :, 1],
+                          fz[None, :, :])            # (R, B, rz)
+        zb_h, zb_l = dd_sum(ph, pl, axis=2)          # (R, B)
+        zb = jnp.einsum("rb,br->b", zb_h + zb_l, hr, precision=prec)
+        s_plain = jnp.einsum("bn,n->b", fu, L, precision=prec)
+        return zb + corr, s_plain
+
+    jitted = jax.jit(fn)
+    if not aot:
+        return jitted
+    from pgdrome_tpu.parallel.vademecum import _serving_key
+
+    key = _serving_key(
+        "dual_corrected", spaces, ru,
+        [np.asarray(m) for m in dc.res_u.modes[1:]],
+        extra=("dual_v1", int(rz),
+               array_fingerprint(dc.L, dc.B, dc.C,
+                                 *[np.asarray(m) for m in
+                                   dc.res_z.modes[1:]],
+                                 *dc._g_ops, *dc._g_rhs)),
+    )
+    return aot_jit(jitted, key)

@@ -181,6 +181,57 @@ class TestCorrectionAccuracy:
                     < 1e-4 * np.linalg.norm(z_t))
 
 
+class TestDeviceSweep:
+    def test_matches_host_corrector(self):
+        """The jitted f32 device sweep must track the host f64 corrector
+        to ~1e-6 of the OUTPUT (the dd z·b + per-mode pre-cancellation
+        keep the correction's cancellation out of f32), and must keep
+        the corrected accuracy gain."""
+        from pgdrome_tpu.dual import make_corrected_sensor_fn
+
+        num_params = 3
+        sep, Vs = parametric_elliptic(n_x=48, n_p=16,
+                                      num_params=num_params, degree_x=2)
+        res_u, tf_u = _solve(sep, 5)
+        l = point_functional(Vs[0], X0)
+        res_z, tf_z = _solve(adjoint_problem(sep, l), 10)
+        dc = DualCorrector(sep, Vs, l, res_u, tf_u, res_z, tf_z)
+
+        pts = _samples(Vs, num_params, n=16)
+        s_host, s_plain_host, _ = dc.corrected(pts, return_parts=True)
+        fn = make_corrected_sensor_fn(dc, aot=False)
+        s_dev, s_plain_dev = (np.asarray(a) for a in fn(pts))
+
+        scale = np.abs(s_host).max()
+        assert np.abs(s_dev - s_host).max() < 2e-6 * scale
+        assert np.abs(s_plain_dev - s_plain_host).max() < 1e-5 * scale
+        # the device sweep preserves most of the correction: against
+        # FEM truth it must stay far below the plain output error
+        b = load_vector(Vs[0], lambda x: np.ones_like(x))
+        e_p, e_c = [], []
+        for k, p in enumerate(pts):
+            K = _fem(Vs[0], p, num_params)
+            u_t = np.zeros(K.shape[0])
+            u_t[1:-1] = np.linalg.solve(K[1:-1, 1:-1], b[1:-1])
+            s_true = l @ u_t
+            e_p.append(abs(s_plain_host[k] - s_true))
+            e_c.append(abs(s_dev[k] - s_true))
+        assert max(e_c) < 0.05 * max(e_p)
+
+    def test_explicit_theta_rejected(self):
+        from pgdrome_tpu.dual import make_corrected_sensor_fn
+
+        sep, Vs = parametric_elliptic(n_x=24, n_p=8, num_params=2)
+        res_u, tf_u = _solve(sep, 3)
+        l = point_functional(Vs[0], X0)
+        res_z, tf_z = _solve(adjoint_problem(sep, l), 3)
+        dc = DualCorrector(sep, Vs, l, res_u, tf_u, res_z, tf_z,
+                           theta_ops=lambda s: np.ones((len(s), 3)),
+                           theta_rhs=lambda s: np.ones((len(s), 1)))
+        with pytest.raises(ValueError, match="auto-extracted"):
+            make_corrected_sensor_fn(dc, aot=False)
+
+
 class TestValidation:
     def test_galerkin_params_rejected(self):
         sep, _ = parametric_elliptic(n_x=24, n_p=8, num_params=2,
