@@ -232,6 +232,30 @@ class TestDeviceSweep:
             make_corrected_sensor_fn(dc, aot=False)
 
 
+class TestAdjointVerifier:
+    def test_dense_verifier_rhs_vec(self):
+        """elliptic_dense_verifier(rhs_vec=l) measures the ADJOINT
+        vademecum against per-sample FEM adjoint solves — a converged
+        adjoint must verify tight, and a truncated one must verify
+        strictly worse."""
+        from pgdrome_tpu.models.problems import elliptic_dense_verifier
+
+        num_params = 2
+        sep, Vs = parametric_elliptic(n_x=40, n_p=12,
+                                      num_params=num_params, degree_x=2)
+        l = point_functional(Vs[0], X0)
+        res_z, tf_z = _solve(adjoint_problem(sep, l), 14)
+        verify = elliptic_dense_verifier(Vs, tf_z, n_random=8,
+                                         seeds=(7,), rhs_vec=l)
+        v = verify(res_z)
+        assert v["max"] < 5e-5
+        # truncation sensitivity: fewer modes -> measurably worse
+        import dataclasses
+
+        res_trunc = dataclasses.replace(res_z, n_modes=4)
+        assert verify(res_trunc)["max"] > 5.0 * v["max"]
+
+
 class TestValidation:
     def test_galerkin_params_rejected(self):
         sep, _ = parametric_elliptic(n_x=24, n_p=8, num_params=2,
