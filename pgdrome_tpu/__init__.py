@@ -56,6 +56,7 @@ from pgdrome_tpu.dual import (
     DualCorrector,
     adjoint_problem,
     point_functional,
+    rhs_parametric_qoi,
 )
 from pgdrome_tpu.recipes import (
     adaptive_cascade,
@@ -126,6 +127,7 @@ __all__ = [
     "DualCorrector",
     "adjoint_problem",
     "point_functional",
+    "rhs_parametric_qoi",
     "adaptive_cascade",
     "residual_cascade",
     "two_stage_elliptic",

@@ -34,7 +34,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["adjoint_problem", "collocation_weights", "DualCorrector",
-           "point_functional"]
+           "point_functional", "rhs_parametric_qoi"]
 
 
 def point_functional(V, x0):
@@ -235,6 +235,135 @@ class DualCorrector:
         if return_parts:
             return s, s_plain, z_r
         return s
+
+
+def rhs_parametric_qoi(sep, Vs, sensors, *, fixed_dims=(0, 1)):
+    """EXACT separated output surrogate for parametric-RHS problems.
+
+    When the operator does not depend on the parameters — the transient
+    moving-heat-source family (models/problems.py:562: A = ρcp·M⊗D1_up
+    + k·K⊗M_t, only the load carries (P, v)) — the adjoint route gives
+    the output EXACTLY, with no vademecum rank entering at all:
+
+        s(p) = lᵀ A⁻¹ b(p) = zᵀ b(p),    z = A⁻ᵀ l  (ONE backward
+                                          space-time solve per sensor)
+
+    and since b(p) is separated (Σ_r ⊗_f g_rf · Π_j c_rj(p_j)), the
+    output collapses to the closed form  s(p) = Σ_r W_r Π_j c_rj(p_j)
+    with R precomputed scalars W_r = zᵀ(⊗_f g_rf) per sensor — ~R
+    multiply-adds per sample, error = the SOURCE-SEPARATION floor only
+    (vs the exact-source FOM; vs the separated-source FOM it is f64
+    machine exact, tested).  The pointwise parameter coefficients
+    c_rj = M_j⁻¹ rhs_j[r] are recovered from the weak factors (exact
+    for the builders' P1 quadrature of polynomial coefficients).
+
+    Parameters: ``sep`` the HOST-f64 problem, ``Vs`` its spaces,
+    ``sensors`` a list of per-fixed-dim coordinate tuples (e.g.
+    ``[(x0, t0), ...]``; each becomes l = ⊗_f point_functional).
+    ``fixed_dims`` must be a prefix (0,) or (0, 1); every OTHER dim's
+    operator stack must equal its mass matrix (the parametric-rhs
+    condition — validated, same check as
+    models/problems.py:transient_dense_verifier).
+
+    Returns ``qoi(samples) -> (S, n_sensors)`` with attributes
+    ``.weights (n_sensors, R)`` and ``.adjoints`` (the z fields).
+    Complements the field vademecum: serve fields from the PGD result,
+    sensor outputs from this closed form (PERF.md round-4 transient
+    outputs row)."""
+    from functools import reduce
+
+    from scipy import sparse as sps
+    from scipy.sparse import linalg as spla
+
+    if tuple(fixed_dims) not in ((0,), (0, 1)):
+        raise ValueError("fixed_dims must be (0,) or (0, 1)")
+    nd = sep.num_dims
+    param_dims = [d for d in range(nd) if d not in fixed_dims]
+    for d in param_dims:
+        od = np.asarray(sep.ops[d], dtype=np.float64)
+        md = np.asarray(sep.mass[d], dtype=np.float64)
+        for t in range(od.shape[0]):
+            if not np.allclose(od[t], md, rtol=0.0,
+                               atol=1e-12 * np.abs(md).max()):
+                raise ValueError(
+                    f"parameter dim {d} operator term {t} is not the "
+                    "mass: the operator is parameter-dependent — use "
+                    "adjoint_problem/DualCorrector instead"
+                )
+        if sep.bc_dofs[d] is not None and len(sep.bc_dofs[d]):
+            raise ValueError(f"parameter dim {d} carries bc dofs")
+
+    sizes = [sep.sizes[f] for f in fixed_dims]
+    opsF = [np.asarray(sep.ops[f], dtype=np.float64) for f in fixed_dims]
+    A = sum(
+        reduce(sps.kron, (sps.csr_matrix(o[t]) for o in opsF))
+        for t in range(opsF[0].shape[0])
+    ).tolil()
+    # constrained rows of the kron system → identity (the per-sample FOM
+    # convention, transient_dense_verifier)
+    bc_mask = np.zeros(tuple(sizes), dtype=bool)
+    for k, f in enumerate(fixed_dims):
+        dofs = sep.bc_dofs[f]
+        if dofs is None or not len(dofs):
+            continue
+        np.moveaxis(bc_mask, k, 0)[np.asarray(dofs)] = True
+    bc_rows = np.nonzero(bc_mask.reshape(-1))[0]
+    for rr in bc_rows:
+        A.rows[rr] = [int(rr)]
+        A.data[rr] = [1.0]
+    lu = spla.splu(A.tocsr().tocsc())
+
+    rhsF = [np.asarray(sep.rhs[f], dtype=np.float64) for f in fixed_dims]
+    R = rhsF[0].shape[0]
+    # adjoint field + reduced weights per sensor
+    adjoints, weights = [], []
+    for coords in sensors:
+        if np.ndim(coords) == 0:
+            coords = (coords,)
+        if len(coords) != len(fixed_dims):
+            raise ValueError(
+                f"sensor {coords!r}: need one coordinate per fixed dim"
+            )
+        l = reduce(np.kron, (point_functional(Vs[f], c)
+                             for f, c in zip(fixed_dims, coords)))
+        l[bc_rows] = 0.0
+        z = lu.solve(l, trans="T")
+        adjoints.append(z)
+        # the per-sample FOM zeroes b at constrained rows; masking z
+        # there is the same contraction (A's bc ROWS are identity but
+        # its bc COLUMNS are not, so z is nonzero on bc rows)
+        zm = z.copy()
+        zm[bc_rows] = 0.0
+        if len(fixed_dims) == 2:
+            Z = zm.reshape(sizes)
+            weights.append(np.einsum("ri,ij,rj->r", rhsF[0], Z, rhsF[1]))
+        else:
+            weights.append(rhsF[0] @ zm)
+    W = np.stack(weights)                      # (n_sensors, R)
+
+    grids = [Vs[j].tabulate_dof_coordinates()[:, 0] for j in param_dims]
+    cs = []
+    for k, j in enumerate(param_dims):
+        M = np.asarray(sep.mass[j], dtype=np.float64)
+        cs.append(np.linalg.solve(M, np.asarray(
+            sep.rhs[j], dtype=np.float64).T).T)   # (R, n_j) pointwise
+
+    def qoi(samples):
+        s = np.atleast_2d(np.asarray(samples, dtype=np.float64))
+        if s.shape[1] != len(param_dims):
+            raise ValueError(
+                f"samples have {s.shape[1]} columns, expected "
+                f"{len(param_dims)} (one per parameter dim)"
+            )
+        fac = np.ones((s.shape[0], R))
+        for k in range(len(param_dims)):
+            for r in range(R):
+                fac[:, r] *= np.interp(s[:, k], grids[k], cs[k][r])
+        return fac @ W.T                       # (S, n_sensors)
+
+    qoi.weights = W
+    qoi.adjoints = adjoints
+    return qoi
 
 
 def make_corrected_sensor_fn(dc: DualCorrector, *, aot: bool = True):
