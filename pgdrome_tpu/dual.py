@@ -357,8 +357,12 @@ def rhs_parametric_qoi(sep, Vs, sensors, *, fixed_dims=(0, 1)):
             )
         fac = np.ones((s.shape[0], R))
         for k in range(len(param_dims)):
-            for r in range(R):
-                fac[:, r] *= np.interp(s[:, k], grids[k], cs[k][r])
+            g = grids[k]
+            i = np.clip(np.searchsorted(g, s[:, k], side="right") - 1,
+                        0, len(g) - 2)
+            w = (s[:, k] - g[i]) / (g[i + 1] - g[i])
+            # vectorized P1 interpolation of all R coefficient rows
+            fac *= (cs[k][:, i] * (1.0 - w) + cs[k][:, i + 1] * w).T
         return fac @ W.T                       # (S, n_sensors)
 
     qoi.weights = W
