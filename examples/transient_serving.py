@@ -113,6 +113,19 @@ def main():
           f"posterior std {np.sqrt(np.diag(cov[0])).round(6).tolist()}")
     assert err < 1e-2  # f32 serving dtype + 1e-4 gauge noise
 
+    # -- exact sensor outputs, no vademecum involved: this family's
+    #    operator is parameter-free, so s(p) = zᵀb(p) EXACTLY after one
+    #    backward space-time adjoint solve per sensor
+    #    (dual.rhs_parametric_qoi; error = the separation floor only)
+    from pgdrome_tpu.dual import rhs_parametric_qoi
+
+    qoi = rhs_parametric_qoi(sep, Vs, [(0.55, 0.8)])
+    s_closed = qoi(samples[:4].astype(np.float64))[:, 0]
+    s_vd = np.asarray(vd.sensors(np.array([[0.55, 0.8]]))(samples[:4]))[:, 0]
+    print(f"closed-form vs vademecum sensors: max |Δ| "
+          f"{np.abs(s_closed - s_vd).max():.2e} (vademecum carries the "
+          f"solver floor; the closed form only the separation floor)")
+
     # single-file snapshot; reload redoes the flatten
     import tempfile, os
     with tempfile.TemporaryDirectory() as d:
