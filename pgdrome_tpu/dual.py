@@ -393,6 +393,17 @@ def make_corrected_sensor_fn(dc: DualCorrector, *, aot: bool = True):
 
     Requires the corrector's auto-extracted collocation thetas (the
     tables are interpolated on device exactly like mode factors).
+
+    Measured at the d=10 frontier scale (primal 2688 × dual 768 × 11
+    terms, 45 MFLOP/output): **324k corrected outputs/s** on one v5e
+    chip (14.7 TFLOPs sustained), device floor **5.1e-7 relative** vs
+    the host f64 corrector (`DUAL_SWEEP_RATE.json`).  The floor is the
+    f32 MXU accumulation of the early (large-amplitude) primal modes in
+    W — shared with the PLAIN output path (measured 6.0e-7), i.e. the
+    correction's cancellation contributes nothing extra, as designed.
+    For sub-1e-6 CERTIFIED outputs use the host `corrected()` (f64),
+    as the frontier artifact does; the device sweep is the
+    throughput path.
     """
     import jax
     import jax.numpy as jnp
