@@ -232,6 +232,77 @@ class TestDeviceSweep:
             make_corrected_sensor_fn(dc, aot=False)
 
 
+class TestElasticityFlagship:
+    def test_corrected_outputs_on_4dim_elasticity(self):
+        """Generality beyond 1D Poisson: the 4-dim elasticity flagship
+        (vector 2D space ⊗ λp ⊗ λE ⊗ ν, TWO operator terms, TWO rhs
+        terms) through the same DualCorrector — verified against
+        per-sample FEM with ANALYTIC affine coefficients
+        A = E0·λE·(f1(ν)K1 + f2(ν)K2), b = λp(bL+bR)."""
+        from pgdrome_tpu.models.problems import (
+            _nu_f1,
+            _nu_f2,
+            elasticity_vademecum,
+        )
+
+        from pgdrome_tpu.separated import precondition_dim
+
+        sep, Vs, _ = elasticity_vademecum(
+            nx=10, ny=3, n_p=6, n_E=6, n_nu=6,
+            param_discretization="collocation")
+
+        def _solve_el(problem, n_max):
+            # K1 alone is singular (no shear) — precondition with the
+            # SPD term sum, the flagship recipe (test_elasticity_nu)
+            base = (np.asarray(problem.ops[0][0])
+                    + np.asarray(problem.ops[0][1]))
+            pc, tf = precondition_dim(problem, dim=0, dtype=np.float64,
+                                      base=base)
+            res = SeparatedPGD(pc, n_max=n_max, tol=0.0, tol_fp=1e-9,
+                               residual_check=False,
+                               dtype=np.float64).solve()
+            return res, tf
+
+        res_u, tf_u = _solve_el(sep, 4)
+
+        # sensor: one displacement dof (point value of a component at a
+        # node) with significant response, away from the clamped edge
+        U0 = tf_u.modes_to_full(np.asarray(res_u.modes[0])[:1])
+        j = int(np.argmax(np.abs(U0[0])))
+        l = np.zeros(sep.sizes[0])
+        l[j] = 1.0
+
+        res_z, tf_z = _solve_el(adjoint_problem(sep, l), 10)
+        dc = DualCorrector(sep, Vs, l, res_u, tf_u, res_z, tf_z)
+
+        grids = [Vs[1 + k].tabulate_dof_coordinates()[:, 0]
+                 for k in range(3)]
+        rng = np.random.default_rng(11)
+        pts = np.stack([g[rng.integers(1, len(g) - 1, size=8)]
+                        for g in grids], axis=1)
+        pts[0] = [g[1] for g in grids]
+        pts[1] = [g[-2] for g in grids]
+        s_corr, s_plain, _ = dc.corrected(pts, return_parts=True)
+
+        E0 = 30000.0
+        K1 = np.asarray(sep.ops[0][0], dtype=np.float64) / E0
+        K2 = np.asarray(sep.ops[0][1], dtype=np.float64) / E0
+        bLR = np.asarray(sep.rhs[0], dtype=np.float64).sum(axis=0)
+        free = np.setdiff1d(np.arange(sep.sizes[0]),
+                            np.asarray(sep.bc_dofs[0]))
+        e_plain, e_corr = [], []
+        for k, (lp, lE, nu) in enumerate(pts):
+            A = E0 * lE * (_nu_f1(nu) * K1 + _nu_f2(nu) * K2)
+            u_t = np.zeros(sep.sizes[0])
+            u_t[free] = np.linalg.solve(A[np.ix_(free, free)],
+                                        lp * bLR[free])
+            s_true = u_t[j]
+            e_plain.append(abs(s_plain[k] - s_true))
+            e_corr.append(abs(s_corr[k] - s_true))
+        assert max(e_plain) > 1e-10 * abs(s_plain).max()
+        assert max(e_corr) < 0.05 * max(e_plain)
+
+
 class TestAdjointVerifier:
     def test_dense_verifier_rhs_vec(self):
         """elliptic_dense_verifier(rhs_vec=l) measures the ADJOINT
