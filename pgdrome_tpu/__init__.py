@@ -60,6 +60,7 @@ from pgdrome_tpu.dual import (
 )
 from pgdrome_tpu.recipes import (
     adaptive_cascade,
+    goal_oriented_frontier,
     residual_cascade,
     two_stage_elliptic,
     two_stage_minres,
@@ -129,6 +130,7 @@ __all__ = [
     "point_functional",
     "rhs_parametric_qoi",
     "adaptive_cascade",
+    "goal_oriented_frontier",
     "residual_cascade",
     "two_stage_elliptic",
     "two_stage_minres",

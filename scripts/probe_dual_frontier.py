@@ -1,5 +1,12 @@
 """Goal-oriented output certification at the dimensionality frontier.
 
+NOTE: the PACKAGED form of this flow is
+``recipes.goal_oriented_frontier`` (scripts/run_goal_oriented.py) —
+it drives the dual cascade on the FEM-verified corrected-output error
+directly (stop-at-bound, output-worst corner seeding).  This probe is
+the original fixed-stage driver, kept for the recorded artifact's
+provenance and for ad-hoc dual-cascade experiments.
+
 The d=10 FIELD error is rank-walled (measured law ~ rank^-1.5,
 FRONTIER.md) — but outputs aren't: with an adjoint vademecum z_r per
 sensor, the corrected output s_corr = l·u_r + z_r·r has error
