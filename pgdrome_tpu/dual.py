@@ -34,7 +34,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["adjoint_problem", "collocation_weights", "DualCorrector",
-           "point_functional", "rhs_parametric_qoi"]
+           "make_corrected_sensor_fn", "point_functional",
+           "rhs_parametric_qoi"]
 
 
 def point_functional(V, x0):
@@ -43,6 +44,13 @@ def point_functional(V, x0):
     — e.g. a load vector for a weighted average)."""
     from pgdrome_tpu.fem.interpolate import _locate_1d, _shape_1d_x
 
+    verts = V.mesh().coordinates()[:, 0]
+    if not (verts[0] <= float(x0) <= verts[-1]):
+        raise ValueError(
+            f"sensor x0={x0} is outside the mesh domain "
+            f"[{verts[0]}, {verts[-1]}] (the clipped cell locate would "
+            "silently extrapolate)"
+        )
     cell, xi = _locate_1d(V.mesh(), np.asarray([float(x0)]), np)
     basis = _shape_1d_x(V.degree, xi, np)[0]
     l = np.zeros(V.dim(), dtype=np.float64)
@@ -106,7 +114,8 @@ def adjoint_problem(sep, l_vec, *, param_rhs=None):
         ops=ops,
         rhs=rhs,
         mass=[np.asarray(m, dtype=np.float64) for m in sep.mass],
-        bc_dofs=[np.asarray(b) for b in sep.bc_dofs],
+        bc_dofs=[np.array([], dtype=np.int64) if b is None
+                 else np.asarray(b) for b in sep.bc_dofs],
     )
 
 
@@ -166,6 +175,12 @@ class DualCorrector:
         self.B = g0 @ Z0.T               # (R, rz)
 
         self._grids = self._g_ops = self._g_rhs = None
+        self._ranges = [
+            (float(Vs[1 + j].mesh().coordinates()[0, 0]),
+             float(Vs[1 + j].mesh().coordinates()[-1, 0]))
+            for j in range(self.num_params)
+        ]
+        both_auto = theta_ops is None and theta_rhs is None
         if theta_ops is None or theta_rhs is None:
             grids = [Vs[1 + j].tabulate_dof_coordinates()[:, 0]
                      for j in range(self.num_params)]
@@ -178,8 +193,12 @@ class DualCorrector:
                      for j in range(self.num_params)]      # (R, n_p)
             # retained for the device sweep (make_corrected_sensor_fn):
             # the tables are P1 grid functions, evaluated on device with
-            # the same mode-table interpolation as the factors
-            self._grids, self._g_ops, self._g_rhs = grids, g_ops, g_rhs
+            # the same mode-table interpolation as the factors.  Only
+            # when BOTH thetas are auto-extracted — a half-override
+            # would make the device sweep silently disagree with the
+            # host corrected() (user callable vs interpolated table)
+            if both_auto:
+                self._grids, self._g_ops, self._g_rhs = grids, g_ops, g_rhs
 
             def _theta(tables):
                 def ev(samples):
@@ -218,6 +237,18 @@ class DualCorrector:
         ``(s_plain, z_dot_r)`` — the correction term z_r·r(p) is itself
         the classic output ERROR ESTIMATE (effectivity → 1 as the dual
         converges)."""
+        s = np.atleast_2d(np.asarray(samples, dtype=np.float64))
+        for j, (lo, hi) in enumerate(self._ranges):
+            if s[:, j].min() < lo or s[:, j].max() > hi:
+                # outside the box the reduced residual matches no
+                # single-sample A(p)u−b(p): np.interp CLAMPS the theta
+                # tables while the factor eval EXTRAPOLATES modes, so
+                # the exact-error identity silently breaks — refuse
+                raise ValueError(
+                    f"samples leave the parameter box in dim {j} "
+                    f"([{lo}, {hi}]): corrected outputs are only "
+                    "defined inside the vademecum's box"
+                )
         fu = self._factors(self.res_u, samples)       # (S, ru)
         fz = self._factors(self.res_z, samples)       # (S, rz)
         th = self.theta_ops(samples)                  # (S, T)
@@ -343,7 +374,7 @@ def rhs_parametric_qoi(sep, Vs, sensors, *, fixed_dims=(0, 1)):
 
     grids = [Vs[j].tabulate_dof_coordinates()[:, 0] for j in param_dims]
     cs = []
-    for k, j in enumerate(param_dims):
+    for j in param_dims:
         M = np.asarray(sep.mass[j], dtype=np.float64)
         cs.append(np.linalg.solve(M, np.asarray(
             sep.rhs[j], dtype=np.float64).T).T)   # (R, n_j) pointwise
@@ -358,6 +389,12 @@ def rhs_parametric_qoi(sep, Vs, sensors, *, fixed_dims=(0, 1)):
         fac = np.ones((s.shape[0], R))
         for k in range(len(param_dims)):
             g = grids[k]
+            if s[:, k].min() < g[0] or s[:, k].max() > g[-1]:
+                raise ValueError(
+                    f"samples leave the parameter box in column {k} "
+                    f"([{g[0]}, {g[-1]}]): the closed form would "
+                    "silently extrapolate the coefficient tables"
+                )
             i = np.clip(np.searchsorted(g, s[:, k], side="right") - 1,
                         0, len(g) - 2)
             w = (s[:, k] - g[i]) / (g[i + 1] - g[i])

@@ -339,6 +339,32 @@ class TestValidation:
         with pytest.raises(ValueError, match="expected"):
             adjoint_problem(sep, np.ones(7))
 
+    def test_out_of_box_samples_rejected(self):
+        sep, Vs = parametric_elliptic(n_x=24, n_p=8, num_params=2)
+        res_u, tf_u = _solve(sep, 3)
+        l = point_functional(Vs[0], X0)
+        res_z, tf_z = _solve(adjoint_problem(sep, l), 3)
+        dc = DualCorrector(sep, Vs, l, res_u, tf_u, res_z, tf_z)
+        with pytest.raises(ValueError, match="parameter box"):
+            dc.corrected(np.array([[0.5, 1.5]]))
+
+    def test_out_of_domain_sensor_rejected(self):
+        sep, Vs = parametric_elliptic(n_x=24, n_p=8, num_params=2)
+        with pytest.raises(ValueError, match="outside the mesh"):
+            point_functional(Vs[0], 2.0)
+
+    def test_none_bc_dofs_supported(self):
+        import dataclasses
+
+        from pgdrome_tpu.separated import SeparatedProblem
+
+        sep, Vs = parametric_elliptic(n_x=24, n_p=8, num_params=2)
+        sep2 = SeparatedProblem(
+            ops=sep.ops, rhs=sep.rhs, mass=sep.mass,
+            bc_dofs=[sep.bc_dofs[0], None, None])
+        adj = adjoint_problem(sep2, point_functional(Vs[0], X0))
+        assert all(len(b) == 0 for b in adj.bc_dofs[1:])
+
     def test_point_functional_is_point_eval(self):
         sep, Vs = parametric_elliptic(n_x=32, n_p=8, num_params=2)
         l = point_functional(Vs[0], X0)
