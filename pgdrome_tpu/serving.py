@@ -1022,6 +1022,48 @@ class Vademecum:
         be attached and calibrated)."""
         return self._require_certifier().bound(samples)
 
+    def attach_corrector(self, corrector, device=True):
+        """Attach a :class:`pgdrome_tpu.dual.DualCorrector` (one output
+        functional) so :meth:`corrected_sensors` serves goal-oriented
+        corrected outputs alongside plain sensors — the path that
+        certifies outputs far below the field error (FRONTIER.md
+        "Goal-oriented outputs": field 1.5e-4 → outputs < 1e-6 at
+        d=10).  ``device=True`` stages the jitted dd-compensated TPU
+        sweep (:func:`pgdrome_tpu.dual.make_corrected_sensor_fn`,
+        ~5e-7 device floor); ``device=False`` keeps the host f64
+        corrector (certification grade).  Not persisted by
+        :meth:`save` (the corrector closes over the operator stacks);
+        re-attach after :meth:`load`."""
+        self._corrector = corrector
+        if device:
+            from pgdrome_tpu.dual import make_corrected_sensor_fn
+
+            self._corrector_fn = make_corrected_sensor_fn(corrector)
+        else:
+            self._corrector_fn = None
+        return self
+
+    def corrected_sensors(self, samples, return_estimate=False):
+        """Dual-corrected outputs s_corr(p) for the attached
+        corrector's functional, shape (B,).  ``return_estimate``
+        additionally returns the built-in output error estimate
+        s_corr − s_plain (effectivity ≈ 1 once the dual converges)."""
+        dc = getattr(self, "_corrector", None)
+        if dc is None:
+            raise RuntimeError(
+                "no corrector attached — build one with "
+                "dual.DualCorrector(sep, spaces, l, res_u, tf_u, res_z, "
+                "tf_z) and attach_corrector(...)"
+            )
+        if getattr(self, "_corrector_fn", None) is not None:
+            s_corr, s_plain = (np.asarray(a)
+                               for a in self._corrector_fn(samples))
+        else:
+            s_corr, s_plain, _ = dc.corrected(samples, return_parts=True)
+        if return_estimate:
+            return s_corr, s_corr - s_plain
+        return s_corr
+
     def to_pgd(self, name="vademecum", name_coord=None):
         """Bridge into the reference-style PGD container (model layer:
         evaluate/reducers/derivatives, pxdmf/HDF5 export)."""

@@ -327,6 +327,41 @@ class TestAdjointVerifier:
         assert verify(res_trunc)["max"] > 5.0 * v["max"]
 
 
+class TestServingBridge:
+    def test_vademecum_corrected_sensors(self):
+        """Vademecum.attach_corrector / corrected_sensors: both the
+        device-staged and host paths, and the no-corrector raise."""
+        from pgdrome_tpu.serving import Vademecum
+
+        num_params = 2
+        sep, Vs = parametric_elliptic(n_x=32, n_p=10,
+                                      num_params=num_params, degree_x=2)
+        res_u, tf_u = _solve(sep, 4)
+        l = point_functional(Vs[0], X0)
+        res_z, tf_z = _solve(adjoint_problem(sep, l), 8)
+        dc = DualCorrector(sep, Vs, l, res_u, tf_u, res_z, tf_z)
+
+        vd = Vademecum(Vs, res_u, dim0_transform=tf_u,
+                       dtype=np.float64)
+        with pytest.raises(RuntimeError, match="no corrector"):
+            vd.corrected_sensors(np.zeros((1, num_params)) + 0.5)
+
+        pts = _samples(Vs, num_params, n=5)
+        s_host_ref, s_plain_ref, est_ref = dc.corrected(
+            pts, return_parts=True)
+
+        vd.attach_corrector(dc, device=False)
+        s_host, est_host = vd.corrected_sensors(pts,
+                                                return_estimate=True)
+        np.testing.assert_allclose(s_host, s_host_ref, rtol=0, atol=0)
+        np.testing.assert_allclose(est_host, est_ref, rtol=0, atol=0)
+
+        vd.attach_corrector(dc, device=True)
+        s_dev = vd.corrected_sensors(pts)
+        scale = np.abs(s_host_ref).max()
+        assert np.abs(s_dev - s_host_ref).max() < 2e-6 * scale
+
+
 class TestValidation:
     def test_galerkin_params_rejected(self):
         sep, _ = parametric_elliptic(n_x=24, n_p=8, num_params=2,
