@@ -98,5 +98,15 @@ s_dev, _ = (np.asarray(a) for a in fn(pts))
 print(f"device sweep vs host corrector: "
       f"{np.abs(s_dev - s_corr).max():.2e} max abs diff")
 
+# --- or through the serving container ---
+from pgdrome_tpu.serving import Vademecum
+
+vd = Vademecum(Vs, res_u, dim0_transform=tf, dtype=np.float64)
+vd.attach_corrector(dc, device=False)       # host f64: certification grade
+s_served, est_served = vd.corrected_sensors(pts, return_estimate=True)
+assert np.array_equal(s_served, s_corr)
+print(f"served corrected outputs match; estimate range "
+      f"[{est_served.min():.2e}, {est_served.max():.2e}]")
+
 assert max(e_corr) < 0.02 * max(e_plain)
 print("OK")
