@@ -144,33 +144,46 @@ class DualCorrector:
     """
 
     def __init__(self, sep, Vs, l_vec, res_u, tf_u, res_z, tf_z, *,
-                 theta_ops=None, theta_rhs=None):
+                 theta_ops=None, theta_rhs=None, cache=None):
         import scipy.sparse as sp
 
         self.Vs = Vs
         self.res_u, self.res_z = res_u, res_z
         nd = sep.num_dims
         self.num_params = nd - 1
+        # cache: user-held dict reused across corrector builds that
+        # share (sep, Vs, l_vec, res_u, tf_u) and vary only the DUAL —
+        # the per-stage verify of recipes.goal_oriented_frontier.  The
+        # Z-independent host work (modes_to_full expansion, dense→CSR
+        # conversions, theta extraction) is the O(n²)-traffic part the
+        # 60-120 MB/s host should not redo every stage.
+        cache = cache if cache is not None else {}
 
         def _full(res, tf):
             m0 = np.asarray(res.modes[0])[: res.n_modes]
             return (tf.modes_to_full(m0) if tf is not None
                     else m0).astype(np.float64)
 
-        U0 = _full(res_u, tf_u)          # (ru, n)
+        if "U0" not in cache:
+            cache["U0"] = _full(res_u, tf_u)        # (ru, n)
+        U0 = cache["U0"]
         Z0 = _full(res_z, tf_z)          # (rz, n)
-        l = np.asarray(l_vec, dtype=np.float64).copy()
-        if sep.bc_dofs[0] is not None and len(sep.bc_dofs[0]):
-            l[np.asarray(sep.bc_dofs[0])] = 0.0
-        self.L = U0 @ l                  # (ru,)
+        if "L" not in cache:
+            l = np.asarray(l_vec, dtype=np.float64).copy()
+            if sep.bc_dofs[0] is not None and len(sep.bc_dofs[0]):
+                l[np.asarray(sep.bc_dofs[0])] = 0.0
+            cache["L"] = U0 @ l
+        self.L = cache["L"]              # (ru,)
 
-        A0 = np.asarray(sep.ops[0], dtype=np.float64)   # (T, n, n)
+        if "A_csr" not in cache:
+            A0 = np.asarray(sep.ops[0], dtype=np.float64)  # (T, n, n)
+            # dim-0 FEM matrices are banded; dense n²·rank einsums are
+            # host-prohibitive at frontier scale
+            cache["A_csr"] = [sp.csr_matrix(A0[t])
+                              for t in range(A0.shape[0])]
         g0 = np.asarray(sep.rhs[0], dtype=np.float64)   # (R, n)
-        # C_t = Z0 A_t U0ᵀ through the sparse operator (dim-0 FEM
-        # matrices are banded; dense n²·rank einsum is host-prohibitive
-        # at frontier scale)
         self.C = np.stack([
-            Z0 @ (sp.csr_matrix(A0[t]) @ U0.T) for t in range(A0.shape[0])
+            Z0 @ (A @ U0.T) for A in cache["A_csr"]
         ])                               # (T, rz, ru)
         self.B = g0 @ Z0.T               # (R, rz)
 
@@ -182,15 +195,20 @@ class DualCorrector:
         ]
         both_auto = theta_ops is None and theta_rhs is None
         if theta_ops is None or theta_rhs is None:
-            grids = [Vs[1 + j].tabulate_dof_coordinates()[:, 0]
+            if "theta_tables" not in cache:
+                grids = [Vs[1 + j].tabulate_dof_coordinates()[:, 0]
+                         for j in range(self.num_params)]
+                w = [collocation_weights(sep, 1 + j)
                      for j in range(self.num_params)]
-            w = [collocation_weights(sep, 1 + j)
-                 for j in range(self.num_params)]
-            g_ops = [np.diagonal(np.asarray(sep.ops[1 + j]),
+                cache["theta_tables"] = (
+                    grids,
+                    [np.diagonal(np.asarray(sep.ops[1 + j]),
                                  axis1=1, axis2=2) / w[j][None, :]
-                     for j in range(self.num_params)]      # (T, n_p)
-            g_rhs = [np.asarray(sep.rhs[1 + j]) / w[j][None, :]
-                     for j in range(self.num_params)]      # (R, n_p)
+                     for j in range(self.num_params)],     # (T, n_p)
+                    [np.asarray(sep.rhs[1 + j]) / w[j][None, :]
+                     for j in range(self.num_params)],     # (R, n_p)
+                )
+            grids, g_ops, g_rhs = cache["theta_tables"]
             # retained for the device sweep (make_corrected_sensor_fn):
             # the tables are P1 grid functions, evaluated on device with
             # the same mode-table interpolation as the factors.  Only

@@ -200,6 +200,46 @@ def parametric_elliptic(
     return prob, Vs
 
 
+def elliptic_fem_solver(Vx, num_params, rhs_vec=None):
+    """Per-sample banded f64 FEM solver for the :func:`parametric_elliptic`
+    family: returns ``solve(p) -> u`` (full dof vector, homogeneous
+    Dirichlet) against the builder's canonical κ(x; p).  The ONE truth
+    model shared by :func:`elliptic_dense_verifier` and
+    :func:`pgdrome_tpu.recipes.goal_oriented_frontier` — change the κ
+    family here and every verification path follows."""
+    from scipy.linalg import solve_banded
+
+    if rhs_vec is None:
+        b_full = load_vector(Vx, lambda x: np.ones_like(x))
+    else:
+        b_full = np.asarray(rhs_vec, dtype=np.float64)
+    K_probe = stiffness_matrix(Vx)
+    bw = max(
+        k for k in range(K_probe.shape[0])
+        if np.any(np.diagonal(K_probe, k) != 0.0)
+    )
+
+    def solve(p):
+        kappa = lambda x: 1.0 + sum(
+            p[i] * np.sin((i + 1) * np.pi * x) ** 2 / (2 * num_params)
+            for i in range(num_params)
+        )
+        K = stiffness_matrix(Vx, weight=kappa)
+        n = K.shape[0] - 2
+        ab = np.zeros((2 * bw + 1, n))
+        for k in range(-bw, bw + 1):
+            d = np.diagonal(K, k)[1 : 1 + n - abs(k)]
+            if k >= 0:
+                ab[bw - k, k:] = d
+            else:
+                ab[bw - k, : n + k] = d
+        u = np.zeros(K.shape[0])
+        u[1:-1] = solve_banded((bw, bw), ab, b_full[1:-1])
+        return u
+
+    return solve
+
+
 def elliptic_dense_verifier(Vs, tf=None, n_random: int = 16,
                             seeds=(7, 101, 1234, 777),
                             corner_cap: int | None = None,
@@ -235,16 +275,11 @@ def elliptic_dense_verifier(Vs, tf=None, n_random: int = 16,
     partial-extreme pockets are exactly what they can leave behind.
     Edge errors count toward "corners" in the returned dict (they are
     boundary errors for steering purposes)."""
-    from scipy.linalg import solve_banded
-
     from pgdrome_tpu.separated import evaluate_modes_1d
 
     Vx = Vs[0]
     num_params = len(Vs) - 1
-    if rhs_vec is None:
-        b_full = load_vector(Vx, lambda x: np.ones_like(x))
-    else:
-        b_full = np.asarray(rhs_vec, dtype=np.float64)
+    fem_solve = elliptic_fem_solver(Vx, num_params, rhs_vec=rhs_vec)
     grid = Vs[1].tabulate_dof_coordinates()[:, 0]
     lo, hi = grid[1], grid[-2]
     n_c = 2 ** num_params
@@ -257,31 +292,10 @@ def elliptic_dense_verifier(Vs, tf=None, n_random: int = 16,
         )
     corners = box_corners(lo, hi, num_params, idx)
 
-    # bandwidth from the assembled stiffness profile (P1: 1, P2: 2)
-    K_probe = stiffness_matrix(Vx)
-    bw = max(
-        k for k in range(K_probe.shape[0])
-        if np.any(np.diagonal(K_probe, k) != 0.0)
-    )
-
     def _errors(res, full0, samples):
         errs = []
         for p in samples:
-            kappa = lambda x: 1.0 + sum(
-                p[i] * np.sin((i + 1) * np.pi * x) ** 2 / (2 * num_params)
-                for i in range(num_params)
-            )
-            K = stiffness_matrix(Vx, weight=kappa)
-            n = K.shape[0] - 2
-            ab = np.zeros((2 * bw + 1, n))
-            for k in range(-bw, bw + 1):
-                d = np.diagonal(K, k)[1 : 1 + n - abs(k)]
-                if k >= 0:
-                    ab[bw - k, k:] = d
-                else:
-                    ab[bw - k, : n + k] = d
-            u_ref = np.zeros(K.shape[0])
-            u_ref[1:-1] = solve_banded((bw, bw), ab, b_full[1:-1])
+            u_ref = fem_solve(p)
             fac = np.ones(res.n_modes)
             for j in range(num_params):
                 vals = np.asarray(

@@ -802,14 +802,13 @@ def goal_oriented_frontier(num_params, sensors, primal_result, *,
     import json as _json
     import time as _time
 
-    from scipy.linalg import solve_banded
-
     from pgdrome_tpu.dual import (
         DualCorrector,
         adjoint_problem,
         point_functional,
     )
     from pgdrome_tpu.fem.assembly import load_vector, stiffness_matrix
+    from pgdrome_tpu.models.problems import elliptic_fem_solver
     from pgdrome_tpu.fem.mesh import IntervalMesh
     from pgdrome_tpu.fem.space import FunctionSpace
     from pgdrome_tpu.models.problems import box_corners, parametric_elliptic
@@ -855,7 +854,6 @@ def goal_oriented_frontier(num_params, sensors, primal_result, *,
     Vx = Vs[0]
     grid = Vs[1].tabulate_dof_coordinates()[:, 0]
     lo, hi = grid[1], grid[-2]
-    b_full = load_vector(Vx, lambda x: np.ones_like(x))
 
     # ---- shared verification set + one FEM truth sweep ----
     n_c = 2 ** d
@@ -883,29 +881,24 @@ def goal_oriented_frontier(num_params, sensors, primal_result, *,
     samples = np.concatenate([s for _, s in sets])
     n_corner_rows = len(corners)
 
-    K_probe = stiffness_matrix(Vx)
-    bw = max(k for k in range(K_probe.shape[0])
-             if np.any(np.diagonal(K_probe, k) != 0.0))
+    fem_solve = elliptic_fem_solver(Vx, d)   # the ONE truth model,
+    # shared with elliptic_dense_verifier (change kappa there, every
+    # verification path follows)
     ls = [point_functional(Vx, x0) for x0 in sensors]
     t0 = _time.perf_counter()
     s_true = np.zeros((len(samples), len(ls)))
     for si, p in enumerate(samples):
-        kappa = lambda x: 1.0 + sum(
-            p[i] * np.sin((i + 1) * np.pi * x) ** 2 / (2 * d)
-            for i in range(d))
-        K = stiffness_matrix(Vx, weight=kappa)
-        n = K.shape[0] - 2
-        ab = np.zeros((2 * bw + 1, n))
-        for k in range(-bw, bw + 1):
-            dg = np.diagonal(K, k)[1: 1 + n - abs(k)]
-            if k >= 0:
-                ab[bw - k, k:] = dg
-            else:
-                ab[bw - k, : n + k] = dg
-        u_t = np.zeros(K.shape[0])
-        u_t[1:-1] = solve_banded((bw, bw), ab, b_full[1:-1])
+        u_t = fem_solve(p)
         for j, l in enumerate(ls):
             s_true[si, j] = l @ u_t
+    out_floor = 1e-9 * max(np.abs(s_true).max(), 1e-300)
+    for j, x0 in enumerate(sensors):
+        if np.abs(s_true[:, j]).min() < out_floor:
+            raise ValueError(
+                f"sensor x0={x0} has (near-)zero true outputs on the "
+                "verification set (e.g. a Dirichlet-boundary sensor): "
+                "relative output errors are undefined"
+            )
     say(f"fem truth: {len(samples)} samples "
         f"({n_corner_rows} corners) in "
         f"{_time.perf_counter() - t0:.1f} s")
@@ -928,21 +921,29 @@ def goal_oriented_frontier(num_params, sensors, primal_result, *,
                                         dtype=np.float64)
         last = {}
 
+        # boundary (corner + edge) vs interior row masks: edges count
+        # toward "corners" for the boost steering AND for the corner
+        # seeding, exactly like elliptic_dense_verifier — a binding
+        # edge pocket must fire the boost and be seedable
+        is_boundary = np.zeros(len(samples), dtype=bool)
+        off = 0
+        for name, pts in sets:
+            if name == "corners" or name.startswith("edges"):
+                is_boundary[off: off + len(pts)] = True
+            off += len(pts)
+        b_rows = np.nonzero(is_boundary)[0]
+        i_rows = np.nonzero(~is_boundary)[0]
+        corr_cache = {}
+
         def verify_outputs(res_zg):
             dc = DualCorrector(sep_plain, Vs, l, res_u, tf_u,
-                               res_zg, tf_z)
+                               res_zg, tf_z, cache=corr_cache)
             s_corr, s_plain, est = dc.corrected(samples,
                                                 return_parts=True)
             rel = np.abs(s_corr - st) / np.abs(st)
-            mc = float(rel[:n_corner_rows].max())
-            mi = float(rel[n_corner_rows:].max())
-            off = 0
-            for name, pts in sets:
-                if name.startswith("edges"):
-                    mc = max(mc, float(
-                        rel[off: off + len(pts)].max()))
-                off += len(pts)
-            order = np.argsort(rel[:n_corner_rows])[::-1][:128]
+            mc = float(rel[b_rows].max())
+            mi = float(rel[i_rows].max()) if len(i_rows) else 0.0
+            order = np.argsort(rel[b_rows])[::-1][:128]
             te = st - s_plain
             big = np.abs(te) > 1e-12 * np.abs(st).max()
             last.update(
@@ -952,8 +953,8 @@ def goal_oriented_frontier(num_params, sensors, primal_result, *,
             )
             return {
                 "corners": mc, "interior": mi, "max": max(mc, mi),
-                "worst_points": samples[:n_corner_rows][order],
-                "worst_errors": rel[:n_corner_rows][order],
+                "worst_points": samples[b_rows][order],
+                "worst_errors": rel[b_rows][order],
             }
 
         def checkpoint(stage_line, raw):

@@ -1056,6 +1056,17 @@ class Vademecum:
                 "tf_z) and attach_corrector(...)"
             )
         if getattr(self, "_corrector_fn", None) is not None:
+            # same guard the host corrected() applies: outside the box
+            # the theta tables clamp while the mode factors extrapolate
+            # and the device sweep would silently return wrong outputs
+            s = np.atleast_2d(np.asarray(samples))
+            for j, (lo, hi) in enumerate(dc._ranges):
+                if s[:, j].min() < lo or s[:, j].max() > hi:
+                    raise ValueError(
+                        f"samples leave the parameter box in dim {j} "
+                        f"([{lo}, {hi}]): corrected outputs are only "
+                        "defined inside the vademecum's box"
+                    )
             s_corr, s_plain = (np.asarray(a)
                                for a in self._corrector_fn(samples))
         else:

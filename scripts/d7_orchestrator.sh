@@ -58,8 +58,12 @@ while [ ! -e /tmp/d7_stop ]; do
     timeout 9600 python scripts/run_frontier.py --d 7 --bound 1e-6 \
         --minutes 70 --max-stages 24 $resume --state-out "$STATE" \
         --artifact FRONTIER_d7_regrind.json >> /tmp/frontier_d7.out 2>&1
-    log "leg exit $?"
+    rc=$?
+    log "leg exit $rc"
     commit_leg
+    # backoff on failure: a fast-failing leg must not busy-loop the
+    # 1-core host (frontier_orchestrator.sh guards the same way)
+    [ "$rc" -ne 0 ] && sleep 120
 done
 
 if bound_met && [ ! -e /tmp/d7_stop ]; then
