@@ -55,6 +55,7 @@ from pgdrome_tpu.separated import (
 from pgdrome_tpu.dual import (
     DualCorrector,
     adjoint_problem,
+    guaranteed_output_bound,
     point_functional,
     rhs_parametric_qoi,
 )
@@ -127,6 +128,7 @@ __all__ = [
     "sobol_group",
     "DualCorrector",
     "adjoint_problem",
+    "guaranteed_output_bound",
     "point_functional",
     "rhs_parametric_qoi",
     "adaptive_cascade",

@@ -34,8 +34,8 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["adjoint_problem", "collocation_weights", "DualCorrector",
-           "make_corrected_sensor_fn", "point_functional",
-           "rhs_parametric_qoi"]
+           "guaranteed_output_bound", "make_corrected_sensor_fn",
+           "point_functional", "rhs_parametric_qoi"]
 
 
 def point_functional(V, x0):
@@ -423,6 +423,88 @@ def rhs_parametric_qoi(sep, Vs, sensors, *, fixed_dims=(0, 1)):
     qoi.weights = W
     qoi.adjoints = adjoints
     return qoi
+
+
+def guaranteed_output_bound(sep, Vs, l_vec, res_u, tf_u, res_z, tf_z, *,
+                            chunk=None):
+    """GUARANTEED (not calibrated) per-sample bound on the corrected
+    output error: returns ``bound(samples) -> (B,)`` with
+
+        |s_true(p) − s_corr(p)| = |(z−z_r)ᵀ r(p)|
+            ≤ ‖r_dual(p)‖_{K0⁻¹} · ‖r_primal(p)‖_{K0⁻¹} ≥ guaranteed
+
+    valid whenever A(p) ⪰ K0 on the parameter box — true for the
+    canonical affine family (every K_t PSD — stiffness with
+    nonnegative weights — and θ_t(p) ≥ 0, θ_0 ≡ 1, so
+    A(p) = K0 + Σ θ_t K_t ⪰ K0): then ‖z−z_r‖_{K0} ≤ ‖z−z_r‖_{A} =
+    ‖r_dual‖_{A⁻¹} ≤ ‖r_dual‖_{K0⁻¹} and Cauchy–Schwarz in the
+    K0 inner product gives the product bound.  Both residual norms are
+    the certifier's energy-preconditioned dd indicators
+    (`parallel.certify.make_residual_indicator`) — exact to ~2^-48 of
+    the contraction, at sweep speed, no FEM anywhere.
+
+    This upgrades the effectivity-1 output error ESTIMATE
+    (``DualCorrector.corrected(return_parts=True)``) to a certificate:
+    the estimate says where the error IS, the bound says it cannot be
+    more.  Cauchy–Schwarz slack is real (measured ~10–10³×; the d=10
+    artifact's measured errors sit far below it) — use the bound for
+    guarantees, the estimate for sharpness.
+
+    θ-nonnegativity and θ_0 ≡ 1 are validated from the collocation
+    tables; the PSD of the K_t is structural for the builders
+    (stiffness matrices with nonnegative coefficient weights) and is
+    NOT re-verified numerically here."""
+    from pgdrome_tpu.parallel.certify import make_residual_indicator
+
+    g0 = np.asarray(sep.rhs[0], dtype=np.float64)
+    if g0.shape[0] != 1:
+        raise ValueError(
+            "guaranteed_output_bound assumes a single p-independent "
+            f"primal rhs term (got {g0.shape[0]}) — the per-sample "
+            "‖b(p)‖ would otherwise vary"
+        )
+    num_params = sep.num_dims - 1
+    for j in range(num_params):
+        w = collocation_weights(sep, 1 + j)
+        g = np.diagonal(np.asarray(sep.ops[1 + j]),
+                        axis1=1, axis2=2) / w[None, :]
+        if not np.allclose(g[0], 1.0, atol=1e-10):
+            raise ValueError(
+                f"dim {1 + j} base-term coefficient is not 1 — the "
+                "A(p) ⪰ K0 argument needs θ_0 ≡ 1"
+            )
+        if g.min() < -1e-12:
+            raise ValueError(
+                f"dim {1 + j} has negative operator coefficients "
+                f"(min {g.min():.2e}) — A(p) ⪰ K0 does not hold and "
+                "the guaranteed bound is invalid"
+            )
+
+    l = np.asarray(l_vec, dtype=np.float64).copy()
+    if sep.bc_dofs[0] is not None and len(sep.bc_dofs[0]):
+        l[np.asarray(sep.bc_dofs[0])] = 0.0
+    ind_u = make_residual_indicator(sep, Vs, res_u, tf=tf_u, chunk=chunk)
+    adj = adjoint_problem(sep, l)
+    ind_z = make_residual_indicator(adj, Vs, res_z, tf=tf_z, chunk=chunk)
+
+    # the indicators are RELATIVE to ‖L⁻¹b‖; both per-sample rhs are
+    # p-independent here (unit load / sensor functional), so the
+    # absolute norms are constants computed once on the host
+    def _rhs_norm(tf, b):
+        v = np.asarray(b, dtype=np.float64)[tf.interior]
+        return float(np.linalg.norm(tf.apply_Linv(v[:, None])[:, 0]))
+
+    mask0 = np.asarray(sep.bc_masks[0], dtype=np.float64)
+    nb = _rhs_norm(tf_u, g0[0] * mask0)
+    nl = _rhs_norm(tf_z, l * mask0)
+
+    def bound(samples):
+        return (np.asarray(ind_z(samples)) * nl
+                * np.asarray(ind_u(samples)) * nb)
+
+    bound.rhs_norm_primal = nb
+    bound.rhs_norm_dual = nl
+    return bound
 
 
 def make_corrected_sensor_fn(dc: DualCorrector, *, aot: bool = True):

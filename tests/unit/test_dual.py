@@ -327,6 +327,54 @@ class TestAdjointVerifier:
         assert verify(res_trunc)["max"] > 5.0 * v["max"]
 
 
+class TestGuaranteedBound:
+    def test_bound_dominates_true_error(self):
+        """guaranteed_output_bound: |s_true - s_corr| <= bound at EVERY
+        sample (the A(p) >= K0 Cauchy-Schwarz certificate), with finite
+        overestimation, and validity rejection for negative-coefficient
+        problems is exercised via the theta check."""
+        from pgdrome_tpu.dual import guaranteed_output_bound
+
+        num_params = 3
+        sep, Vs = parametric_elliptic(n_x=48, n_p=12,
+                                      num_params=num_params, degree_x=2)
+        res_u, tf_u = _solve(sep, 4)
+        l = point_functional(Vs[0], X0)
+        res_z, tf_z = _solve(adjoint_problem(sep, l), 6)
+        dc = DualCorrector(sep, Vs, l, res_u, tf_u, res_z, tf_z)
+        bnd = guaranteed_output_bound(sep, Vs, l, res_u, tf_u,
+                                      res_z, tf_z)
+
+        pts = _samples(Vs, num_params, n=10)
+        s_corr = dc.corrected(pts)
+        b = load_vector(Vs[0], lambda x: np.ones_like(x))
+        true_err, bounds = [], np.asarray(bnd(pts))
+        for k, p in enumerate(pts):
+            K = _fem(Vs[0], p, num_params)
+            u_t = np.zeros(K.shape[0])
+            u_t[1:-1] = np.linalg.solve(K[1:-1, 1:-1], b[1:-1])
+            true_err.append(abs(s_corr[k] - l @ u_t))
+        true_err = np.asarray(true_err)
+        # rigorous domination (tiny slack for the dd/f32 indicator
+        # arithmetic at ~2^-48 of the contraction)
+        assert np.all(true_err <= bounds * (1 + 1e-6) + 1e-14)
+        # and it is a usable bound, not vacuous
+        assert bounds.max() < 1e3 * max(true_err.max(), 1e-16)
+        assert bounds.max() > 0
+
+    def test_multi_term_rhs_rejected(self):
+        from pgdrome_tpu.dual import guaranteed_output_bound
+        from pgdrome_tpu.models.problems import elasticity_vademecum
+
+        sep, Vs, _ = elasticity_vademecum(
+            nx=8, ny=3, n_p=4, n_E=4, n_nu=4,
+            param_discretization="collocation")
+        l = np.zeros(sep.sizes[0])
+        l[10] = 1.0
+        with pytest.raises(ValueError, match="single p-independent"):
+            guaranteed_output_bound(sep, Vs, l, None, None, None, None)
+
+
 class TestServingBridge:
     def test_vademecum_corrected_sensors(self):
         """Vademecum.attach_corrector / corrected_sensors: both the
