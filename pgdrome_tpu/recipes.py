@@ -515,7 +515,8 @@ def highd_frontier(num_params, *, bound=1e-6, n_x=1024, n_p=128,
                    screener_cap=3072, n_screen_edges=2048,
                    final_fem_corners=1024, state_path=None,
                    init_result=None, dtype=np.float32, log=None,
-                   artifact_path=None):
+                   artifact_path=None, anova_order: int = 0,
+                   anova_tol_pair: float = 2e-7):
     """Packaged dimensionality-frontier drive (the core scientific claim
     of PGD — dimensionality separation, reference solver.py:538-724 —
     pushed to parameter counts the reference could never reach): build
@@ -598,6 +599,33 @@ def highd_frontier(num_params, *, bound=1e-6, n_x=1024, n_p=128,
 
     sep_base, tf = build(tuple(base_boost))
     sep_boost, _ = build(tuple(window_boost))
+
+    anova_report = None
+    if anova_order and init_result is None:
+        # Structure-exploiting start (VERDICT round-4 #1): the measured
+        # d=10 solution is near-additive (FRONTIER_SOBOL_d10.json,
+        # interaction share 0.08%), so build the anchored-ANOVA
+        # surrogate EXACTLY from per-grid-point f64 collocation solves
+        # (pgdrome_tpu/anova.py) and let the cascade enrich only the
+        # genuine interaction remainder, instead of spending full
+        # d-dimensional rank-1 modes against the rank^-1.55 wall.
+        from pgdrome_tpu.anova import anova_init
+
+        def _build_anova():
+            sep_nodal, _ = parametric_elliptic(
+                n_x=n_x, n_p=n_p, num_params=num_params, degree_x=2,
+            )
+            return anova_init(sep_nodal, order=anova_order, tf=tf,
+                              tol_pair=anova_tol_pair, log=say)
+
+        (init_result, anova_report), status = cached_setup(
+            _build_anova,
+            key_data=["anova_init_v1", n_x, n_p, num_params,
+                      anova_order, anova_tol_pair],
+            code_objects=(anova_init, parametric_elliptic),
+        )
+        say(f"anova init cache {status}: order {anova_order} "
+            f"rank {init_result.n_modes}")
     Vx = FunctionSpace(IntervalMesh(n_x, 0.0, 1.0), "P", 2)
     Vp = [FunctionSpace(IntervalMesh(n_p, 0.0, 1.0), "P", 1)
           for _ in range(num_params)]
@@ -749,6 +777,7 @@ def highd_frontier(num_params, *, bound=1e-6, n_x=1024, n_p=128,
         "n_x": int(n_x), "n_p": int(n_p),
         "bound_target": float(bound),
         "rank": int(best.n_modes),
+        "anova": anova_report,
         "verified": final,
         "screened_verification": bool(screened),
         "legs": leg,

@@ -1609,6 +1609,25 @@ class Dim0Transform:
         out[:, self.interior] = u_int
         return out
 
+    def full_to_modes(self, modes_full):
+        """(n_max, n_full) nodal dof modes → (n_max, n_int) transformed
+        modes: the exact inverse of :meth:`modes_to_full` for modes
+        supported on the interior dofs — ``y = Lᵀ u_int`` (banded or
+        dense multiply, never a triangular solve).  Lets externally
+        constructed modes (e.g. the anchored-ANOVA surrogate,
+        ``pgdrome_tpu/anova.py``) enter a ``precondition_dim``
+        cascade's basis."""
+        u = np.asarray(modes_full, dtype=np.float64)[:, self.interior].T
+        if self.banded is not None:
+            _, Ub = self.banded          # Lᵀ in scipy upper-banded layout
+            ku = Ub.shape[0] - 1
+            n = u.shape[0]
+            y = np.zeros_like(u)
+            for mo in range(ku + 1):
+                y[: n - mo] += Ub[ku - mo, mo:n][:, None] * u[mo:n]
+            return y.T
+        return (self.dense_L.T @ u).T
+
 
 def equilibrate(sep: SeparatedProblem, dtype=None) -> SeparatedProblem:
     """Rescale every per-dim operator/rhs factor to O(1) max magnitude,

@@ -44,6 +44,9 @@ def main():
     ap.add_argument("--final-fem-corners", type=int, default=1024)
     ap.add_argument("--screener-cap", type=int, default=3072)
     ap.add_argument("--boost-margin", type=float, default=1.2)
+    ap.add_argument("--anova", type=int, default=0,
+                    help="anchored-ANOVA init order (0 = off, 2 = "
+                         "mean+axes+pairs; pgdrome_tpu/anova.py)")
     args = ap.parse_args()
 
     import pgdrome_tpu.config as cfg
@@ -75,6 +78,7 @@ def main():
         screener_cap=args.screener_cap,
         boost_margin=args.boost_margin,
         artifact_path=artifact,
+        anova_order=args.anova,
     )
     print(json.dumps({
         "d": args.d, "rank": report["rank"],
