@@ -546,10 +546,30 @@ def certify_phase(sep_pc64, Vs, res, tf):
         f"dispatch) {t_cal:.1f}s, eta {eta:.2f}; {n_q} certified queries "
         f"in {t_sweep:.2f}s = {rate:,.0f}/s, bound max {bounds.max():.3e}"
     )
+    # PROVABLE companion (round-4 VERDICT weak #1): the zero-calibration
+    # A(p) ⪰ K0 coercivity bound (certify.guaranteed_field_bound) over
+    # the same queries + the verification corners — rigorous, no η
+    # anywhere; its pessimism vs the calibrated bound is part of the
+    # recorded bench line
+    t0 = time.perf_counter()
+    from pgdrome_tpu.parallel.certify import guaranteed_field_bound
+
+    gb = guaranteed_field_bound(sep_pc64, Vs, res, tf=None, nodal_tf=tf)
+    cert.attach_guaranteed(gb)
+    g_all = cert.guaranteed_bound(np.concatenate([corners, queries]))
+    g_true = float(np.max(te))  # calibration set's measured FEM errors
+    t_g = time.perf_counter() - t0
+    log(
+        f"guaranteed: lam_min lower {gb.lam_min_lower:.4f} (est "
+        f"{gb.lam_min_estimate:.4f}), bound max {g_all.max():.3e} over "
+        f"{len(g_all)} pts in {t_g:.1f}s (vs calibrated "
+        f"{bounds.max():.3e}, measured-cal max {g_true:.3e})"
+    )
     return {
         "certify_samples_per_s": round(rate),
         "certify_eta": round(eta, 3),
         "certified_bound_max": float(f"{bounds.max():.3e}"),
+        "guaranteed_bound_max": float(f"{g_all.max():.3e}"),
         "certify_build_s": round(t_build, 2),
     }
 

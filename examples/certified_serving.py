@@ -92,6 +92,23 @@ if not np.all(bounds[:16] >= true_err):
     print("warning: a held-out query exceeded its calibrated bound — "
           "recalibrate with a larger safety factor or more corners")
 
+# ---- 4b. the PROVABLE companion: zero-calibration A(p) >= K0 bound
+# (parallel.certify.guaranteed_field_bound) — rigorous coercivity
+# certificate, no eta, no FEM anywhere; holds for EVERY query by
+# construction, at ~the calibrated bound's sharpness (measured ~3x
+# median pessimism on this family)
+from pgdrome_tpu.parallel.certify import guaranteed_field_bound
+
+gb = guaranteed_field_bound(sep_pc, Vs, res, tf=None, nodal_tf=tf)
+cert.attach_guaranteed(gb)
+g_bounds = cert.guaranteed_bound(queries)
+print(
+    f"guaranteed (zero-calibration) bounds: max {g_bounds.max():.3e}, "
+    f"median {np.median(g_bounds):.3e}; lambda_min lower "
+    f"{gb.lam_min_lower:.4f} (Rayleigh est {gb.lam_min_estimate:.4f})"
+)
+assert np.all(g_bounds[:16] >= true_err), "a guaranteed bound failed"
+
 # ---- 5. f32 screening: rank 200 candidates, FEM-verify only the worst 8
 screen = make_screener(sep_pc, Vs, n_modes_cap=32)
 cands = grid[rng.integers(1, len(grid) - 1, size=(200, 3))]

@@ -463,22 +463,9 @@ def guaranteed_output_bound(sep, Vs, l_vec, res_u, tf_u, res_z, tf_z, *,
             f"primal rhs term (got {g0.shape[0]}) — the per-sample "
             "‖b(p)‖ would otherwise vary"
         )
-    num_params = sep.num_dims - 1
-    for j in range(num_params):
-        w = collocation_weights(sep, 1 + j)
-        g = np.diagonal(np.asarray(sep.ops[1 + j]),
-                        axis1=1, axis2=2) / w[None, :]
-        if not np.allclose(g[0], 1.0, atol=1e-10):
-            raise ValueError(
-                f"dim {1 + j} base-term coefficient is not 1 — the "
-                "A(p) ⪰ K0 argument needs θ_0 ≡ 1"
-            )
-        if g.min() < -1e-12:
-            raise ValueError(
-                f"dim {1 + j} has negative operator coefficients "
-                f"(min {g.min():.2e}) — A(p) ⪰ K0 does not hold and "
-                "the guaranteed bound is invalid"
-            )
+    from pgdrome_tpu.parallel.certify import validate_spd_family
+
+    validate_spd_family(sep)
 
     l = np.asarray(l_vec, dtype=np.float64).copy()
     if sep.bc_dofs[0] is not None and len(sep.bc_dofs[0]):
