@@ -494,7 +494,8 @@ def guaranteed_output_bound(sep, Vs, l_vec, res_u, tf_u, res_z, tf_z, *,
     return bound
 
 
-def make_corrected_sensor_fn(dc: DualCorrector, *, aot: bool = True):
+def make_corrected_sensor_fn(dc: DualCorrector, *, aot: bool = True,
+                             mesh=None):
     """Device (TPU) sweep of dual-corrected outputs: jitted
     ``samples (B, d) → (s_corr, s_plain)``, both ``(B,)`` f32.
 
@@ -584,6 +585,23 @@ def make_corrected_sensor_fn(dc: DualCorrector, *, aot: bool = True):
         return zb + corr, s_plain
 
     jitted = jax.jit(fn)
+    if mesh is not None:
+        # dp-sharded corrected-output sweep: the sample batch axis rides
+        # the mesh's 'dp' axis, tables replicate (each output is a
+        # device-local contraction — collective-free, asserted in
+        # tests/unit/test_multichip_paths.py).  Bypasses the persistent
+        # AOT cache (loaded executables are single-device).
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("dp"))
+
+        def sharded(samples):
+            return jitted(jax.device_put(jnp.asarray(samples,
+                                                     jnp.float32), shard))
+
+        sharded._jitted = jitted
+        return sharded
     if not aot:
         return jitted
     from pgdrome_tpu.parallel.vademecum import _serving_key

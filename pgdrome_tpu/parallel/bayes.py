@@ -52,7 +52,7 @@ def _code_fingerprint():
 
 
 def make_mcmc_fn(spaces, modes, n_modes, points, table=None,
-                 n_steps=500, prior=None):
+                 n_steps=500, prior=None, mesh=None):
     """Build the jitted batched random-walk Metropolis kernel:
 
         mcmc(obs (n_out,), sigma (n_out,), p0 (C, d_p),
@@ -75,6 +75,12 @@ def make_mcmc_fn(spaces, modes, n_modes, points, table=None,
     post-accept state at step t (chain[-1] is the live state — feed it
     back as p0 to continue).  All chains share one (obs, sigma); race
     independent observations via separate calls or vmap at the caller.
+
+    ``mesh``: optional device mesh with a 'dp' axis — the CHAIN axis is
+    then sharded across it (chains are independent: the partitioned
+    sampler runs collective-free, asserted in
+    tests/unit/test_multichip_paths.py).  Sharded mode bypasses the
+    persistent AOT cache (loaded executables are single-device).
     """
     from pgdrome_tpu.fem.interpolate import eval_dofs_at_points
     from pgdrome_tpu.utils.aot_cache import aot_jit, array_fingerprint
@@ -166,4 +172,17 @@ def make_mcmc_fn(spaces, modes, n_modes, points, table=None,
         (_, _, n_acc), chain = jax.lax.scan(step, (p0, lp0, n_acc0), keys)
         return chain, n_acc
 
-    return aot_jit(jax.jit(mcmc), key_data)
+    jitted = jax.jit(mcmc)
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("dp"))
+
+        def sharded(obs, sigma, p0, chol, scale, key):
+            p0 = jax.device_put(jnp.asarray(p0), shard)
+            return jitted(obs, sigma, p0, chol, scale, key)
+
+        sharded._jitted = jitted  # HLO inspection (parallel/hlo.py)
+        return sharded
+    return aot_jit(jitted, key_data)

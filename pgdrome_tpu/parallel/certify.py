@@ -74,11 +74,14 @@ __all__ = [
 ]
 
 
-def _chunked_dispatch(call, samples, chunk, num_params, *dev_args):
+def _chunked_dispatch(call, samples, chunk, num_params, *dev_args,
+                      shard=None):
     """Fixed-chunk device dispatch over a host sample batch: pad the last
     block with repeated rows so ONE executable serves every batch size,
     slice the padding back off.  Samples are cast to f32 explicitly on
-    the host (x64 is off on TPU; the jitted bodies compute in f32)."""
+    the host (x64 is off on TPU; the jitted bodies compute in f32).
+    ``shard``: optional NamedSharding placing each chunk's batch axis on
+    the mesh's 'dp' axis (multichip certification sweeps)."""
     samples = np.asarray(samples, dtype=np.float64)
     if samples.ndim != 2 or samples.shape[1] != num_params:
         raise ValueError(
@@ -91,8 +94,11 @@ def _chunked_dispatch(call, samples, chunk, num_params, *dev_args):
             blk = np.concatenate(
                 [blk, np.repeat(blk[-1:], chunk - blk.shape[0], axis=0)]
             )
+        arr = jnp.asarray(blk.astype(np.float32))
+        if shard is not None:
+            arr = jax.device_put(arr, shard)
         out[s : s + chunk] = np.asarray(
-            call(jnp.asarray(blk.astype(np.float32)), *dev_args)
+            call(arr, *dev_args)
         )[: samples.shape[0] - s]
     return out
 
@@ -121,7 +127,7 @@ def _param_tables(sep):
 
 
 def make_residual_indicator(sep, spaces, result, tf=None, chunk=None,
-                            precondition=True):
+                            precondition=True, mesh=None):
     """Build a batched per-sample relative-residual indicator.
 
     sep: the HOST f64 :class:`SeparatedProblem` in the NODAL basis (the
@@ -204,18 +210,34 @@ def make_residual_indicator(sep, spaces, result, tf=None, chunk=None,
         bufs.append(tab.astype(np.float32))
 
     return _indicator_from_dd(
-        spaces, dd_from_f64(G), dd_from_f64(B0), bufs, M, T, R, chunk
+        spaces, dd_from_f64(G), dd_from_f64(B0), bufs, M, T, R, chunk,
+        mesh=mesh,
     )
 
 
 def _indicator_from_dd(spaces, G_dd_host, B_dd_host, bufs_host, M, T, R,
-                       chunk=None):
+                       chunk=None, mesh=None):
     """Indicator from prebuilt dd tables (shared by
-    :func:`make_residual_indicator` and :meth:`Certifier.load`)."""
+    :func:`make_residual_indicator` and :meth:`Certifier.load`).
+    ``mesh``: optional device mesh with a 'dp' axis — certification
+    sweeps then shard the sample batch across it (tables replicated;
+    each sample's dd chain is device-local, so the partitioned program
+    carries NO cross-device collectives — asserted in
+    tests/unit/test_multichip_paths.py)."""
     nd = len(bufs_host) + 1
     G_dd = jnp.asarray(G_dd_host)
     B_dd = jnp.asarray(B_dd_host)
     bufs = [jnp.asarray(b, dtype=jnp.float32) for b in bufs_host]
+    shard = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        G_dd = jax.device_put(G_dd, repl)
+        B_dd = jax.device_put(B_dd, repl)
+        bufs = [jax.device_put(b, repl) for b in bufs]
+        shard = NamedSharding(mesh, P("dp"))
 
     if chunk is None:
         # the (chunk, T*M, n_tab) dd product array dominates peak memory
@@ -282,17 +304,29 @@ def _indicator_from_dd(spaces, G_dd_host, B_dd_host, bufs_host, M, T, R,
         den = jnp.sqrt(jnp.sum(bv * bv, axis=1))
         return num / den
 
-    _call = aot_jit(
-        _body,
-        key_data=["certify_dd_v2", nd, T, R, M, _spaces_fingerprint(spaces)],
-    )
+    if mesh is not None:
+        # sharded chunks need the live jitted fn (loaded AOT executables
+        # are pinned single-device, utils/aot_cache.py); round the chunk
+        # up so every device holds an equal shard
+        chunk = int(-(-chunk // mesh.size) * mesh.size)
+        _call = _body
+    else:
+        _call = aot_jit(
+            _body,
+            key_data=["certify_dd_v2", nd, T, R, M,
+                      _spaces_fingerprint(spaces)],
+        )
 
     def indicator(samples):
-        return _chunked_dispatch(_call, samples, chunk, nd - 1, G_dd, B_dd, *bufs)
+        return _chunked_dispatch(_call, samples, chunk, nd - 1, G_dd, B_dd,
+                                 *bufs, shard=shard)
 
     indicator.chunk = chunk
     indicator.n_modes = M
     indicator._tables = (G_dd_host, B_dd_host, bufs_host, M, T, R)
+    indicator._call = _call  # HLO inspection (parallel/hlo.py)
+    indicator._dev_args = (G_dd, B_dd, *bufs)
+    indicator._shard = shard
     return indicator
 
 
@@ -708,12 +742,15 @@ def screened_verify(screen, sample_errors, corners, *, top_k=16,
     return verify
 
 
-def make_certifier(sep, spaces, result, tf=None, chunk=None, eta=None):
+def make_certifier(sep, spaces, result, tf=None, chunk=None, eta=None,
+                   mesh=None):
     """One-call constructor: :func:`make_residual_indicator` wrapped in a
     :class:`Certifier` (see class docstring for the calibrate/bound
-    workflow)."""
+    workflow).  ``mesh``: dp-shard the certification sweeps over a
+    device mesh (see :func:`_indicator_from_dd`)."""
     return Certifier(
-        make_residual_indicator(sep, spaces, result, tf=tf, chunk=chunk),
+        make_residual_indicator(sep, spaces, result, tf=tf, chunk=chunk,
+                                mesh=mesh),
         eta=eta,
     )
 
