@@ -35,6 +35,41 @@ os.environ.setdefault("PGDROME_AOT_CACHE", "/root/.cache/pgdrome_aot")
 # the 7-75 s host assembly+congruence (utils/setup_cache.py)
 os.environ.setdefault("PGDROME_SETUP_CACHE", "/root/.cache/pgdrome_setup")
 
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def _restore_aot_cache():
+    """Cold-start insurance (round-4 VERDICT weak #6): the Aug-19 VM
+    restart wiped /root/.cache and cold-started 14 remote compiles
+    (105–1030 s each).  The bench-critical AOT executables are packed
+    into the git-durable states/aot_bench.tar.gz
+    (scripts/pack_aot_cache.py, refreshed after each round's warm
+    bench); when the cache dir has no .pjrt files, unpack it so a wiped
+    VM reloads in seconds instead of recompiling for an hour.  Stale
+    entries are harmless — keys embed program+libtpu identity, so an
+    upgraded stack simply misses and recompiles."""
+    cache = os.environ["PGDROME_AOT_CACHE"]
+    pack = os.path.join(_REPO_DIR, "states", "aot_bench.tar.gz")
+    try:
+        has_pjrt = any(
+            f.endswith(".pjrt") for f in os.listdir(cache)
+        ) if os.path.isdir(cache) else False
+        if has_pjrt or not os.path.exists(pack):
+            return
+        import tarfile
+
+        os.makedirs(cache, exist_ok=True)
+        with tarfile.open(pack, "r:gz") as t:
+            t.extractall(cache, filter="data")
+        n = sum(f.endswith(".pjrt") for f in os.listdir(cache))
+        print(f"restored {n} AOT executables from {pack}",
+              file=sys.stderr, flush=True)
+    except Exception as e:  # insurance must never break the bench
+        print(f"aot restore skipped: {e}", file=sys.stderr, flush=True)
+
+
+_restore_aot_cache()
+
 if os.environ.get("PGDROME_BENCH_QUICK"):  # smoke mode for bench iteration
     N_X, N_P, N_MODES = 128, 32, 10
     N_MODES_SOLVE = 14
@@ -857,11 +892,19 @@ def main():
     # 51-55 s builder runs, same code)
     fresh_recent = [round(end_to_end_fresh, 1)]
     try:
-        hist_path = os.path.join(
+        # git-durable location: the history must survive VM wipes (the
+        # Aug-19 restart emptied /root/.cache and with it the round-3
+        # history — round-4 VERDICT weak #6 had only 1 sample to report)
+        hist_path = os.path.join(_REPO_DIR, "states",
+                                 "bench_fresh_history.json")
+        legacy = os.path.join(
             os.environ.get("PGDROME_AOT_CACHE", "/root/.cache/pgdrome_aot"),
             "bench_fresh_history.json",
         )
         hist = []
+        if not os.path.exists(hist_path) and os.path.exists(legacy):
+            with open(legacy) as f:
+                hist = json.load(f)
         if os.path.exists(hist_path):
             with open(hist_path) as f:
                 hist = json.load(f)

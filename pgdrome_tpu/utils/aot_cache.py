@@ -221,6 +221,14 @@ def compile_cached(jitted, args, cache_dir=None, verbose=False, key_data=None):
                 time.perf_counter() - t0,
             )
             STATS["hit"] += 1
+            try:
+                # recency marker: scripts/pack_aot_cache.py packs the
+                # most-recently-USED executables into the git-durable
+                # states/aot_bench.tar.gz (VM-wipe insurance), so hits
+                # must refresh mtime (reads alone do not, relatime)
+                os.utime(path, None)
+            except OSError:
+                pass
             return compiled, "hit"
         except Exception as e:  # stale/foreign/corrupt: recompile
             LOGGER.warning("aot cache load failed (%s); recompiling", e)
