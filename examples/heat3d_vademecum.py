@@ -40,9 +40,11 @@ from pgdrome_tpu.fem.mesh import BoxMesh  # noqa: E402
 
 
 def main():
-    # 1. build + solve: 9^3 vertex BoxMesh x 2 parameter grids
+    # 1. build + solve: P2 tets on an 8^3 BoxMesh x 2 parameter grids
+    # (any-degree 3D: quadratic tet spaces with the Keast degree-5 rule)
     t0 = time.perf_counter()
-    prob, Vs = parametric_elliptic_3d(n=8, n_p=24, num_params=2)
+    prob, Vs = parametric_elliptic_3d(n=8, n_p=24, num_params=2,
+                                      degree_x=2)
     res = SeparatedPGD(
         prob, n_max=30, tol=1e-12, tol_fp=1e-6, dtype=np.float64
     ).solve()

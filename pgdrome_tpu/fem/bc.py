@@ -35,7 +35,19 @@ def _on_boundary_mask(V: FunctionSpace) -> np.ndarray:
             nv = mesh.num_vertices()
             mask[:nv] = vmask
             if V.degree == 2 and hasattr(V, "edge_vertices"):
-                bset = {tuple(f) for f in mesh.boundary_facets()}
+                # boundary facets are vertex PAIRS in 2D but TRIPLES in
+                # 3D — a P2 edge dof is on the boundary iff its edge is
+                # an edge OF some boundary facet (for 2D the facet IS
+                # the edge)
+                bset = set()
+                for f in mesh.boundary_facets():
+                    f = [int(v) for v in f]
+                    if len(f) == 2:
+                        bset.add(tuple(sorted(f)))
+                    else:
+                        for i in range(len(f)):
+                            for j in range(i + 1, len(f)):
+                                bset.add(tuple(sorted((f[i], f[j]))))
                 for e, (a, b) in enumerate(V.edge_vertices):
                     if (int(a), int(b)) in bset:
                         mask[nv + e] = True

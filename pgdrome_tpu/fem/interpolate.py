@@ -233,12 +233,124 @@ def _bary_in_cell(mesh, cell, pts, xp):
     return xp.stack([l0, l1, l2], axis=-1)
 
 
+def _dshape_tri_x(degree, bary, xp):
+    """Triangle basis gradients wrt barycentric coords: (..., nl, 3)."""
+    l0, l1, l2 = bary[..., 0], bary[..., 1], bary[..., 2]
+    z = xp.zeros_like(l0)
+    if degree == 1:
+        o = xp.ones_like(l0)
+        rows = [[o, z, z], [z, o, z], [z, z, o]]
+    elif degree == 2:
+        rows = [
+            [4 * l0 - 1, z, z],
+            [z, 4 * l1 - 1, z],
+            [z, z, 4 * l2 - 1],
+            [z, 4 * l2, 4 * l1],
+            [4 * l2, z, 4 * l0],
+            [4 * l1, 4 * l0, z],
+        ]
+    elif degree == 0:
+        rows = [[z, z, z]]
+    else:
+        raise NotImplementedError
+    return xp.stack([xp.stack(r, axis=-1) for r in rows], axis=-2)
+
+
+# local edge pairs of the P2 tet (must match fem.space._TET_EDGES)
+_TET_EDGE_PAIRS = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+
 def _shape_tet_x(degree, bary, xp):
     if degree == 1:
         return bary
+    if degree == 2:
+        ls = [bary[..., i] for i in range(4)]
+        vals = [li * (2.0 * li - 1.0) for li in ls]
+        vals += [4.0 * ls[a] * ls[b] for (a, b) in _TET_EDGE_PAIRS]
+        return xp.stack(vals, axis=-1)
     if degree == 0:
         return xp.ones(bary.shape[:-1] + (1,))
     raise NotImplementedError
+
+
+def _dshape_tet_x(degree, bary, xp):
+    """Tet basis gradients wrt barycentric coords: (..., nl, 4)."""
+    ls = [bary[..., i] for i in range(4)]
+    z = xp.zeros_like(ls[0])
+    if degree == 1:
+        o = xp.ones_like(ls[0])
+        rows = [[o if j == i else z for j in range(4)] for i in range(4)]
+    elif degree == 2:
+        rows = [
+            [4 * ls[i] - 1 if j == i else z for j in range(4)]
+            for i in range(4)
+        ]
+        for (a, b) in _TET_EDGE_PAIRS:
+            r = [z, z, z, z]
+            r[a] = 4 * ls[b]
+            r[b] = 4 * ls[a]
+            rows.append(r)
+    elif degree == 0:
+        rows = [[z, z, z, z]]
+    else:
+        raise NotImplementedError
+    return xp.stack([xp.stack(r, axis=-1) for r in rows], axis=-2)
+
+
+def _cell_jinv(mesh, cell, xp, tdim):
+    """Per-point inverse Jacobian of the located cells: (..., tdim, tdim)
+    with J columns the cell edge vectors v_i − v_0 (the affine map of
+    the reference simplex)."""
+    coords = xp.asarray(mesh.coordinates())
+    cells = xp.asarray(mesh.cells())
+    verts = coords[cells[cell]]                    # (..., nl_v, gdim)
+    v0 = verts[..., 0, :]
+    J = xp.stack(
+        [verts[..., i + 1, :] - v0 for i in range(tdim)], axis=-1
+    )  # (..., gdim, tdim)
+    if tdim == 2:
+        a, b = J[..., 0, 0], J[..., 0, 1]
+        c, d = J[..., 1, 0], J[..., 1, 1]
+        det = a * d - b * c
+        return xp.stack(
+            [xp.stack([d, -b], axis=-1), xp.stack([-c, a], axis=-1)],
+            axis=-2,
+        ) / det[..., None, None]
+    # 3×3 adjugate (jit-friendly, no linalg call)
+    m = J
+    c00 = m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1]
+    c01 = m[..., 0, 2] * m[..., 2, 1] - m[..., 0, 1] * m[..., 2, 2]
+    c02 = m[..., 0, 1] * m[..., 1, 2] - m[..., 0, 2] * m[..., 1, 1]
+    c10 = m[..., 1, 2] * m[..., 2, 0] - m[..., 1, 0] * m[..., 2, 2]
+    c11 = m[..., 0, 0] * m[..., 2, 2] - m[..., 0, 2] * m[..., 2, 0]
+    c12 = m[..., 0, 2] * m[..., 1, 0] - m[..., 0, 0] * m[..., 1, 2]
+    c20 = m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0]
+    c21 = m[..., 0, 1] * m[..., 2, 0] - m[..., 0, 0] * m[..., 2, 1]
+    c22 = m[..., 0, 0] * m[..., 1, 1] - m[..., 0, 1] * m[..., 1, 0]
+    det = (m[..., 0, 0] * c00 + m[..., 0, 1] * c10 + m[..., 0, 2] * c20)
+    adj = xp.stack(
+        [xp.stack([c00, c01, c02], axis=-1),
+         xp.stack([c10, c11, c12], axis=-1),
+         xp.stack([c20, c21, c22], axis=-1)],
+        axis=-2,
+    )
+    return adj / det[..., None, None]
+
+
+def _grad_basis_simplex(mesh, V, cell, bary, xp, tdim):
+    """Global-coordinate basis gradients at located points:
+    (..., nl, gdim) — barycentric gradients mapped through the cell's
+    inverse Jacobian (d/dl_i wrt the reference coords l_1..l_tdim is
+    dbary_i − dbary_0)."""
+    if tdim == 2:
+        dbary = _dshape_tri_x(V.degree, bary, xp)  # (..., nl, 3)
+    else:
+        dbary = _dshape_tet_x(V.degree, bary, xp)  # (..., nl, 4)
+    dref = xp.stack(
+        [dbary[..., i + 1] - dbary[..., 0] for i in range(tdim)], axis=-1
+    )  # (..., nl, tdim)
+    Jinv = _cell_jinv(mesh, cell, xp, tdim)        # (..., tdim, tdim)
+    return xp.einsum("...lr,...rg->...lg", dref, Jinv)
 
 
 def _locate_3d(mesh, pts, xp):
@@ -285,8 +397,13 @@ def eval_dofs_at_points(V, dofs, points, derivative: bool = False, xp=np):
     """Evaluate a FE function (dof vector `dofs` on space `V`) at `points`.
 
     points: (..., gdim) or (...,) for 1D. Returns (...,) for scalar spaces,
-    (..., value_size) for vector spaces.  ``derivative=True`` (1D only)
-    evaluates d/dx.  Pass ``xp=jax.numpy`` for a traced/jittable version.
+    (..., value_size) for vector spaces.  ``derivative=True`` evaluates
+    the spatial derivative instead: d/dx in 1D (same output shapes),
+    the GRADIENT in 2D/3D — (..., gdim) for scalar spaces,
+    (..., value_size, gdim) for vector ones (matching the reference's
+    ``evaluate(..., derivative=...)`` capability, reference
+    model.py:1088-1412, which this extends to point evaluation).
+    Pass ``xp=jax.numpy`` for a traced/jittable version.
     """
     dofs = xp.asarray(dofs)
     mesh = V.mesh()
@@ -306,28 +423,35 @@ def eval_dofs_at_points(V, dofs, points, derivative: bool = False, xp=np):
         else:
             basis = _shape_1d_x(V.degree, xi, xp)  # (..., nl)
     elif tdim == 2:
-        if derivative:
-            raise NotImplementedError("derivative point-eval only in 1D")
         pts = xp.asarray(points)
         if isinstance(mesh, RectangleMesh):
             cell = _locate_2d(mesh, pts, xp)
             bary = _bary_in_cell(mesh, cell, pts, xp)
         else:  # unstructured triangulation: bucketed locate
             cell, bary = mesh.locator().locate(pts, xp)
-        basis = _shape_tri_x(V.degree, bary, xp)
+        basis = (_grad_basis_simplex(mesh, V, cell, bary, xp, 2)
+                 if derivative else _shape_tri_x(V.degree, bary, xp))
     else:  # 3D: BoxMesh (arithmetic) or unstructured tets (bucketed)
-        if derivative:
-            raise NotImplementedError("derivative point-eval only in 1D")
         pts = xp.asarray(points)
         if hasattr(mesh, "nz"):  # BoxMesh
             cell, bary = _locate_3d(mesh, pts, xp)
         else:
             cell, bary = mesh.locator().locate(pts, xp)
-        basis = _shape_tet_x(V.degree, bary, xp)
+        basis = (_grad_basis_simplex(mesh, V, cell, bary, xp, 3)
+                 if derivative else _shape_tet_x(V.degree, bary, xp))
 
-    local_sdofs = ed[cell]  # (..., nl)
+    local_sdofs = ed[cell]  # (..., nl) — or basis (..., nl, gdim) for grads
+    grad_nd = derivative and tdim >= 2
     if vs == 1:
+        if grad_nd:
+            return xp.sum(dofs[local_sdofs][..., None] * basis, axis=-2)
         return xp.sum(dofs[local_sdofs] * basis, axis=-1)
+    if grad_nd:
+        comp_vals = [
+            xp.sum(dofs[local_sdofs * vs + c][..., None] * basis, axis=-2)
+            for c in range(vs)
+        ]
+        return xp.stack(comp_vals, axis=-2)  # (..., vs, gdim)
     comp_vals = [
         xp.sum(dofs[local_sdofs * vs + c] * basis, axis=-1) for c in range(vs)
     ]

