@@ -94,22 +94,60 @@ def adjoint_problem(sep, l_vec, *, param_rhs=None):
     Returns a host-f64 :class:`SeparatedProblem` ready for
     :func:`~pgdrome_tpu.separated.precondition_dim0` + any solve
     pipeline — the adjoint is just another vademecum."""
+    return adjoint_problem_nd(sep, [l_vec], n_fixed=1,
+                              param_rhs=param_rhs)
+
+
+def adjoint_problem_nd(sep, l_factors, *, n_fixed=2, param_rhs=None):
+    """Adjoint separated problem for SPACE-TIME (multi-fixed-dim)
+    vademecums:  A(p)ᵀ z = ⊗_d l_d  over the leading ``n_fixed``
+    deterministic dims, collocation params after.
+
+    The transient case (dims x ⊗ t ⊗ p…): every dim's operator stack is
+    transposed per term — the upwind time stencil D1_up transposes to
+    the DOWNWIND stencil, i.e. the adjoint propagates BACKWARD in time
+    from the functional, as it must.  The bc bookkeeping is the
+    discrete-adjoint one: the solver's masked system is
+    mAm + diag(1−m), whose transpose is mAᵀm + diag(1−m) — the SAME
+    constrained dofs (the primal's t=0 rows), with the functional
+    masked there.  The exact output identity then holds in masked
+    quantities:  s = (ml)·u = z·(mb)  (this is the CLAUDE.md
+    "FOM-identity gotcha" resolved structurally rather than by
+    patching z).
+
+    ``l_factors``: per-fixed-dim functional factors (e.g. a sensor row
+    e_{x0} and a final-time row e_T).  Parameter-dim rhs factors are
+    the collocation weights (per-grid-point weight cancellation, same
+    argument as the primal).  Reference contrast: PGDrome has no
+    adjoint capability at all; its transient outputs go through full
+    fields (reference solver.py:947-988 is the time stencil this
+    transposes)."""
     from pgdrome_tpu.separated import SeparatedProblem
 
     nd = sep.num_dims
+    if not 1 <= n_fixed < nd:
+        raise ValueError(f"n_fixed must be in [1, {nd - 1})")
+    if len(l_factors) != n_fixed:
+        raise ValueError(
+            f"need {n_fixed} functional factors, got {len(l_factors)}"
+        )
     ops = [np.swapaxes(np.asarray(o, dtype=np.float64), 1, 2)
            for o in sep.ops]
-    l = np.asarray(l_vec, dtype=np.float64).copy()
-    if l.shape != (sep.sizes[0],):
-        raise ValueError(
-            f"l_vec has shape {l.shape}, expected ({sep.sizes[0]},)"
-        )
-    if sep.bc_dofs[0] is not None and len(sep.bc_dofs[0]):
-        l[np.asarray(sep.bc_dofs[0])] = 0.0
+    rhs = []
+    for d in range(n_fixed):
+        l = np.asarray(l_factors[d], dtype=np.float64).copy()
+        if l.shape != (sep.sizes[d],):
+            raise ValueError(
+                f"l_factors[{d}] has shape {l.shape}, expected "
+                f"({sep.sizes[d]},)"
+            )
+        if sep.bc_dofs[d] is not None and len(sep.bc_dofs[d]):
+            l[np.asarray(sep.bc_dofs[d])] = 0.0
+        rhs.append(l[None, :])
     if param_rhs is None:
-        param_rhs = [collocation_weights(sep, j) for j in range(1, nd)]
-    rhs = [l[None, :]] + [np.asarray(w, dtype=np.float64)[None, :]
-                          for w in param_rhs]
+        param_rhs = [collocation_weights(sep, j)
+                     for j in range(n_fixed, nd)]
+    rhs += [np.asarray(w, dtype=np.float64)[None, :] for w in param_rhs]
     return SeparatedProblem(
         ops=ops,
         rhs=rhs,
@@ -144,13 +182,22 @@ class DualCorrector:
     """
 
     def __init__(self, sep, Vs, l_vec, res_u, tf_u, res_z, tf_z, *,
-                 theta_ops=None, theta_rhs=None, cache=None):
+                 theta_ops=None, theta_rhs=None, cache=None,
+                 n_fixed: int = 1, l_factors=None):
         import scipy.sparse as sp
 
         self.Vs = Vs
         self.res_u, self.res_z = res_u, res_z
         nd = sep.num_dims
-        self.num_params = nd - 1
+        self.n_fixed = int(n_fixed)
+        self.num_params = nd - self.n_fixed
+        if self.n_fixed > 1 and l_factors is None:
+            raise ValueError(
+                "space-time correctors (n_fixed > 1) need l_factors "
+                "(per-fixed-dim functional factors)"
+            )
+        if l_factors is None:
+            l_factors = [l_vec]
         # cache: user-held dict reused across corrector builds that
         # share (sep, Vs, l_vec, res_u, tf_u) and vary only the DUAL —
         # the per-stage verify of recipes.goal_oriented_frontier.  The
@@ -159,53 +206,64 @@ class DualCorrector:
         # 60-120 MB/s host should not redo every stage.
         cache = cache if cache is not None else {}
 
-        def _full(res, tf):
-            m0 = np.asarray(res.modes[0])[: res.n_modes]
-            return (tf.modes_to_full(m0) if tf is not None
-                    else m0).astype(np.float64)
+        def _full(res, tf, d=0):
+            md = np.asarray(res.modes[d])[: res.n_modes]
+            return (tf.modes_to_full(md) if (tf is not None and d == 0)
+                    else md).astype(np.float64)
 
+        nf = self.n_fixed
         if "U0" not in cache:
-            cache["U0"] = _full(res_u, tf_u)        # (ru, n)
-        U0 = cache["U0"]
-        Z0 = _full(res_z, tf_z)          # (rz, n)
+            cache["U0"] = [_full(res_u, tf_u, d) for d in range(nf)]
+        Us = cache["U0"]                 # per fixed dim (ru, n_d)
+        Zs = [_full(res_z, tf_z, d) for d in range(nf)]
         if "L" not in cache:
-            l = np.asarray(l_vec, dtype=np.float64).copy()
-            if sep.bc_dofs[0] is not None and len(sep.bc_dofs[0]):
-                l[np.asarray(sep.bc_dofs[0])] = 0.0
-            cache["L"] = U0 @ l
+            L = np.ones(res_u.n_modes)
+            for d in range(nf):
+                l = np.asarray(l_factors[d], dtype=np.float64).copy()
+                if sep.bc_dofs[d] is not None and len(sep.bc_dofs[d]):
+                    l[np.asarray(sep.bc_dofs[d])] = 0.0
+                L = L * (Us[d] @ l)
+            cache["L"] = L
         self.L = cache["L"]              # (ru,)
 
         if "A_csr" not in cache:
-            A0 = np.asarray(sep.ops[0], dtype=np.float64)  # (T, n, n)
-            # dim-0 FEM matrices are banded; dense n²·rank einsums are
-            # host-prohibitive at frontier scale
-            cache["A_csr"] = [sp.csr_matrix(A0[t])
-                              for t in range(A0.shape[0])]
-        g0 = np.asarray(sep.rhs[0], dtype=np.float64)   # (R, n)
-        self.C = np.stack([
-            Z0 @ (A @ U0.T) for A in cache["A_csr"]
-        ])                               # (T, rz, ru)
-        self.B = g0 @ Z0.T               # (R, rz)
+            # fixed-dim FEM/stencil matrices are banded; dense n²·rank
+            # einsums are host-prohibitive at frontier scale
+            cache["A_csr"] = [
+                [sp.csr_matrix(np.asarray(sep.ops[d], dtype=np.float64)[t])
+                 for t in range(sep.num_terms)]
+                for d in range(nf)
+            ]
+        C = np.ones((sep.num_terms, res_z.n_modes, res_u.n_modes))
+        for d in range(nf):
+            C = C * np.stack([
+                Zs[d] @ (A @ Us[d].T) for A in cache["A_csr"][d]
+            ])
+        self.C = C                       # (T, rz, ru)
+        B = np.ones((sep.num_rhs, res_z.n_modes))
+        for d in range(nf):
+            B = B * (np.asarray(sep.rhs[d], dtype=np.float64) @ Zs[d].T)
+        self.B = B                       # (R, rz)
 
         self._grids = self._g_ops = self._g_rhs = None
         self._ranges = [
-            (float(Vs[1 + j].mesh().coordinates()[0, 0]),
-             float(Vs[1 + j].mesh().coordinates()[-1, 0]))
+            (float(Vs[nf + j].mesh().coordinates()[0, 0]),
+             float(Vs[nf + j].mesh().coordinates()[-1, 0]))
             for j in range(self.num_params)
         ]
         both_auto = theta_ops is None and theta_rhs is None
         if theta_ops is None or theta_rhs is None:
             if "theta_tables" not in cache:
-                grids = [Vs[1 + j].tabulate_dof_coordinates()[:, 0]
+                grids = [Vs[nf + j].tabulate_dof_coordinates()[:, 0]
                          for j in range(self.num_params)]
-                w = [collocation_weights(sep, 1 + j)
+                w = [collocation_weights(sep, nf + j)
                      for j in range(self.num_params)]
                 cache["theta_tables"] = (
                     grids,
-                    [np.diagonal(np.asarray(sep.ops[1 + j]),
+                    [np.diagonal(np.asarray(sep.ops[nf + j]),
                                  axis1=1, axis2=2) / w[j][None, :]
                      for j in range(self.num_params)],     # (T, n_p)
-                    [np.asarray(sep.rhs[1 + j]) / w[j][None, :]
+                    [np.asarray(sep.rhs[nf + j]) / w[j][None, :]
                      for j in range(self.num_params)],     # (R, n_p)
                 )
             grids, g_ops, g_rhs = cache["theta_tables"]
@@ -240,7 +298,8 @@ class DualCorrector:
         fac = np.ones((s.shape[0], res.n_modes))
         for j in range(self.num_params):
             vals = np.asarray(evaluate_modes_1d(
-                self.Vs[1 + j], res.modes[1 + j], s[:, j], xp=np
+                self.Vs[self.n_fixed + j], res.modes[self.n_fixed + j],
+                s[:, j], xp=np
             ))[:, : res.n_modes].astype(np.float64)
             fac *= vals
         return fac
@@ -544,11 +603,12 @@ def make_corrected_sensor_fn(dc: DualCorrector, *, aot: bool = True,
             "staged onto the device)"
         )
     spaces = dc.Vs
+    nf = getattr(dc, "n_fixed", 1)
     ru, rz = dc.res_u.n_modes, dc.res_z.n_modes
     f32 = jnp.float32
-    mu = [jnp.asarray(np.asarray(dc.res_u.modes[1 + j])[:ru], f32)
+    mu = [jnp.asarray(np.asarray(dc.res_u.modes[nf + j])[:ru], f32)
           for j in range(dc.num_params)]
-    mz = [jnp.asarray(np.asarray(dc.res_z.modes[1 + j])[:rz], f32)
+    mz = [jnp.asarray(np.asarray(dc.res_z.modes[nf + j])[:rz], f32)
           for j in range(dc.num_params)]
     g_ops = [jnp.asarray(g, f32) for g in dc._g_ops]
     g_rhs = [jnp.asarray(g, f32) for g in dc._g_rhs]
@@ -560,7 +620,7 @@ def make_corrected_sensor_fn(dc: DualCorrector, *, aot: bool = True,
     def _prod(tables, samples):
         out = None
         for j, tab in enumerate(tables):
-            v = evaluate_modes_1d(spaces[1 + j], tab, samples[:, j])
+            v = evaluate_modes_1d(spaces[nf + j], tab, samples[:, j])
             out = v if out is None else out * v
         return out
 

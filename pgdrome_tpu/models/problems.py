@@ -680,6 +680,151 @@ def moving_heat_source(
     return prob, [Vx, Vt, VP, Vv], factors, sep_err
 
 
+def transient_parametric_conductivity(
+    n_x: int = 128,
+    n_t: int = 64,
+    n_p: int = 32,
+    num_params: int = 2,
+    p_range=(0.0, 1.0),
+    rho_cp: float = 1.0,
+    lt: float = 1.0,
+    dtype=None,
+):
+    """OPERATOR-parametric transient heat: dims x ⊗ t ⊗ p_1..p_P with
+
+        rho·cp ∂u/∂t − ∇·(κ(x; p) ∇u) = q(x)·s(t),
+        κ(x; p) = 1 + Σ_i p_i sin²(iπx)/(2P),  u(0)=u(1)=0,  u(t=0)=0
+
+    — the transient family whose PARAMETERS sit in the operator (the
+    elliptic vademecum's κ driven through an upwind time stencil), so
+    :func:`pgdrome_tpu.dual.rhs_parametric_qoi`'s exact closed form
+    does NOT apply and outputs need the backward-in-time adjoint
+    cascade (round-4 VERDICT weak #5).  q = Gaussian bump, s = sin ramp
+    (rank-1 separated source, EXACT — unlike :func:`moving_heat_source`
+    the truth has no source-separation floor, so this isolates the
+    operator-parametric question).
+
+    Parameter dims are collocation-lumped: at every parameter grid
+    point the tensor system IS the masked space-time FEM/FD system
+    (same cancellation argument as :func:`parametric_elliptic`), which
+    :func:`transient_conductivity_fom` solves exactly for truth.
+
+    Returns ``(SeparatedProblem, [Vx, Vt, Vp...])``."""
+    from pgdrome_tpu.ops.fd import FD_matrices
+
+    Vx = FunctionSpace(IntervalMesh(n_x, 0.0, 1.0), "P", 1)
+    Vt = FunctionSpace(IntervalMesh(n_t, 0.0, lt), "P", 1)
+    Vp = [
+        FunctionSpace(IntervalMesh(n_p, p_range[0], p_range[1]), "P", 1)
+        for _ in range(num_params)
+    ]
+
+    Mx = mass_matrix(Vx)
+    K0 = stiffness_matrix(Vx)
+    Kw = [
+        stiffness_matrix(
+            Vx,
+            weight=(lambda i: (lambda x: np.sin((i + 1) * np.pi * x) ** 2
+                               / (2 * num_params)))(i),
+        )
+        for i in range(num_params)
+    ]
+    t_grid = Vt.tabulate_dof_coordinates()[:, 0]
+    M_t, _, D1_up = FD_matrices(t_grid)
+    Mp = [mass_matrix(v) for v in Vp]
+    Mp_w = [mass_matrix(v, weight=lambda p: p) for v in Vp]
+    Mp_op = [np.diag(m.sum(axis=1)) for m in Mp]
+    Mp_w_op = [np.diag(m.sum(axis=1)) for m in Mp_w]
+
+    T = 2 + num_params
+    ops = [
+        np.stack([rho_cp * Mx, K0] + Kw),
+        np.stack([D1_up] + [M_t] * (1 + num_params)),
+    ]
+    for j in range(num_params):
+        mats = []
+        for t in range(T):
+            mats.append(Mp_w_op[j] if t == 2 + j else Mp_op[j])
+        ops.append(np.stack(mats))
+
+    xc, a = 0.4, 0.1
+    q_x = load_vector(Vx, lambda x: np.exp(-((x - xc) ** 2) / a ** 2))
+    q_t = M_t @ np.sin(np.pi * t_grid / lt)
+    rhs = [q_x[None, :], q_t[None, :]] + [
+        np.diag(Mp_op[j])[None, :] for j in range(num_params)
+    ]
+
+    bc_x = DirichletBC(Vx, 0.0, lambda x, onb: onb)
+    bc_dofs = ([bc_x.dofs, np.array([0], dtype=np.int64)]
+               + [np.array([], dtype=np.int64)] * num_params)
+    mass = [Mx, M_t] + Mp
+
+    dt = dtype or np.float64
+    prob = SeparatedProblem(
+        ops=[np.asarray(o, dtype=dt) for o in ops],
+        rhs=[np.asarray(r, dtype=dt) for r in rhs],
+        mass=[np.asarray(m, dtype=dt) for m in mass],
+        bc_dofs=bc_dofs,
+    )
+    return prob, [Vx, Vt] + Vp
+
+
+def transient_conductivity_fom(sep, Vs):
+    """Exact f64 space-time FOM for
+    :func:`transient_parametric_conductivity`: returns
+    ``solve(p) -> (n_x, n_t)`` solving the MASKED kron system
+
+        [Σ_t θ_t(p) A_t^x ⊗ A_t^τ]  (collocation weights cancel)
+
+    by sparse LU — bit-consistent with what the separated solver's
+    per-grid-point semantics converge to, so corrected-output errors
+    measured against it are solver truth (the source is rank-1 exact;
+    no separation floor).  θ read off the collocation diagonals by P1
+    interpolation (exact at grid points)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    num_params = sep.num_dims - 2
+    Ax = np.asarray(sep.ops[0], dtype=np.float64)
+    At = np.asarray(sep.ops[1], dtype=np.float64)
+    T = Ax.shape[0]
+    mx = np.asarray(sep.bc_masks[0], dtype=np.float64)
+    mt = np.asarray(sep.bc_masks[1], dtype=np.float64)
+    m = (mx[:, None] * mt[None, :]).ravel()
+    bx = np.asarray(sep.rhs[0], dtype=np.float64)[0]
+    bt = np.asarray(sep.rhs[1], dtype=np.float64)[0]
+    b = (np.outer(bx, bt).ravel()) * m
+    grids = [Vs[2 + j].tabulate_dof_coordinates()[:, 0]
+             for j in range(num_params)]
+    w = [np.diagonal(np.asarray(sep.ops[2 + j], dtype=np.float64)[0])
+         for j in range(num_params)]
+    thetas = [
+        np.diagonal(np.asarray(sep.ops[2 + j], dtype=np.float64),
+                    axis1=1, axis2=2) / w[j][None, :]
+        for j in range(num_params)
+    ]
+    kron_terms = [
+        sp.kron(sp.csr_matrix(Ax[t] * mx[:, None] * mx[None, :]),
+                sp.csr_matrix(At[t] * mt[:, None] * mt[None, :]),
+                format="csr")
+        for t in range(T)
+    ]
+    eye_bc = sp.diags(1.0 - m)
+
+    def solve(p):
+        th = np.ones(T)
+        for j in range(num_params):
+            for t in range(T):
+                th[t] *= np.interp(p[j], grids[j], thetas[j][t])
+        A = eye_bc.copy()
+        for t in range(T):
+            A = A + th[t] * kron_terms[t]
+        u = spla.spsolve(A.tocsc(), b)
+        return u.reshape(Ax.shape[1], At.shape[1])
+
+    return solve
+
+
 def transient_dense_verifier(sep, Vs, factors, *, af: float = 0.08,
                              xc0: float = 0.15, true_source: bool = True,
                              n_random: int = 6, seeds=(7, 101)):

@@ -1035,3 +1035,160 @@ def goal_oriented_frontier(num_params, sensors, primal_result, *,
         with open(artifact_path, "w") as f:
             _json.dump(report, f, indent=1)
     return duals, report
+
+
+def transient_goal_oriented(sensors_x, *, n_x=256, n_t=96, n_p=48,
+                            num_params=3, bound=1e-6,
+                            primal_stages=(96, 64), dual_stage1=48,
+                            dual_budget=48, max_dual_stages=6,
+                            n_random=16, seeds=(7, 101),
+                            tol_fp=1e-7, max_fp_it=50,
+                            dtype=np.float32, log=None,
+                            artifact_path=None):
+    """Goal-oriented OUTPUT certification for the OPERATOR-parametric
+    transient family (round-4 VERDICT weak #5): the transient companion
+    of :func:`goal_oriented_frontier`.
+
+    :func:`models.problems.transient_parametric_conductivity` puts the
+    parameters in the operator, so the exact rhs-parametric closed form
+    (:func:`pgdrome_tpu.dual.rhs_parametric_qoi`) does not apply and
+    the FIELD goes through the f32 minres floor.  Per sensor (x0, final
+    time) this recipe drives a BACKWARD-IN-TIME adjoint minres cascade
+    (:func:`pgdrome_tpu.dual.adjoint_problem_nd` — the upwind stencil
+    transposes to downwind) whose per-stage error metric IS the
+    corrected-output error against the exact space-time FOM
+    (:func:`models.problems.transient_conductivity_fom`, sparse-LU
+    solves of the masked kron system — no source-separation floor in
+    this family), stopping at ``bound``.  The correction is the
+    space-time :class:`pgdrome_tpu.dual.DualCorrector` (``n_fixed=2``):
+    s_corr = l·u_r + z_r·r(p), error (z−z_r)·r — dual error × primal
+    residual, so modest duals certify outputs far below the field.
+
+    Returns ``(duals, report)``; the report carries per-sensor
+    histories, the primal field error for contrast, and is dumped to
+    ``artifact_path``."""
+    import json as _json
+    import time as _time
+
+    from pgdrome_tpu.dual import DualCorrector, adjoint_problem_nd
+    from pgdrome_tpu.models.problems import (
+        box_corners,
+        transient_conductivity_fom,
+        transient_parametric_conductivity,
+    )
+    from pgdrome_tpu.separated import evaluate_modes_1d
+
+    say = log or (lambda *a: None)
+    t0_run = _time.perf_counter()
+    sep, Vs = transient_parametric_conductivity(
+        n_x=n_x, n_t=n_t, n_p=n_p, num_params=num_params)
+    fom = transient_conductivity_fom(sep, Vs)
+
+    grid = Vs[2].tabulate_dof_coordinates()[:, 0]
+    lo, hi = grid[1], grid[-2]
+    pts = [box_corners(lo, hi, num_params)]
+    for seed in seeds:
+        rng = np.random.default_rng(seed)
+        pts.append(grid[rng.integers(1, len(grid) - 1,
+                                     size=(n_random, num_params))])
+    pts = np.concatenate(pts)
+
+    say(f"primal minres stages {primal_stages} ...")
+    t0 = _time.perf_counter()
+    res_u = two_stage_minres(sep, n_stage1=primal_stages[0],
+                             n_stage2=(primal_stages[1]
+                                       if len(primal_stages) > 1 else 0),
+                             extra_stages=tuple(primal_stages[2:]),
+                             tol_fp=tol_fp, max_fp_it=max_fp_it,
+                             dtype=dtype)
+    t_primal = _time.perf_counter() - t0
+
+    x_dofs = Vs[0].tabulate_dof_coordinates()[:, 0]
+    l_t = np.zeros(Vs[1].dim())
+    l_t[-1] = 1.0
+
+    # FOM truth: one space-time solve per verification point serves
+    # EVERY sensor and every stage (u(x0,T) is a readout of the field)
+    say(f"FOM truth sweep: {len(pts)} space-time solves ...")
+    t0 = _time.perf_counter()
+    U_true = [fom(p) for p in pts]
+    t_fom = _time.perf_counter() - t0
+    # field error of the primal for contrast (the floor the outputs
+    # must beat)
+    fu = np.ones((len(pts), res_u.n_modes))
+    for j in range(num_params):
+        fu *= np.asarray(evaluate_modes_1d(
+            Vs[2 + j], res_u.modes[2 + j], pts[:, j], xp=np
+        ))[:, : res_u.n_modes]
+    m0 = np.asarray(res_u.modes[0])[: res_u.n_modes]
+    m1 = np.asarray(res_u.modes[1])[: res_u.n_modes]
+    field_err = max(
+        float(np.linalg.norm(
+            np.einsum("k,ki,kj->ij", fu[s], m0, m1) - U_true[s])
+            / np.linalg.norm(U_true[s]))
+        for s in range(len(pts))
+    )
+    say(f"primal rank {res_u.n_modes}: field err {field_err:.2e} "
+        f"({t_primal:.1f}s solve, {t_fom:.1f}s FOM truth)")
+
+    duals, sensor_reports = [], []
+    for x0 in np.atleast_1d(sensors_x):
+        ix0 = int(np.argmin(np.abs(x_dofs - x0)))
+        l_x = np.zeros(Vs[0].dim())
+        l_x[ix0] = 1.0
+        s_true = np.array([U[ix0, -1] for U in U_true])
+        s_scale = float(np.abs(s_true).max())
+        adj = adjoint_problem_nd(sep, [l_x, l_t], n_fixed=2)
+        cache = {}
+        hist_box = []
+
+        def verify(res_zg, _cache=cache, _s_true=s_true,
+                   _l_x=l_x, _hist=hist_box, _scale=s_scale):
+            dc = DualCorrector(sep, Vs, None, res_u, None, res_zg, None,
+                               n_fixed=2, l_factors=[_l_x, l_t],
+                               cache=_cache)
+            s_corr = dc.corrected(pts)
+            err = float(np.abs(s_corr - _s_true).max() / _scale)
+            _hist.append(err)
+            return err
+
+        t0 = _time.perf_counter()
+        res_z, hist = adaptive_minres(
+            adj, verify, bound=bound, n_stage1=dual_stage1,
+            stage_budget=dual_budget, max_stages=max_dual_stages,
+            tol_fp=tol_fp, max_fp_it=max_fp_it, dtype=dtype,
+            log=say,
+        )
+        duals.append(res_z)
+        sensor_reports.append({
+            "x0": float(x_dofs[ix0]),
+            "dual_rank": int(res_z.n_modes),
+            "corrected_rel_max": float(hist_box[-1]
+                                       if hist_box else np.inf),
+            "corrected_best": float(min(hist_box) if hist_box else np.inf),
+            "history": [
+                {k: h[k] for k in ("stage", "rank", "max", "stage_s")}
+                for h in hist
+            ],
+            "wall_s": round(_time.perf_counter() - t0, 1),
+        })
+        say(f"sensor x0={x_dofs[ix0]:.3f}: corrected "
+            f"{sensor_reports[-1]['corrected_best']:.2e} at dual rank "
+            f"{res_z.n_modes} (field floor {field_err:.2e})")
+
+    report = {
+        "family": "transient_parametric_conductivity",
+        "n_x": n_x, "n_t": n_t, "n_p": n_p, "num_params": num_params,
+        "bound_target": float(bound),
+        "primal_rank": int(res_u.n_modes),
+        "primal_field_rel_max": field_err,
+        "n_verify": int(len(pts)),
+        "sensors": sensor_reports,
+        "max_corrected": max(s["corrected_best"]
+                             for s in sensor_reports),
+        "wall_s": round(_time.perf_counter() - t0_run, 1),
+    }
+    if artifact_path:
+        with open(artifact_path, "w") as f:
+            _json.dump(report, f, indent=1)
+    return duals, report
