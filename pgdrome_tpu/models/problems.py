@@ -1287,3 +1287,174 @@ def elliptic3d_dense_verifier(Vs, tf=None, n_random: int = 8,
     verify.sample_errors = sample_errors
     verify.corners = corners
     return verify
+
+
+def nonlinear_elliptic(
+    n_x: int = 1024,
+    n_p: int = 64,
+    num_params: int = 2,
+    eps: float = 2.0,
+    p_range=(0.0, 1.0),
+    boundary_boost=None,
+    dtype=None,
+):
+    """Nonlinear parametric vademecum:
+
+        −∇·(κ(x; p) ∇u) + ε·u³ = f,   κ = 1 + Σ_i p_i sin²(iπx)/(2P)
+
+    on [0,1], homogeneous Dirichlet, cubic term mass-LUMPED (the
+    collocation-consistent discrete form: at every parameter grid point
+    the equation is the banded system  K(p)u + ε·M_L u³ = b, which is
+    exactly what :func:`nonlinear_elliptic_fom` Newton-solves for
+    truth).  At ε=2 the nonlinearity shifts the solution by ~10%
+    (measured) — a genuinely nonlinear vademecum, not a perturbation.
+
+    Returns ``(sep_linear, Vs, ml)``: the LINEAR part as a separated
+    problem (same affine family as :func:`parametric_elliptic`) plus
+    the lumped-mass diagonal ``ml`` of the cubic term.  Solve with
+    :func:`pgdrome_tpu.recipes.nonlinear_vademecum` (outer Picard:
+    each iteration CP-compresses the current iterate's cube into rhs
+    terms and re-solves the SAME linear operators — one executable,
+    reference contrast: dolfin re-assembles the nonlinear form every
+    fixed-point sweep, reference solver.py:579-595)."""
+    sep, Vs = parametric_elliptic(
+        n_x=n_x, n_p=n_p, num_params=num_params, p_range=p_range,
+        degree_x=2, dtype=dtype, boundary_boost=boundary_boost,
+    )
+    ml = mass_matrix(Vs[0]).sum(axis=1)  # lumped diagonal
+    return sep, Vs, ml
+
+
+def nonlinear_elliptic_fom(Vx, num_params, eps, ml):
+    """Per-sample banded-Newton truth for :func:`nonlinear_elliptic`:
+    ``solve(p) -> u`` of  K(p)u + ε·M_L u³ = b  (damped Newton on the
+    interior dofs; the Jacobian K(p) + 3ε·diag(M_L u²) keeps the
+    bandwidth, so each iteration is one banded f64 solve)."""
+    from scipy.linalg import solve_banded
+
+    b_full = load_vector(Vx, lambda x: np.ones_like(x))
+    K_probe = stiffness_matrix(Vx)
+    bw = max(
+        k for k in range(K_probe.shape[0])
+        if np.any(np.diagonal(K_probe, k) != 0.0)
+    )
+    ml = np.asarray(ml, dtype=np.float64)
+
+    def _banded(K):
+        n = K.shape[0]
+        ab = np.zeros((2 * bw + 1, n))
+        for k in range(-bw, bw + 1):
+            d = np.diagonal(K, k)
+            if k >= 0:
+                ab[bw - k, k:k + d.size] = d
+            else:
+                ab[bw - k, :d.size] = d
+        return ab
+
+    def solve(p, tol=1e-12, max_it=50):
+        kappa = lambda x: 1.0 + sum(
+            p[i] * np.sin((i + 1) * np.pi * x) ** 2 / (2 * num_params)
+            for i in range(num_params)
+        )
+        K = stiffness_matrix(Vx, weight=kappa)
+        n = K.shape[0]
+        i0, i1 = 1, n - 1  # interval Dirichlet ends
+        Ki = K[i0:i1, i0:i1]
+        bi = b_full[i0:i1]
+        mli = ml[i0:i1]
+        u = np.zeros(n - 2)
+        for _ in range(max_it):
+            r = Ki @ u + eps * mli * u ** 3 - bi
+            J = Ki + np.diag(3.0 * eps * mli * u ** 2)
+            du = solve_banded((bw, bw), _banded(J), -r)
+            # damped: full steps can overshoot at strong eps
+            step = 1.0
+            nr0 = np.linalg.norm(r)
+            for _ in range(20):
+                un = u + step * du
+                if np.linalg.norm(
+                    Ki @ un + eps * mli * un ** 3 - bi
+                ) < nr0:
+                    break
+                step *= 0.5
+            u = u + step * du
+            if np.linalg.norm(step * du) <= tol * max(
+                np.linalg.norm(u), 1.0
+            ):
+                break
+        out = np.zeros(n)
+        out[i0:i1] = u
+        return out
+
+    return solve
+
+
+def nonlinear_dense_verifier(Vs, eps, ml, tf=None, n_random: int = 16,
+                             seeds=(7, 101, 1234), n_edge: int = 8):
+    """Dense held-out verifier for :func:`nonlinear_elliptic` results:
+    per-sample banded-NEWTON truth at all 2^d corners + multi-seed
+    random + edge picks — the nonlinear counterpart of
+    :func:`elliptic_dense_verifier` (same structure; the truth solver
+    is the only change)."""
+    Vx = Vs[0]
+    num_params = len(Vs) - 1
+    fem_solve = nonlinear_elliptic_fom(Vx, num_params, eps, ml)
+    base = elliptic_dense_verifier(Vs, tf, n_random=n_random,
+                                   seeds=seeds, n_edge=n_edge)
+
+    # swap the truth model, reuse the sampling/steering machinery
+    from pgdrome_tpu.separated import evaluate_modes_1d
+
+    grid = Vs[1].tabulate_dof_coordinates()[:, 0]
+
+    def _errors(res, full0, samples):
+        errs = []
+        for p in samples:
+            u_ref = fem_solve(p)
+            fac = np.ones(res.n_modes)
+            for j in range(num_params):
+                vals = np.asarray(evaluate_modes_1d(
+                    Vs[1 + j], res.modes[1 + j], np.asarray([p[j]]),
+                    xp=np))[0]
+                fac *= vals[: res.n_modes].astype(np.float64)
+            u = fac @ full0[: res.n_modes]
+            errs.append(
+                np.linalg.norm(u - u_ref) / np.linalg.norm(u_ref))
+        return np.asarray(errs)
+
+    def sample_errors(res, samples):
+        m0 = np.asarray(res.modes[0])
+        full0 = (tf.modes_to_full(m0) if tf is not None
+                 else m0).astype(np.float64)
+        return _errors(res, full0, np.asarray(samples))
+
+    lo, hi = grid[1], grid[-2]
+    corners = box_corners(lo, hi, num_params)
+
+    def verify(res):
+        m0 = np.asarray(res.modes[0])
+        full0 = (tf.modes_to_full(m0) if tf is not None
+                 else m0).astype(np.float64)
+        mc = float(_errors(res, full0, corners).max())
+        mi = 0.0
+        for seed in seeds:
+            rng = np.random.default_rng(seed)
+            if n_random:
+                randoms = grid[rng.integers(
+                    1, len(grid) - 1, size=(n_random, num_params))]
+                mi = max(mi, float(_errors(res, full0, randoms).max()))
+            if n_edge:
+                pts = grid[rng.integers(
+                    1, len(grid) - 1, size=(n_edge, num_params))]
+                for r in range(n_edge):
+                    k = (int(rng.integers(1, num_params))
+                         if num_params > 1 else 1)
+                    dims = rng.choice(num_params, size=k, replace=False)
+                    pts[r, dims] = np.where(
+                        rng.integers(0, 2, size=k) == 0, lo, hi)
+                mc = max(mc, float(_errors(res, full0, pts).max()))
+        return {"corners": mc, "interior": mi, "max": max(mc, mi)}
+
+    verify.sample_errors = sample_errors
+    verify.corners = corners
+    return verify
