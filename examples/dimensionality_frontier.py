@@ -55,8 +55,16 @@ def main():
         bound=1e-5,
         n_x=128, n_p=32,      # reduced scale for the CPU demo
         n_stage1=32, stage_budget=24, max_stages=8,
+        # round-5 headline: the anchored-ANOVA start (exact per-grid-
+        # point solves for mean + axes + pairs) — at d=10 this broke
+        # the measured rank^-1.55 wall (FRONTIER_ANOVA_d10.json:
+        # 5.75e-6 at rank 1309 where flat extrapolated rank ~19k)
+        anova_order=2,
         log=lambda *a: print(*a, file=sys.stderr, flush=True),
     )
+    if report.get("anova"):
+        print(f"anova init: rank {report['anova']['rank']} "
+              f"(order {report['anova']['order']})", file=sys.stderr)
 
     v = report["verified"]
     print(f"\nrank {report['rank']} vademecum over "
