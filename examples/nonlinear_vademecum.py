@@ -35,7 +35,7 @@ from pgdrome_tpu.serving import Vademecum
 EPS = 2.0
 
 t0 = time.perf_counter()
-sep, Vs, ml = nonlinear_elliptic(n_x=128, n_p=16, num_params=2, eps=EPS)
+sep, Vs, ml = nonlinear_elliptic(n_x=128, n_p=16, num_params=2)
 res, tf, rep = nonlinear_vademecum(
     sep, Vs, ml, EPS, budgets=(24, 16), dtype=np.float64,
     rhs_bucket=128, log=print)

@@ -243,6 +243,9 @@ def anova_init(sep: SeparatedProblem, *, order: int = 2, anchor=None,
                     )
             U, s, Vt = _rand_range_svd(D, max_pair_rank, rng=rng)
             k = int(np.sum(s > tol_pair * nrm0))
+            capped = k == s.size  # rank cap hit: the dropped tail is
+            # UNKNOWN (bounded by s[-1], not by tol_pair) — reported
+            # honestly below instead of a silent 0.0
             kept = 0
             for r in range(k):
                 W = Vt[r].reshape(n_i, n_j)
@@ -259,7 +262,12 @@ def anova_init(sep: SeparatedProblem, *, order: int = 2, anchor=None,
             report["pairs"].append({
                 "pair": (i, j), "rank": kept,
                 "sigma1": float(s[0] / nrm0) if s.size else 0.0,
-                "tail": float(s[k] / nrm0) if k < s.size else 0.0,
+                # clean truncation: first dropped σ.  Rank-capped: the
+                # next σ is unknown but ≤ the last computed one — report
+                # that bound and flag it
+                "tail": (float(s[k] / nrm0) if not capped
+                         else float(s[-1] / nrm0)),
+                "rank_capped": bool(capped),
                 "s": round(time.perf_counter() - t1, 2),
             })
             say(f"anova pair ({i},{j}): sigma1 {s[0] / nrm0:.2e} "

@@ -126,7 +126,7 @@ def adjoint_problem_nd(sep, l_factors, *, n_fixed=2, param_rhs=None):
 
     nd = sep.num_dims
     if not 1 <= n_fixed < nd:
-        raise ValueError(f"n_fixed must be in [1, {nd - 1})")
+        raise ValueError(f"n_fixed must be in [1, {nd})")
     if len(l_factors) != n_fixed:
         raise ValueError(
             f"need {n_fixed} functional factors, got {len(l_factors)}"
@@ -655,10 +655,19 @@ def make_corrected_sensor_fn(dc: DualCorrector, *, aot: bool = True,
         from jax.sharding import PartitionSpec as P
 
         shard = NamedSharding(mesh, P("dp"))
+        n_dev = mesh.size
 
         def sharded(samples):
-            return jitted(jax.device_put(jnp.asarray(samples,
-                                                     jnp.float32), shard))
+            s = np.asarray(samples, dtype=np.float32)
+            # pad the batch to a mesh multiple (device_put of a
+            # non-divisible axis raises), slice the outputs back
+            pad = (-len(s)) % n_dev
+            if pad:
+                s = np.concatenate([s, np.repeat(s[-1:], pad, axis=0)])
+            out = jitted(jax.device_put(jnp.asarray(s), shard))
+            if pad:
+                out = tuple(o[:-pad] for o in out)
+            return out
 
         sharded._jitted = jitted
         return sharded

@@ -1293,7 +1293,6 @@ def nonlinear_elliptic(
     n_x: int = 1024,
     n_p: int = 64,
     num_params: int = 2,
-    eps: float = 2.0,
     p_range=(0.0, 1.0),
     boundary_boost=None,
     dtype=None,
@@ -1306,8 +1305,11 @@ def nonlinear_elliptic(
     collocation-consistent discrete form: at every parameter grid point
     the equation is the banded system  K(p)u + ε·M_L u³ = b, which is
     exactly what :func:`nonlinear_elliptic_fom` Newton-solves for
-    truth).  At ε=2 the nonlinearity shifts the solution by ~10%
-    (measured) — a genuinely nonlinear vademecum, not a perturbation.
+    truth).  ε is NOT baked in here — the builder emits the ε-free
+    pieces and the SAME ε must be passed to the solver recipe, the
+    truth solver and the verifier (they take it explicitly; at ε=2 the
+    nonlinearity shifts the solution by ~0.2% L2 / the linear solve is
+    2.3e-3 off — measured, not a perturbation).
 
     Returns ``(sep_linear, Vs, ml)``: the LINEAR part as a separated
     problem (same affine family as :func:`parametric_elliptic`) plus
@@ -1399,10 +1401,6 @@ def nonlinear_dense_verifier(Vs, eps, ml, tf=None, n_random: int = 16,
     Vx = Vs[0]
     num_params = len(Vs) - 1
     fem_solve = nonlinear_elliptic_fom(Vx, num_params, eps, ml)
-    base = elliptic_dense_verifier(Vs, tf, n_random=n_random,
-                                   seeds=seeds, n_edge=n_edge)
-
-    # swap the truth model, reuse the sampling/steering machinery
     from pgdrome_tpu.separated import evaluate_modes_1d
 
     grid = Vs[1].tabulate_dof_coordinates()[:, 0]

@@ -178,10 +178,21 @@ def make_mcmc_fn(spaces, modes, n_modes, points, table=None,
         from jax.sharding import PartitionSpec as P
 
         shard = NamedSharding(mesh, P("dp"))
+        n_dev = mesh.size
 
         def sharded(obs, sigma, p0, chol, scale, key):
+            p0 = np.asarray(p0)
+            # pad the chain axis to a mesh multiple (device_put of a
+            # non-divisible axis raises), slice the outputs back
+            pad = (-len(p0)) % n_dev
+            if pad:
+                p0 = np.concatenate(
+                    [p0, np.repeat(p0[-1:], pad, axis=0)])
             p0 = jax.device_put(jnp.asarray(p0), shard)
-            return jitted(obs, sigma, p0, chol, scale, key)
+            chain, n_acc = jitted(obs, sigma, p0, chol, scale, key)
+            if pad:
+                chain, n_acc = chain[:, :-pad], n_acc[:-pad]
+            return chain, n_acc
 
         sharded._jitted = jitted  # HLO inspection (parallel/hlo.py)
         return sharded

@@ -758,13 +758,15 @@ def make_certifier(sep, spaces, result, tf=None, chunk=None, eta=None,
 # ------------------------------------------------- guaranteed (rigorous)
 
 def validate_spd_family(sep):
-    """Validate the structural hypotheses of the A(p) ⪰ K0 guaranteed
+    """Validate the checkable hypotheses of the A(p) ⪰ K0 guaranteed
     bounds on a collocation problem: every parameter dim's operator
-    stack is diagonal, the base-term coefficient is θ_0 ≡ 1 and every
-    other term's coefficient θ_t(p) ≥ 0 at all parameter grid points —
-    then A(p) = K0 + Σ_t θ_t(p) K_t ⪰ K0 whenever the K_t are PSD
-    (structural for stiffness builders with nonnegative coefficient
-    weights; not re-verified numerically).  Raises ValueError when a
+    stack is diagonal, its base-term diagonal (the measure weight) is
+    positive, and every term's θ_0-normalized coefficient
+    θ_t(p) = Π_d diag_td/diag_0d is ≥ 0 at all parameter grid points —
+    then A(p)/c_0(p) = K0 + Σ_t θ_t(p) K_t ⪰ K0 whenever dim-0 term 0
+    is the SPD K0 and the K_t are PSD (both structural for the
+    stiffness builders, NOT re-verifiable from the parameter tables —
+    callers own that hypothesis).  Raises ValueError when a checkable
     hypothesis fails.  Shared by :func:`guaranteed_field_bound` and
     :func:`pgdrome_tpu.dual.guaranteed_output_bound`."""
     for j in range(1, sep.num_dims):
@@ -781,12 +783,13 @@ def validate_spd_family(sep):
             raise ValueError(
                 f"dim {j} base-term diagonal is not positive"
             )
+        # θ_t(p) = Π_d diag_td/diag_0d: normalizing BY term 0 makes
+        # θ_0 ≡ 1 by construction (term 0 IS the reference operator the
+        # coercivity argument measures against — that dim-0 term 0 is
+        # the SPD K0 is structural for the builders, like K_t PSD-ness,
+        # and not re-verifiable from the parameter tables).  The
+        # checkable hypotheses are w > 0 above and θ_t ≥ 0 below.
         g = np.diagonal(od, axis1=1, axis2=2) / w[None, :]
-        if not np.allclose(g[0], 1.0, atol=1e-10):
-            raise ValueError(
-                f"dim {j} base-term coefficient is not 1 — the "
-                "A(p) ⪰ K0 argument needs θ_0 ≡ 1"
-            )
         if g.min() < -1e-12:
             raise ValueError(
                 f"dim {j} has negative operator coefficients "

@@ -1163,8 +1163,13 @@ def transient_goal_oriented(sensors_x, *, n_x=256, n_t=96, n_p=48,
         sensor_reports.append({
             "x0": float(x_dofs[ix0]),
             "dual_rank": int(res_z.n_modes),
-            "corrected_rel_max": float(hist_box[-1]
+            # the RETURNED dual is the BEST stage (adaptive_minres
+            # returns best_res), so the headline field describes it;
+            # the last stage's error stays as an audit field
+            "corrected_rel_max": float(min(hist_box)
                                        if hist_box else np.inf),
+            "corrected_last": float(hist_box[-1]
+                                    if hist_box else np.inf),
             "corrected_best": float(min(hist_box) if hist_box else np.inf),
             "history": [
                 {k: h[k] for k in ("stage", "rank", "max", "stage_s")}

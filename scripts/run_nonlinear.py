@@ -50,8 +50,7 @@ def main():
 
     t0 = time.perf_counter()
     sep, Vs, ml = nonlinear_elliptic(
-        n_x=args.n_x, n_p=args.n_p, num_params=args.num_params,
-        eps=args.eps)
+        n_x=args.n_x, n_p=args.n_p, num_params=args.num_params)
     t_setup = time.perf_counter() - t0
 
     t0 = time.perf_counter()

@@ -102,10 +102,13 @@ class TestP2Tets:
 
         bary, w = _TET_RULE_DEG5
         rng = np.random.default_rng(0)
-        for _ in range(24):
-            exps = rng.integers(0, 3, size=4)
+        # cover the FULL degree-5 monomial range including single-axis
+        # powers up to 5 (l0^5, l0^4 l1, ...): a rule typo that breaks
+        # only high-exponent monomials must not slip through
+        for _ in range(40):
+            exps = rng.integers(0, 6, size=4)
             while exps.sum() > 5:
-                exps = rng.integers(0, 3, size=4)
+                exps = rng.integers(0, 6, size=4)
             quad = (w * np.prod(bary ** exps[None, :], axis=1)).sum()
             a, b, c, d = (int(e) for e in exps)
             exact = (

@@ -129,7 +129,7 @@ class TestShardedBayes:
         mcmc = make_mcmc_fn(Vs, modes, res.n_modes, pts, n_steps=20,
                             mesh=dp_mesh)
         grid = Vs[1].tabulate_dof_coordinates()[:, 0]
-        C = 16
+        C = 12  # NOT divisible by the 8-device mesh: pad/slice path
         rng = np.random.default_rng(1)
         p0 = grid[rng.integers(1, len(grid) - 1, size=(C, 2))]
         obs = np.zeros(2, np.float32)
@@ -139,13 +139,12 @@ class TestShardedBayes:
                             np.float32(1.0), jax.random.PRNGKey(0))
         assert chain.shape == (20, C, 2)
         assert np.all(np.isfinite(np.asarray(chain)))
-        # chain axis sharded over dp
-        assert "dp" in str(chain.sharding.spec)
-        shard_shapes = {s.data.shape for s in chain.addressable_shards}
-        assert shard_shapes == {(20, C // 8, 2)}
         # independence: no cross-chain traffic in the partitioned sampler
+        # (inspect with a mesh-divisible chain count; the public wrapper
+        # pads internally)
+        p0_16 = np.concatenate([p0, p0[:4]]).astype(np.float32)
         p0s = jax.device_put(
-            np.asarray(p0, np.float32),
+            p0_16,
             jax.sharding.NamedSharding(
                 dp_mesh, jax.sharding.PartitionSpec("dp")),
         )
@@ -187,6 +186,11 @@ class TestShardedCorrectedSensors:
         ].astype(np.float32)
         c0, p0 = fn0(samples)
         c8, p8 = fn8(samples)
+        # non-divisible batch: the wrapper must pad to a mesh multiple
+        # and slice back, not crash on device_put
+        c13, _ = fn8(samples[:13])
+        np.testing.assert_allclose(np.asarray(c13), np.asarray(c0)[:13],
+                                   rtol=2e-5, atol=1e-8)
         np.testing.assert_allclose(np.asarray(c8), np.asarray(c0),
                                    rtol=2e-5, atol=1e-8)
         np.testing.assert_allclose(np.asarray(p8), np.asarray(p0),

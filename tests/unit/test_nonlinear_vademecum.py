@@ -17,8 +17,7 @@ EPS = 2.0
 
 @pytest.fixture(scope="module")
 def solved():
-    sep, Vs, ml = nonlinear_elliptic(n_x=96, n_p=12, num_params=2,
-                                     eps=EPS)
+    sep, Vs, ml = nonlinear_elliptic(n_x=96, n_p=12, num_params=2)
     res, tf, rep = nonlinear_vademecum(
         sep, Vs, ml, EPS, budgets=(20, 14), dtype=np.float64,
         rhs_bucket=128, n_outer=8)
@@ -26,8 +25,7 @@ def solved():
 
 
 def test_newton_truth_solves_the_equation():
-    sep, Vs, ml = nonlinear_elliptic(n_x=48, n_p=8, num_params=2,
-                                     eps=EPS)
+    sep, Vs, ml = nonlinear_elliptic(n_x=48, n_p=8, num_params=2)
     from pgdrome_tpu.fem.assembly import load_vector, stiffness_matrix
 
     fom = nonlinear_elliptic_fom(Vs[0], 2, EPS, ml)
