@@ -128,6 +128,7 @@ def adaptive_cascade(problem_pc: SeparatedProblem, verify, *,
                      init_result: PGDResult | None = None,
                      checkpoint=None,
                      corner_seed_range=None, seed_max_fp_it: int = 20,
+                     seed_always: bool = False,
                      rhs_bucket: int | None = None,
                      minutes: float | None = None):
     """Error-DRIVEN residual cascade: solve until a verified bound, not a
@@ -240,7 +241,15 @@ def adaptive_cascade(problem_pc: SeparatedProblem, verify, *,
             if rhs_bucket:
                 sep_res = pad_rhs_bucket(sep_res, rhs_bucket)
             seeded = (
-                boosted
+                (boosted or (seed_always and corners > bound))
+                # seed_always: corner-seeded fixed points on the PLAIN
+                # measure — the finishing regime where a strong boost
+                # flutters near the f32 floor (the 5-param lesson) but
+                # the remaining error is still corner-LOCALIZED, which
+                # plain ones-init stages never target (measured round 5
+                # at d=10 rank 2333: plain stage moved corners
+                # 1.67e-6 → 1.65e-6 while seeded stages had been
+                # contracting ~1.2×/stage)
                 and corner_seed_range is not None
                 and worst_pts is not None
                 and len(worst_pts) > 0
@@ -516,7 +525,8 @@ def highd_frontier(num_params, *, bound=1e-6, n_x=1024, n_p=128,
                    final_fem_corners=1024, state_path=None,
                    init_result=None, dtype=np.float32, log=None,
                    artifact_path=None, anova_order: int = 0,
-                   anova_tol_pair: float = 2e-7):
+                   anova_tol_pair: float = 2e-7,
+                   seed_always: bool = False):
     """Packaged dimensionality-frontier drive (the core scientific claim
     of PGD — dimensionality separation, reference solver.py:538-724 —
     pushed to parameter counts the reference could never reach): build
@@ -697,6 +707,7 @@ def highd_frontier(num_params, *, bound=1e-6, n_x=1024, n_p=128,
         rhs_comp=True, dtype=dtype, log=say,
         init_result=init_result, checkpoint=checkpoint,
         corner_seed_range=(lo, hi), rhs_bucket=4096,
+        seed_always=seed_always,
         minutes=minutes,
     )
 

@@ -47,6 +47,9 @@ def main():
     ap.add_argument("--anova", type=int, default=0,
                     help="anchored-ANOVA init order (0 = off, 2 = "
                          "mean+axes+pairs; pgdrome_tpu/anova.py)")
+    ap.add_argument("--seed-plain", action="store_true",
+                    help="corner-seed stages even on the plain measure "
+                         "(the finishing regime near the f32 floor)")
     args = ap.parse_args()
 
     import pgdrome_tpu.config as cfg
@@ -79,6 +82,7 @@ def main():
         boost_margin=args.boost_margin,
         artifact_path=artifact,
         anova_order=args.anova,
+        seed_always=args.seed_plain,
     )
     print(json.dumps({
         "d": args.d, "rank": report["rank"],
