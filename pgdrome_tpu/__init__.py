@@ -52,17 +52,23 @@ from pgdrome_tpu.separated import (
     galerkin_update,
     normal_equations,
 )
+from pgdrome_tpu.anova import anova_init
 from pgdrome_tpu.dual import (
     DualCorrector,
     adjoint_problem,
+    adjoint_problem_nd,
     guaranteed_output_bound,
     point_functional,
     rhs_parametric_qoi,
 )
 from pgdrome_tpu.recipes import (
     adaptive_cascade,
+    adaptive_minres,
     goal_oriented_frontier,
+    highd_frontier,
+    nonlinear_vademecum,
     residual_cascade,
+    transient_goal_oriented,
     two_stage_elliptic,
     two_stage_minres,
 )
@@ -128,12 +134,18 @@ __all__ = [
     "sobol_group",
     "DualCorrector",
     "adjoint_problem",
+    "adjoint_problem_nd",
+    "anova_init",
     "guaranteed_output_bound",
     "point_functional",
     "rhs_parametric_qoi",
     "adaptive_cascade",
+    "adaptive_minres",
     "goal_oriented_frontier",
+    "highd_frontier",
+    "nonlinear_vademecum",
     "residual_cascade",
+    "transient_goal_oriented",
     "two_stage_elliptic",
     "two_stage_minres",
     "PGDConfig",
